@@ -1,0 +1,129 @@
+"""Small shared utilities (semantics of mismo/_util.py, Spark-native).
+
+Only the pieces Spark actually needs: mismo's table-inference machinery
+(`_util.select/bind`) is unnecessary because Spark columns are always
+DataFrame-bound.
+"""
+
+from __future__ import annotations
+
+import uuid
+from collections.abc import Callable, Iterable, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def unique_name(prefix: str = "tmp") -> str:
+    """Collision-free temp column name (mismo/_util.py:284-291)."""
+    return f"__{prefix}_{uuid.uuid4().hex[:8]}"
+
+
+def cases(branches: Sequence[tuple[Column, Column]], else_: Column) -> Column:
+    """First-match-wins CASE WHEN chain (mismo/_util.py:95-112)."""
+    out = None
+    for cond, value in branches:
+        out = F.when(cond, value) if out is None else out.when(cond, value)
+    return else_ if out is None else out.otherwise(else_)
+
+
+def bind(df: DataFrame, spec) -> list[Column]:
+    """Resolve a key spec against a DataFrame → list of Columns.
+
+    Accepts str (column name), Column, callable(df) -> Column | list,
+    or an iterable of those.  This is the Spark reduction of mismo's
+    ValueResolver family (mismo/_resolve.py:23-210): Deferred
+    expressions and conjunction parsing don't exist here — callers pass
+    explicit per-side specs.
+    """
+    if isinstance(spec, str):
+        return [df[spec]]
+    if isinstance(spec, Column):
+        return [spec]
+    if callable(spec):
+        out = spec(df)
+        return list(out) if isinstance(out, (list, tuple)) else [out]
+    if isinstance(spec, Iterable):
+        cols: list[Column] = []
+        for s in spec:
+            cols.extend(bind(df, s))
+        return cols
+    raise TypeError(f"cannot resolve key spec {spec!r}")
+
+
+def bind_one(df: DataFrame, spec) -> Column:
+    cols = bind(df, spec)
+    if len(cols) != 1:
+        raise ValueError(f"expected one column from spec {spec!r}, got {len(cols)}")
+    return cols[0]
+
+
+def rename_all(df: DataFrame, suffix: str, *, exclude: Sequence[str] = ()) -> DataFrame:
+    """Append a suffix to every column (mismo/joins/_core.py:100-145 pattern)."""
+    return df.select(
+        *[F.col(c).alias(c if c in exclude else f"{c}{suffix}") for c in df.columns]
+    )
+
+
+def join_lookup(
+    left: DataFrame,
+    lookup: DataFrame,
+    on: str | list[str],
+    defaults: dict[str, Column] | None = None,
+) -> DataFrame:
+    """Left-join a 1-row-per-key lookup with defaults for misses
+    (mismo/_util.py:406-491).  The union+anti-join dance in the
+    reference is unnecessary: left join + coalesce is one shuffle.
+    """
+    on = [on] if isinstance(on, str) else list(on)
+    out = left.join(F.broadcast(lookup) if _is_smallish(lookup) else lookup, on, "left")
+    for col, default in (defaults or {}).items():
+        out = out.withColumn(col, F.coalesce(F.col(col), default))
+    return out
+
+
+def _is_smallish(df: DataFrame) -> bool:
+    # Heuristic only used to add a broadcast *hint*; AQE may override.
+    try:
+        plan = df._jdf.queryExecution().logical().toString()
+        return "LocalRelation" in plan or "LogicalRDD" in plan
+    except Exception:
+        return False
+
+
+def sample_table(df: DataFrame, n: int, *, method: str = "hash", seed: int = 42) -> DataFrame:
+    """Deterministic approx-n sample (mismo/_util.py:196-247).
+
+    ``hash``: orderBy(xxhash64(all cols, seed)).limit(n) — deterministic
+    pseudo-random top-k, reproducible across runs and cluster sizes.
+    """
+    if method == "hash":
+        h = F.xxhash64(*[F.col(c) for c in df.columns], F.lit(seed))
+        return df.orderBy(h).limit(n)
+    if method == "row":
+        frac = min(1.0, n / max(df.count(), 1))
+        return df.sample(fraction=frac, seed=seed)
+    raise ValueError(f"unknown sample method {method!r}")
+
+
+def group_id(df: DataFrame, keys: Sequence[str], out: str = "group_id") -> DataFrame:
+    """Dense int64 codes per distinct key combo (mismo/_util.py:272-281).
+
+    The reference uses a global ``dense_rank`` (single-partition sort at
+    scale).  We instead build a distinct→id mapping with
+    ``monotonically_increasing_id`` on the *distinct* keys (tiny relative
+    to the data) and hash-join it back — same semantics (stable distinct
+    codes), no global sort.
+    """
+    mapping = (
+        df.select(*keys).distinct()
+        .withColumn(out, F.monotonically_increasing_id())
+    )
+    return df.join(mapping, list(keys), "left")
+
+
+def n_naive_comparisons(n_left: int, n_right: int | None = None) -> int:
+    """n·(n−1)/2 for dedupe, n·m for linkage (mismo/_n_naive.py:9-33)."""
+    if n_right is None:
+        return n_left * (n_left - 1) // 2
+    return n_left * n_right

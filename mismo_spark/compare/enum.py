@@ -1,0 +1,66 @@
+"""EnumComparer: ordered (condition, level) cases → agreement-level label.
+
+Semantics of mismo/compare/_enum_comparer.py:14-81: one labelled
+dimension of the comparison vector; first matching case wins; rows
+matching nothing get the ELSE level (highest index).
+
+Spark shape: a single chained ``F.when`` projection — Catalyst collapses
+all comparers into one whole-stage-codegen pass over the pairs table, so
+adding dimensions costs no extra scans.  Labels are ints (the native
+repr, mismo/compare/_enum_comparer.py:44-78); ``level_names`` maps them
+back for humans.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class LevelCase:
+    name: str
+    condition: Callable[[DataFrame], Column] | Column
+
+
+class EnumComparer:
+    """One comparison dimension with ordered agreement levels."""
+
+    ELSE = "else"
+
+    def __init__(self, name: str, cases: Sequence[LevelCase | tuple]) -> None:
+        self.name = name
+        self.cases = [c if isinstance(c, LevelCase) else LevelCase(*c) for c in cases]
+        if any(c.name == self.ELSE for c in self.cases):
+            raise ValueError("'else' is implicit; don't declare it")
+
+    @property
+    def level_names(self) -> list[str]:
+        return [c.name for c in self.cases] + [self.ELSE]
+
+    @property
+    def else_index(self) -> int:
+        return len(self.cases)
+
+    def label_column(self, pairs: DataFrame) -> Column:
+        out = None
+        for i, case in enumerate(self.cases):
+            cond = case.condition(pairs) if callable(case.condition) else case.condition
+            out = F.when(cond, F.lit(i)) if out is None else out.when(cond, F.lit(i))
+        if out is None:
+            return F.lit(self.else_index)
+        return out.otherwise(F.lit(self.else_index))
+
+    def __call__(self, pairs: DataFrame) -> DataFrame:
+        """Append this dimension's label column to the pairs table."""
+        return pairs.withColumn(self.name, self.label_column(pairs))
+
+
+def compare(pairs: DataFrame, comparers: Sequence[EnumComparer]) -> DataFrame:
+    """Apply all comparers in one projection (single codegen pass)."""
+    return pairs.select(
+        "*", *[c.label_column(pairs).alias(c.name) for c in comparers]
+    )

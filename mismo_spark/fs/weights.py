@@ -1,0 +1,141 @@
+"""Fellegi-Sunter model parameters and scoring.
+
+Semantics of mismo/fs/_weights.py:21-391: per comparison dimension, per
+agreement level, ``m = P(level | match)`` and ``u = P(level | non-match)``;
+``odds = m/u`` (inf when u=0); total odds of a pair = product of its
+per-dimension odds.
+
+Weights are plain Python (they're tiny) and get *baked into the scoring
+expression as literals* — the Spark analogue of a broadcast variable,
+with zero runtime lookup cost: scoring is one ``F.when`` chain per
+dimension inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class LevelWeights:
+    """m/u for one agreement level (mismo/fs/_weights.py:21-89)."""
+
+    name: str
+    m: float
+    u: float
+
+    @property
+    def odds(self) -> float:
+        if self.u == 0:
+            return math.inf
+        return self.m / self.u
+
+    @property
+    def log_odds(self) -> float:
+        if self.odds == 0:
+            return -math.inf
+        return math.log10(self.odds)
+
+
+class ComparerWeights:
+    """Weights for all levels of one dimension (mismo/fs/_weights.py:170-194)."""
+
+    def __init__(self, name: str, level_weights: list[LevelWeights]) -> None:
+        self.name = name
+        self.level_weights = list(level_weights)
+
+    def __getitem__(self, key: str | int) -> LevelWeights:
+        if isinstance(key, int):
+            return self.level_weights[key]
+        for lw in self.level_weights:
+            if lw.name == key:
+                return lw
+        raise KeyError(key)
+
+    def odds(self, level: str | int) -> float:
+        return self[level].odds
+
+    def odds_column(self, label_col):
+        """label column → odds column (CASE over levels), NaN for
+        unknown labels (mismo/fs/_weights.py:170-194)."""
+        from pyspark.sql import functions as F
+
+        out = None
+        for i, lw in enumerate(self.level_weights):
+            o = lw.odds
+            lit = F.lit(float("inf")) if math.isinf(o) else F.lit(float(o))
+            out = F.when(label_col == i, lit) if out is None else out.when(label_col == i, lit)
+        return out.otherwise(F.lit(float("nan")))
+
+
+class Weights:
+    """The full model: one ComparerWeights per dimension
+    (mismo/fs/_weights.py:269-391)."""
+
+    def __init__(self, comparer_weights: list[ComparerWeights]) -> None:
+        self.comparers = list(comparer_weights)
+
+    def __getitem__(self, name: str) -> ComparerWeights:
+        for cw in self.comparers:
+            if cw.name == name:
+                return cw
+        raise KeyError(name)
+
+    def __iter__(self):
+        return iter(self.comparers)
+
+    def score_compared(self, compared):
+        """Add per-dimension `{dim}_odds`, total `odds`,
+        `match_probability` = odds/(1+odds), `log_odds` = log10(odds)
+        (mismo/fs/_weights.py:269-331, mismo/fs/_util.py:37-60).
+        One projection; no shuffle.
+        """
+        from pyspark.sql import functions as F
+
+        df = compared
+        total = F.lit(1.0)
+        for cw in self.comparers:
+            df = df.withColumn(f"{cw.name}_odds", cw.odds_column(F.col(cw.name)))
+            total = total * F.col(f"{cw.name}_odds")
+        df = df.withColumn("odds", total)
+        df = df.withColumn("match_probability", F.col("odds") / (F.lit(1.0) + F.col("odds")))
+        df = df.withColumn("log_odds", F.log10(F.col("odds")))
+        return df
+
+    # -- JSON serde (mismo/fs/_weights.py:349-391) -----------------------
+
+    def to_dict(self) -> dict:
+        return {
+            cw.name: {lw.name: {"m": lw.m, "u": lw.u} for lw in cw.level_weights}
+            for cw in self.comparers
+        }
+
+    def to_json(self, path: str | None = None) -> str:
+        s = json.dumps(self.to_dict(), indent=2)
+        if path is not None:
+            with open(path, "w") as f:
+                f.write(s)
+        return s
+
+    @staticmethod
+    def from_dict(d: dict) -> "Weights":
+        return Weights(
+            [
+                ComparerWeights(
+                    cname,
+                    [LevelWeights(lname, mu["m"], mu["u"]) for lname, mu in levels.items()],
+                )
+                for cname, levels in d.items()
+            ]
+        )
+
+    @staticmethod
+    def from_json(s_or_path: str) -> "Weights":
+        try:
+            d = json.loads(s_or_path)
+        except (json.JSONDecodeError, ValueError):
+            with open(s_or_path) as f:
+                d = json.load(f)
+        return Weights.from_dict(d)

@@ -1,0 +1,69 @@
+"""Shared linker plumbing: task inference and pair assembly.
+
+Semantics of mismo/linker/_common.py:21-28 (dedupe iff left is right) and
+the `_l`/`_r` pair construction of mismo/joins/_core.py:29-145.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from mismo_spark.types.linkage import ID_L, ID_R, Linkage
+
+
+def infer_task(left: DataFrame, right: DataFrame, task: str | None) -> str:
+    """'dedupe' iff left and right are the same table
+    (mismo/linker/_common.py:21-28).  Spark has no ``Table.equals``;
+    we compare the identity of the analyzed plan object, falling back
+    to 'link' — callers doing dedupe on a re-read table should pass
+    task='dedupe' explicitly.
+    """
+    if task is not None:
+        return task
+    if left is right:
+        return "dedupe"
+    try:
+        if left._jdf.queryExecution().analyzed().sameResult(
+            right._jdf.queryExecution().analyzed()
+        ):
+            return "dedupe"
+    except Exception:
+        pass
+    return "link"
+
+
+def ids_only(df: DataFrame, alias: str) -> DataFrame:
+    return df.select(F.col("record_id").alias(alias))
+
+
+def make_linkage(
+    left: DataFrame,
+    right: DataFrame,
+    condition_builder,
+    task: str | None,
+    extra_link_cols: list[Column] | None = None,
+    how: str = "inner",
+) -> Linkage:
+    """Build a Linkage from a join-condition builder.
+
+    ``condition_builder(l, r)`` receives the two aliased DataFrames and
+    returns a Column condition.  Links carry only the two ids (plus any
+    extras) — attributes are re-joined on demand by
+    ``Linkage.links_with_both`` (projection pushdown keeps the blocking
+    join narrow: only key columns + record_id are scanned).
+    """
+    task = infer_task(left, right, task)
+    l = left.alias("__mismo_l")
+    r = right.alias("__mismo_r")
+    cond = condition_builder(l, r)
+    if task == "dedupe":
+        # halve the self-join: record_id_l < record_id_r
+        # (mismo/linker/_key_linker.py:192)
+        cond = cond & (l["record_id"] < r["record_id"])
+    links = l.join(r, cond, how).select(
+        l["record_id"].alias(ID_L),
+        r["record_id"].alias(ID_R),
+        *(extra_link_cols or []),
+    )
+    return Linkage(left=left, right=right, links=links)

@@ -1,0 +1,162 @@
+"""KeyLinker: equi-join blocking with explicit skew control.
+
+Semantics of mismo/linker/_key_linker.py:16-445 —
+* link records where ALL key expressions are equal (nulls never match:
+  SQL equality semantics drop them),
+* ``task='dedupe'`` halves the self-join with ``record_id_l < record_id_r``,
+* ``max_pairs`` removes keys whose pair count would exceed the budget
+  (the *semantic* skew cap — mega-blocks like a hot domain are dropped,
+  matching mismo/linker/_key_linker.py:195-222), and
+* AQE skew-join handles residual imbalance (the *physical* half).
+
+Spark plan shape: both sides are projected to (record_id, key...) before
+the join — column pruning reaches the parquet scan — then hash-joined on
+the key columns (Catalyst picks broadcast vs sort-merge; both sides huge
+⇒ sort-merge shuffle on the keys, which is the minimal shuffle for
+blocking).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from mismo_spark._util import bind
+from mismo_spark.linker.base import infer_task
+from mismo_spark.types.linkage import ID_L, ID_R, Linkage
+
+
+def _split_spec(spec) -> tuple[object, object]:
+    """A key spec is either one spec for both sides or a (left, right) pair."""
+    if isinstance(spec, tuple) and len(spec) == 2 and not isinstance(spec[0], str):
+        return spec
+    if isinstance(spec, tuple) and len(spec) == 2 and isinstance(spec[0], str) and isinstance(spec[1], str):
+        return spec
+    return spec, spec
+
+
+class KeyLinker:
+    """Block where all keys are equal (mismo/linker/_key_linker.py:16-193)."""
+
+    def __init__(
+        self,
+        keys: Sequence,
+        *,
+        max_pairs: int | None = None,
+        task: str | None = None,
+        name: str | None = None,
+    ) -> None:
+        self.keys = list(keys) if isinstance(keys, (list, tuple)) else [keys]
+        # single (l, r) tuple passed bare
+        if (
+            len(self.keys) == 2
+            and not isinstance(keys, list)
+            and isinstance(keys, tuple)
+        ):
+            self.keys = [keys]
+        self.max_pairs = max_pairs
+        self.task = task
+        self.name = name
+
+    def _keyed(self, df: DataFrame, side: int) -> DataFrame:
+        cols = []
+        for i, spec in enumerate(self.keys):
+            s = _split_spec(spec)[side]
+            bound = bind(df, s)
+            for j, c in enumerate(bound):
+                cols.append(c.alias(f"__k{i}_{j}"))
+        keyed = df.select(F.col("record_id"), *cols)
+        # nulls never match an equality key; drop before the shuffle
+        return keyed.na.drop(subset=[c for c in keyed.columns if c.startswith("__k")])
+
+    def __call__(self, left: DataFrame, right: DataFrame | None = None) -> Linkage:
+        if right is None:
+            right = left
+        task = infer_task(left, right, self.task)
+        lk = self._keyed(left, 0)
+        rk = self._keyed(right, 1)
+        key_cols = [c for c in lk.columns if c != "record_id"]
+
+        if self.max_pairs is not None:
+            too_common = self._too_common_keys(lk, rk, key_cols, task)
+            # offender list is tiny (it's the skew tail) → broadcast anti-join
+            lk = lk.join(F.broadcast(too_common), key_cols, "left_anti")
+            rk = rk.join(F.broadcast(too_common), key_cols, "left_anti")
+
+        pairs = lk.select(F.col("record_id").alias(ID_L), *key_cols).join(
+            rk.select(F.col("record_id").alias(ID_R), *key_cols), key_cols, "inner"
+        )
+        if task == "dedupe":
+            pairs = pairs.filter(F.col(ID_L) < F.col(ID_R))
+        links = pairs.select(ID_L, ID_R)
+        return Linkage(left=left, right=right, links=links)
+
+    def _too_common_keys(
+        self, lk: DataFrame, rk: DataFrame, key_cols: list[str], task: str
+    ) -> DataFrame:
+        """Keys whose pair contribution exceeds max_pairs
+        (mismo/linker/_key_linker.py:195-222).  Two cheap count
+        aggregations + a join of the (small) distinct-key tables.
+        """
+        lc = lk.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("__nl"))
+        if task == "dedupe":
+            est = lc.withColumn("__npairs", F.col("__nl") * (F.col("__nl") - 1) / 2)
+        else:
+            rc = rk.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("__nr"))
+            est = lc.join(rc, key_cols, "inner").withColumn(
+                "__npairs", F.col("__nl") * F.col("__nr")
+            )
+        return est.filter(F.col("__npairs") > self.max_pairs).select(*key_cols)
+
+    def key_counts(self, df: DataFrame, side: int = 0) -> DataFrame:
+        keyed = self._keyed(df, side)
+        key_cols = [c for c in keyed.columns if c != "record_id"]
+        return (
+            keyed.groupBy(*key_cols)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.desc("n"), *key_cols)
+        )
+
+    def pair_counts(
+        self, left: DataFrame, right: DataFrame | None = None, *, task: str | None = None
+    ) -> DataFrame:
+        """Pairs each key would generate, WITHOUT computing them —
+        the pre-flight skew report (mismo/linker/_key_linker.py:418-445).
+        dedupe: n(n−1)/2; link: n_l·n_r.
+        """
+        if right is None:
+            right = left
+        task = infer_task(left, right, task or self.task)
+        lk = self._keyed(left, 0)
+        key_cols = [c for c in lk.columns if c != "record_id"]
+        lc = lk.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("__nl"))
+        if task == "dedupe":
+            out = lc.select(
+                *key_cols,
+                (F.col("__nl") * (F.col("__nl") - 1) / 2).cast("long").alias("n"),
+            )
+        else:
+            rk = self._keyed(right, 1)
+            rc = rk.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("__nr"))
+            out = lc.join(rc, key_cols, "inner").select(
+                *key_cols, (F.col("__nl") * F.col("__nr")).cast("long").alias("n")
+            )
+        return out.orderBy(F.desc("n"), *key_cols)
+
+
+def key_counts(df: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """Standalone key_counts over plain column names
+    (mismo/linker/_key_linker.py:408-415)."""
+    return KeyLinker(list(keys)).key_counts(df)
+
+
+def pair_counts(
+    left: DataFrame,
+    keys: Sequence[str],
+    right: DataFrame | None = None,
+    *,
+    task: str | None = None,
+) -> DataFrame:
+    return KeyLinker(list(keys)).pair_counts(left, right, task=task)

@@ -1,0 +1,266 @@
+"""End-to-end web-page dedupe pipeline: the flagship flow.
+
+records → (extract text) → blocking (normalized-domain key ∪ minhash-LSH
+of text) → pairwise comparison vectors → Fellegi-Sunter scoring (EM or
+provided weights) → odds threshold → connected components → clusters.
+
+Every stage checkpoints to parquet (Iceberg-shaped) under ``work_dir``
+with a manifest entry carrying the stage's row count, input
+fingerprint, and per-partition counters — a resumed run replays
+completed stages from disk and recomputes only what's missing
+("resumable from any checkpointed stage", BASELINE.json north_rule).
+mismo's analogue is per-stage ``Linkage.to_parquets``
+(mismo/linkage/_linkage.py:103-132).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mismo_spark.cluster.cc import connected_components
+from mismo_spark.compare.enum import EnumComparer, compare
+from mismo_spark.corpus import extract_text
+from mismo_spark.fs.em import train_using_em
+from mismo_spark.fs.weights import Weights
+from mismo_spark.linker.key import KeyLinker
+from mismo_spark.linker.lsh import MinhashLshLinker
+from mismo_spark.linker.or_ import OrLinker
+from mismo_spark.sets.compare import jaccard
+from mismo_spark.text.features import tokenize
+from mismo_spark.text.similarity import jaro_winkler_similarity, levenshtein_ratio
+from mismo_spark.types.linkage import ID_L, ID_R, Linkage
+
+
+def normalized_domain(url_col) -> F.Column:
+    """Registrable-domain-ish key from a url — the north star's
+    'normalized domain' blocking key.  Pure regexp, no UDF."""
+    host = F.regexp_extract(url_col, r"^[a-z]+://([^/]+)", 1)
+    host = F.lower(F.regexp_replace(host, r"^www\.", ""))
+    return host
+
+
+def default_comparers() -> list[EnumComparer]:
+    """Comparison dimensions for web pages: token-set Jaccard of text,
+    Levenshtein ratio of a text prefix, Jaro-Winkler of the url path
+    (the north star's JW / Levenshtein / token-set Jaccard trio)."""
+    jac = lambda df: jaccard(df["tokens_l"], df["tokens_r"])  # noqa: E731
+    lev = lambda df: levenshtein_ratio(  # noqa: E731
+        F.substring(df["text_l"], 1, 120), F.substring(df["text_r"], 1, 120)
+    )
+    path = lambda df, side: F.regexp_extract(df[f"url_{side}"], r"^[a-z]+://[^/]+(/.*)?$", 1)  # noqa: E731
+    jw = lambda df: jaro_winkler_similarity(path(df, "l"), path(df, "r"))  # noqa: E731
+    return [
+        EnumComparer(
+            "text_jaccard",
+            [
+                ("exact", lambda df: df["text_l"] == df["text_r"]),
+                ("very_close", lambda df: jac(df) >= 0.9),
+                ("close", lambda df: jac(df) >= 0.7),
+                ("weak", lambda df: jac(df) >= 0.4),
+            ],
+        ),
+        EnumComparer(
+            "text_prefix_lev",
+            [
+                ("close", lambda df: lev(df) >= 0.9),
+                ("mid", lambda df: lev(df) >= 0.7),
+            ],
+        ),
+        EnumComparer(
+            "url_path_jw",
+            [
+                ("close", lambda df: jw(df) >= 0.93),
+                ("mid", lambda df: jw(df) >= 0.85),
+            ],
+        ),
+    ]
+
+
+@dataclass
+class DedupePipeline:
+    work_dir: str
+    weights: Weights | None = None
+    threshold_odds: float = 10.0
+    lsh_band_size: int = 4
+    lsh_n_bands: int = 16
+    max_pairs_per_key: int | None = 10_000_000
+    em_max_pairs: int = 200_000
+    seed: int = 42
+    checkpoint: bool = True
+    comparers: list[EnumComparer] = field(default_factory=default_comparers)
+    cc_algorithm: str = "star"
+
+    # ------------------------------------------------------------------
+
+    def _manifest_path(self) -> str:
+        return os.path.join(self.work_dir, "manifest.json")
+
+    def _load_manifest(self) -> dict:
+        try:
+            with open(self._manifest_path()) as f:
+                return json.load(f)
+        except (FileNotFoundError, json.JSONDecodeError):
+            return {"stages": {}}
+
+    def _save_manifest(self, m: dict) -> None:
+        os.makedirs(self.work_dir, exist_ok=True)
+        with open(self._manifest_path(), "w") as f:
+            json.dump(m, f, indent=2)
+
+    def _stage(
+        self, spark: SparkSession, name: str, fingerprint: str, compute
+    ) -> DataFrame:
+        """Run-or-resume one stage.  The checkpoint doubles as the
+        lineage cut between stages."""
+        path = os.path.join(self.work_dir, f"{name}.parquet")
+        if not self.checkpoint:
+            return compute()
+        manifest = self._load_manifest()
+        entry = manifest["stages"].get(name)
+        if entry and entry.get("fingerprint") == fingerprint and os.path.exists(path):
+            return spark.read.parquet(path)
+        t0 = time.time()
+        df = compute()
+        df.write.mode("overwrite").parquet(path)
+        out = spark.read.parquet(path)
+        # per-partition counters: the "lineage and counters" evidence
+        pcounts = [
+            {"partition": r["p"], "rows": r["n"]}
+            for r in out.groupBy(F.spark_partition_id().alias("p"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        ]
+        manifest = self._load_manifest()
+        manifest["stages"][name] = {
+            "fingerprint": fingerprint,
+            "path": path,
+            "rows": sum(p["rows"] for p in pcounts),
+            "n_partitions": len(pcounts),
+            "partition_counts": pcounts,
+            "seconds": round(time.time() - t0, 3),
+        }
+        self._save_manifest(manifest)
+        return out
+
+    # ------------------------------------------------------------------
+
+    def prepare_records(self, pages: DataFrame) -> DataFrame:
+        """url → record_id; extract text from html when absent; derive
+        domain + token set.  Only these derived columns flow into
+        blocking — column pruning keeps the scans narrow."""
+        df = pages
+        if "text" not in df.columns:
+            df = df.withColumn("text", extract_text(F.col("html")))
+        return df.select(
+            F.col("url").alias("record_id"),
+            F.col("url"),
+            F.col("text"),
+            normalized_domain(F.col("url")).alias("domain"),
+            tokenize(F.lower(F.col("text"))).alias("tokens"),
+        )
+
+    def blocker(self) -> OrLinker:
+        return OrLinker(
+            {
+                "domain": KeyLinker(
+                    ["domain"], task="dedupe", max_pairs=self.max_pairs_per_key
+                ),
+                "lsh": MinhashLshLinker(
+                    "tokens",
+                    band_size=self.lsh_band_size,
+                    n_bands=self.lsh_n_bands,
+                    seed=self.seed,
+                    task="dedupe",
+                ),
+            }
+        )
+
+    def run(self, spark: SparkSession, pages: DataFrame) -> DataFrame:
+        """→ DataFrame(record_id, component)."""
+        records = self._stage(
+            spark, "01_records", "v1", lambda: self.prepare_records(pages)
+        )
+
+        links = self._stage(
+            spark,
+            "02_links",
+            f"v1:lsh{self.lsh_band_size}x{self.lsh_n_bands}:s{self.seed}",
+            lambda: self.blocker()(records, records).links,
+        )
+
+        def _compared():
+            pairs = Linkage(records, records, links).links_with_both()
+            return compare(pairs, self.comparers).select(
+                ID_L, ID_R, *[c.name for c in self.comparers]
+            )
+
+        compared = self._stage(spark, "03_compared", "v1", _compared)
+
+        if self.weights is None:
+            self.weights = self._train_weights(compared)
+            if self.checkpoint:
+                self.weights.to_json(os.path.join(self.work_dir, "weights.json"))
+
+        def _scored():
+            return self.weights.score_compared(compared).select(
+                ID_L, ID_R, "odds"
+            )
+
+        scored = self._stage(spark, "04_scored", "v1", _scored)
+
+        matches = self._stage(
+            spark,
+            "05_matches",
+            f"v1:thr{self.threshold_odds}",
+            lambda: scored.filter(F.col("odds") >= self.threshold_odds).select(ID_L, ID_R),
+        )
+
+        cc_dir = os.path.join(self.work_dir, "cc_rounds") if self.checkpoint else None
+        components = self._stage(
+            spark,
+            "06_components",
+            f"v1:{self.cc_algorithm}",
+            lambda: connected_components(
+                matches,
+                records.select("record_id"),
+                algorithm=self.cc_algorithm,
+                checkpoint_dir=cc_dir,
+            ),
+        )
+        return components
+
+    def _train_weights(self, compared: DataFrame) -> Weights:
+        """EM over the *blocked* comparison vectors.
+
+        Unlike the random-pair EM (fs/em.py, which follows the reference
+        exactly and is dominated by non-matches), training on blocked
+        pairs gives both classes enough mass — we still init u from the
+        observed label proportions and m uniform, then run the same
+        5-iteration loop (mismo/fs/_train_em.py:43-57).
+        """
+        from pyspark.storagelevel import StorageLevel
+
+        from mismo_spark.fs.em import _initial_weights, _weights_from_histogram
+
+        dims = [c.name for c in self.comparers]
+        sample = compared.select(*dims).persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            weights = _initial_weights(self.comparers, sample)
+            for _ in range(5):
+                scored = weights.score_compared(sample)
+                hist = (
+                    scored.withColumn("__is_match", F.col("odds") >= 10.0)
+                    .groupBy("__is_match", *dims)
+                    .agg(F.count(F.lit(1)).alias("n"))
+                    .collect()
+                )
+                weights = _weights_from_histogram(self.comparers, hist)
+            return weights
+        finally:
+            sample.unpersist()

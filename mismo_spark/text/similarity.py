@@ -1,0 +1,163 @@
+"""String similarity — the comparison-vector vocabulary.
+
+Semantics of mismo/text/_similarity.py:40-181.
+
+Split by execution tier:
+* ``levenshtein`` / ``levenshtein_ratio`` — Spark SQL builtins, pure
+  column algebra, whole-stage codegen.
+* ``jaro_similarity`` / ``jaro_winkler_similarity`` /
+  ``damerau_levenshtein`` — no Spark builtin → **Arrow pandas UDFs**
+  (Series→Series, batched; never row-at-a-time Python UDFs).  These are
+  the only Python in the scoring hot path; pre-gate them with cheap SQL
+  filters (length difference, exact equality) so most pairs never reach
+  the UDF.
+
+Null/empty semantics follow the reference exactly (FIXTURES.md F8):
+null input → NaN; "" vs non-empty → 0.0; ratio of "" vs "" → NaN.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, LongType
+
+
+def levenshtein_ratio(a: Column, b: Column) -> Column:
+    """(maxlen − lev)/maxlen ∈ [0,1]; ""vs"" → NaN
+    (mismo/text/_similarity.py:50-109).  Pure column expression."""
+    mx = F.greatest(F.length(a), F.length(b))
+    return (mx - F.levenshtein(a, b)) / mx
+
+
+# -- python kernels (executed inside Arrow-batched pandas UDFs) ----------
+
+
+def _jaro(s1: str, s2: str) -> float:
+    if s1 == s2:
+        return 1.0
+    n1, n2 = len(s1), len(s2)
+    if n1 == 0 or n2 == 0:
+        return 0.0
+    window = max(n1, n2) // 2 - 1
+    if window < 0:
+        window = 0
+    m1 = [False] * n1
+    m2 = [False] * n2
+    matches = 0
+    for i, ch in enumerate(s1):
+        lo = max(0, i - window)
+        hi = min(n2, i + window + 1)
+        for j in range(lo, hi):
+            if not m2[j] and s2[j] == ch:
+                m1[i] = True
+                m2[j] = True
+                matches += 1
+                break
+    if matches == 0:
+        return 0.0
+    t = 0
+    k = 0
+    for i in range(n1):
+        if m1[i]:
+            while not m2[k]:
+                k += 1
+            if s1[i] != s2[k]:
+                t += 1
+            k += 1
+    t //= 2
+    return (matches / n1 + matches / n2 + (matches - t) / matches) / 3.0
+
+
+def _jaro_winkler(s1: str, s2: str, p: float = 0.1, max_prefix: int = 4) -> float:
+    j = _jaro(s1, s2)
+    if j <= 0.7:  # standard boost threshold (DuckDB/rapidfuzz default)
+        return j
+    prefix = 0
+    for a, b in zip(s1[:max_prefix], s2[:max_prefix]):
+        if a != b:
+            break
+        prefix += 1
+    return j + prefix * p * (1.0 - j)
+
+
+def _damerau_levenshtein(s1: str, s2: str) -> int:
+    """Optimal-string-alignment variant (edit distance + adjacent
+    transpositions), matching DuckDB's builtin used by the reference
+    (mismo/text/_similarity.py:40-47)."""
+    n1, n2 = len(s1), len(s2)
+    if n1 == 0:
+        return n2
+    if n2 == 0:
+        return n1
+    prev2 = None
+    prev = list(range(n2 + 1))
+    for i in range(1, n1 + 1):
+        cur = [i] + [0] * n2
+        for j in range(1, n2 + 1):
+            cost = 0 if s1[i - 1] == s2[j - 1] else 1
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + cost)
+            if (
+                i > 1
+                and j > 1
+                and s1[i - 1] == s2[j - 2]
+                and s1[i - 2] == s2[j - 1]
+            ):
+                cur[j] = min(cur[j], prev2[j - 2] + 1)
+        prev2, prev = prev, cur
+    return prev[n2]
+
+
+def _pairwise(a: pd.Series, b: pd.Series, fn, null=np.nan) -> pd.Series:
+    out = np.empty(len(a), dtype=np.float64)
+    av = a.to_numpy(dtype=object)
+    bv = b.to_numpy(dtype=object)
+    for i in range(len(av)):
+        x, y = av[i], bv[i]
+        out[i] = null if (x is None or y is None) else fn(x, y)
+    return pd.Series(out)
+
+
+@F.pandas_udf(DoubleType())
+def _jaro_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    return _pairwise(a, b, _jaro)
+
+
+@F.pandas_udf(DoubleType())
+def _jw_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    return _pairwise(a, b, _jaro_winkler)
+
+
+@F.pandas_udf(DoubleType())
+def _dl_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    return _pairwise(a, b, lambda x, y: float(_damerau_levenshtein(x, y)))
+
+
+def jaro_similarity(a: Column, b: Column) -> Column:
+    """Jaro; null → NaN; vs "" → 0.0 (mismo/text/_similarity.py:112-143)."""
+    return _jaro_udf(a, b)
+
+
+def jaro_winkler_similarity(a: Column, b: Column) -> Column:
+    """JW = J + l·p·(1−J), prefix ≤ 4, p = 0.1, boost threshold 0.7
+    (mismo/text/_similarity.py:147-181)."""
+    # cheap SQL pre-gate: identical strings never enter the UDF
+    return F.when(a.isNull() | b.isNull(), F.lit(float("nan"))).otherwise(
+        F.when(a == b, F.lit(1.0)).otherwise(_jw_udf(a, b))
+    )
+
+
+def damerau_levenshtein(a: Column, b: Column) -> Column:
+    """OSA Damerau-Levenshtein distance (mismo/text/_similarity.py:40-47)."""
+    return F.when(a.isNull() | b.isNull(), F.lit(None).cast("double")).otherwise(
+        F.when(a == b, F.lit(0.0)).otherwise(_dl_udf(a, b))
+    )
+
+
+def damerau_levenshtein_ratio(a: Column, b: Column) -> Column:
+    """Normalized DL, same shape as levenshtein_ratio
+    (mismo/text/_similarity.py:92-102)."""
+    mx = F.greatest(F.length(a), F.length(b))
+    return (mx - damerau_levenshtein(a, b)) / mx

@@ -1,0 +1,116 @@
+"""Linkage: left records + right records + links between them.
+
+Semantics of mismo/linkage/_linkage.py:17-132 and
+mismo/types/_links_table.py:15-223, re-expressed as three DataFrames.
+``links`` always has ``record_id_l``/``record_id_r`` plus arbitrary
+feature columns; no duplicate (l, r) pairs.
+
+The parquet round-trip (``to_parquets``/``from_parquets``) is the
+checkpoint mechanism: every pipeline stage persists a Linkage, and a
+resumed run reloads it — mirroring mismo's ``Linkage.to_parquets``
+(mismo/linkage/_linkage.py:103-132) but doubling as lineage-cutting at
+scale (Iceberg-shaped; plain parquet in the sandbox).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mismo_spark._util import rename_all
+
+ID_L = "record_id_l"
+ID_R = "record_id_r"
+
+
+@dataclass(frozen=True)
+class Linkage:
+    left: DataFrame
+    right: DataFrame
+    links: DataFrame
+
+    def __post_init__(self) -> None:
+        for c in (ID_L, ID_R):
+            if c not in self.links.columns:
+                raise ValueError(f"links must have column {c!r}; has {self.links.columns}")
+        if "record_id" not in self.left.columns or "record_id" not in self.right.columns:
+            raise ValueError("left/right must have a 'record_id' column")
+
+    # -- LinksTable semantics (mismo/types/_links_table.py:97-190) ------
+
+    def links_with_left(self) -> DataFrame:
+        """Join left-record attributes onto links with `_l` suffixes."""
+        lrec = rename_all(self.left, "_l")
+        return self.links.join(lrec, ID_L, "inner")
+
+    def links_with_right(self) -> DataFrame:
+        rrec = rename_all(self.right, "_r")
+        return self.links.join(rrec, ID_R, "inner")
+
+    def links_with_both(self) -> DataFrame:
+        """Pairs table with all record attributes, `_l`/`_r` suffixed.
+
+        Two hash joins; at scale both are shuffles on record_id — the
+        links table is pre-partitioned on record_id_l by the blocker so
+        the first join avoids re-shuffling links.
+        """
+        return self.links_with_left().join(rename_all(self.right, "_r"), ID_R, "inner")
+
+    def swap_perspective(self) -> "Linkage":
+        """Swap l/r (mismo/types/_links_table.py:208-217)."""
+        swapped = self.links
+        renames = {}
+        for c in swapped.columns:
+            if c.endswith("_l"):
+                renames[c] = c[:-2] + "_r"
+            elif c.endswith("_r"):
+                renames[c] = c[:-2] + "_l"
+        swapped = swapped.select(*[F.col(c).alias(renames.get(c, c)) for c in swapped.columns])
+        return Linkage(left=self.right, right=self.left, links=swapped)
+
+    # -- filters (mismo/linkage/_linkage.py:206-301) ---------------------
+
+    def filter_links(self, predicate: Column) -> "Linkage":
+        return Linkage(self.left, self.right, self.links.filter(predicate))
+
+    def best_match_per_right(self, score_col: str) -> "Linkage":
+        """Keep only each right record's max-score link
+        (window-predicate example, mismo/linkage/_linkage.py:248-270)."""
+        w = Window.partitionBy(ID_R)
+        links = (
+            self.links.withColumn("__mx", F.max(score_col).over(w))
+            .filter(F.col(score_col) == F.col("__mx"))
+            .drop("__mx")
+        )
+        return Linkage(self.left, self.right, links)
+
+    def unambiguous_only(self) -> "Linkage":
+        """Keep links whose right record has exactly one link."""
+        w = Window.partitionBy(ID_R)
+        links = (
+            self.links.withColumn("__n", F.count(F.lit(1)).over(w))
+            .filter(F.col("__n") == 1)
+            .drop("__n")
+        )
+        return Linkage(self.left, self.right, links)
+
+    # -- persistence / checkpointing -------------------------------------
+
+    def to_parquets(self, directory: str, overwrite: bool = False) -> None:
+        """Persist all three tables (mismo/linkage/_linkage.py:103-118)."""
+        mode = "overwrite" if overwrite else "errorifexists"
+        self.left.write.mode(mode).parquet(os.path.join(directory, "left.parquet"))
+        self.right.write.mode(mode).parquet(os.path.join(directory, "right.parquet"))
+        self.links.write.mode(mode).parquet(os.path.join(directory, "links.parquet"))
+
+    @staticmethod
+    def from_parquets(spark: SparkSession, directory: str) -> "Linkage":
+        """Resume from a checkpoint (mismo/linkage/_linkage.py:120-132)."""
+        return Linkage(
+            left=spark.read.parquet(os.path.join(directory, "left.parquet")),
+            right=spark.read.parquet(os.path.join(directory, "right.parquet")),
+            links=spark.read.parquet(os.path.join(directory, "links.parquet")),
+        )
