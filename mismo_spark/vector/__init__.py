@@ -54,5 +54,6 @@ def mul(a: Column, b: Column) -> Column:
 
 def cosine_similarity(a: Column, b: Column) -> Column:
     """dot(a,b) / (|a|·|b|) for array columns
-    (mismo/vector/_vector.py:67-102)."""
-    return dot(a, b) / (norm(a) * norm(b))
+    (mismo/vector/_vector.py:67-102).  Zero-norm → NaN (ANSI-safe)."""
+    denom = norm(a) * norm(b)
+    return F.when(denom == 0, F.lit(float("nan"))).otherwise(dot(a, b) / denom)

@@ -1,0 +1,128 @@
+"""Scaling-efficiency evidence for the north rule.
+
+The rule demands throughput scaling efficiency ≥ 0.8 from N to 4N
+executors; no real cluster exists in this sandbox, so (per the driver
+instruction) we run the SAME job on the SAME input at local[8] and
+local[32] and report candidate-pairs/sec at both plus
+
+    eff = (pairs_per_sec @ 4N) / (4 × pairs_per_sec @ N).
+
+The workload is the blocking+compare+score stages of the dedupe
+pipeline over a pre-generated deterministic corpus (generation excluded
+from timing; corpus is identical at any parallelism by construction).
+
+Each configuration runs in its own JVM (SparkSession fully stopped in
+between); repeat with --runs N and the best run per config is used
+(the sandbox host has large timing variance).
+
+Usage: python scripts/bench_scaling.py [--entities 30000] [--runs 2]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+
+def run_once(corpus_path: str, cpus: int) -> dict:
+    from mismo_spark.session import get_spark
+    from mismo_spark.compare.enum import compare
+    from mismo_spark.pipeline import DedupePipeline
+    from mismo_spark.types.linkage import Linkage
+
+    spark = get_spark(
+        f"scaling_{cpus}", master=f"local[{cpus}]", shuffle_partitions=cpus * 2
+    )
+    try:
+        pages = spark.read.parquet(corpus_path)
+        pipe = DedupePipeline(work_dir="/tmp/unused", checkpoint=False, seed=42)
+        records = pipe.prepare_records(pages)
+        records.persist()
+        records.count()
+
+        t0 = time.time()
+        links = pipe.blocker()(records, records).links
+        links.persist()
+        n_pairs = links.count()
+        block_sec = time.time() - t0
+
+        t0 = time.time()
+        narrow = records.select("record_id", "url", "text", "tokens", "shingles")
+        pairs = Linkage(narrow, narrow, links).links_with_both()
+        compared = compare(pairs, pipe.comparers).select(
+            "record_id_l", "record_id_r", *[c.name for c in pipe.comparers]
+        )
+        n_compared = compared.count()
+        compare_sec = time.time() - t0
+
+        total = block_sec + compare_sec
+        return {
+            "cpus": cpus,
+            "candidate_pairs": n_pairs,
+            "block_sec": round(block_sec, 3),
+            "compare_sec": round(compare_sec, 3),
+            "total_sec": round(total, 3),
+            "pairs_per_sec": round(n_pairs / total, 1),
+        }
+    finally:
+        spark.stop()
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--entities", type=int, default=30000)
+    ap.add_argument("--runs", type=int, default=2)
+    ap.add_argument("--low", type=int, default=8)
+    ap.add_argument("--high", type=int, default=32)
+    args = ap.parse_args()
+
+    tmp = tempfile.mkdtemp(prefix="mismo_scaling_")
+    corpus_path = os.path.join(tmp, "corpus.parquet")
+
+    from mismo_spark.session import get_spark
+    from mismo_spark.corpus import make_corpus
+
+    spark = get_spark("scaling_gen", master="local[32]", shuffle_partitions=64)
+    make_corpus(
+        spark, args.entities, seed=42, skew_every=2000, n_partitions=64
+    ).write.mode("overwrite").parquet(corpus_path)
+    n_pages = spark.read.parquet(corpus_path).count()
+    spark.stop()
+
+    results = {}
+    for cpus in (args.low, args.high):
+        best = None
+        for _ in range(args.runs):
+            r = run_once(corpus_path, cpus)
+            if best is None or r["total_sec"] < best["total_sec"]:
+                best = r
+        results[cpus] = best
+
+    lo, hi = results[args.low], results[args.high]
+    eff = hi["pairs_per_sec"] / (
+        (args.high / args.low) * lo["pairs_per_sec"]
+    )
+    out = {
+        "n_pages": n_pages,
+        "low": lo,
+        "high": hi,
+        "scaling_factor": args.high / args.low,
+        "efficiency": round(eff, 3),
+        "gate": "eff >= 0.8",
+        "pass": eff >= 0.8,
+    }
+    print(json.dumps(out))
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

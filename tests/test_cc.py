@@ -85,8 +85,8 @@ def test_big_random_graph_matches_python_oracle(spark, algo):
     import random
 
     rng = random.Random(7)
-    nodes = list(range(300))
-    edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(200)]
+    nodes = list(range(150))
+    edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(130)]
     links = edges_df(spark, edges)
 
     # python union-find oracle
