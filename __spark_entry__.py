@@ -378,6 +378,99 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_clean_phone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """clean_phone_number (mismo/lib/phone/_core.py:31-82) on TPC-H
+    customer phones."""
+    from mismo_spark.lib.phone import clean_phone_number
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    k = F.col("c_custkey")
+    raw = F.concat(
+        F.when(k % 3 == 0, F.lit("1-")).otherwise(F.lit("")),
+        F.lit("("),
+        (k % 700 + 300).cast("string"),
+        F.lit(") "),
+        ((k * 7) % 800 + 200).cast("string"),
+        F.lit("-"),
+        F.lpad((k % 10000).cast("string"), 4, "0"),
+    )
+    return cust.select(
+        "c_custkey", clean_phone_number(raw).alias("phone")
+    )
+
+
+def q_email_match_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """email match_level (mismo/lib/email/_core.py:93-133): customer
+    emails vs a deterministic mutation."""
+    from mismo_spark.lib.email import match_level
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    e1 = F.concat(F.lower(F.regexp_replace(F.col("c_name"), "#", "")), F.lit("@example.com"))
+    # mutate: last digit of the name swapped for 'x' when key is even
+    e2 = F.when(
+        F.col("c_custkey") % 2 == 0,
+        F.concat(
+            F.expr("substring(lower(replace(c_name, '#', '')), 1, length(c_name) - 2)"),
+            F.lit("x@example.com"),
+        ),
+    ).otherwise(e1)
+    return cust.select(
+        "c_custkey", match_level(e1, e2).cast("long").alias("email_level")
+    )
+
+
+def q_haversine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """haversine distance_km (mismo/lib/geo/_latlon.py:16-57) on
+    synthesized coordinates."""
+    from mismo_spark.lib.geo import distance_km
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    lat = (F.col("c_custkey") % 170).cast("double") - 85.0 + 0.5
+    lon = ((F.col("c_custkey") * 7) % 360).cast("double") - 180.0 + 0.5
+    return cust.select(
+        "c_custkey",
+        F.round(
+            distance_km(lat1=lat, lon1=lon, lat2=F.lit(40.7), lon2=F.lit(-74.0)), 4
+        ).alias("dist_km"),
+    )
+
+
+def q_diff_updates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diff/Updates (mismo/types/_diff.py:19-165): before/after orders
+    reconciliation with value_change categories."""
+    from mismo_spark.types.diff import diff_tables, value_change
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+    before = orders.filter(F.col("o_orderkey") % 7 != 0)
+    after = orders.withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 10 == 0, F.round(F.col("o_totalprice") + 1.0, 2)
+        ).otherwise(F.col("o_totalprice")),
+    ).filter(F.col("o_orderkey") % 11 != 0)
+    d = diff_tables(before, after, "o_orderkey")
+    return d.updates.select(
+        "o_orderkey", value_change(F.col("o_totalprice")).alias("change")
+    )
+
+
+def q_tf_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF add_frequencies (mismo/tf/_tf.py:60-92) over mktsegment."""
+    from mismo_spark.tf import add_frequencies
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_mktsegment"
+    )
+    out = add_frequencies(cust, "c_mktsegment")
+    return out.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round("c_mktsegment_frequency", 6).alias("freq"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "key_counts": q_key_counts,
@@ -404,6 +497,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_norms": q_embedding_norms,
         "minhash_lsh_block": q_minhash_lsh_block,
         "simhash_pairs": q_simhash_pairs,
+        "clean_phone": q_clean_phone,
+        "email_match_level": q_email_match_level,
+        "haversine": q_haversine,
+        "diff_updates": q_diff_updates,
+        "tf_frequency": q_tf_frequency,
     }
 
 
@@ -696,6 +794,100 @@ def oracle_sql() -> dict[str, str]:
                    round(sqrt(list_sum(list_transform(embedding::DOUBLE[],
                                                       x -> x * x))), 6) AS l2_norm
             FROM embeddings
+        """,
+        "clean_phone": r"""
+            WITH raw AS (
+              SELECT c_custkey,
+                     (CASE WHEN c_custkey % 3 = 0 THEN '1-' ELSE '' END)
+                     || '(' || (c_custkey % 700 + 300)::VARCHAR || ') '
+                     || ((c_custkey * 7) % 800 + 200)::VARCHAR || '-'
+                     || lpad((c_custkey % 10000)::VARCHAR, 4, '0') AS phone_raw
+              FROM customer
+            ),
+            digits AS (
+              SELECT c_custkey,
+                     regexp_extract(regexp_replace(phone_raw, '[^0-9]', '', 'g'),
+                                    '1?(\d{10})', 1) AS ten
+              FROM raw
+            )
+            SELECT c_custkey,
+                   CASE WHEN ten = '' THEN NULL
+                        WHEN regexp_matches(ten, '.*(0000|9999|12345).*') THEN NULL
+                        ELSE ten END AS phone
+            FROM digits
+        """,
+        "email_match_level": """
+            WITH emails AS (
+              SELECT c_custkey,
+                     lower(replace(c_name, '#', '')) || '@example.com' AS e1,
+                     CASE WHEN c_custkey % 2 = 0 THEN
+                       substring(lower(replace(c_name, '#', '')),
+                                 1, length(c_name) - 2) || 'x@example.com'
+                     ELSE lower(replace(c_name, '#', '')) || '@example.com'
+                     END AS e2
+              FROM customer
+            ),
+            norm AS (
+              SELECT c_custkey,
+                     replace(replace(lower(regexp_extract(e1, '(\S+@\S+)', 1)), '.', ''), '_', '') AS n1,
+                     replace(replace(lower(regexp_extract(e2, '(\S+@\S+)', 1)), '.', ''), '_', '') AS n2
+              FROM emails
+            ),
+            parts AS (
+              SELECT c_custkey, n1, n2,
+                     string_split(n1, '@')[1] AS u1, string_split(n2, '@')[1] AS u2
+              FROM norm
+            )
+            SELECT c_custkey,
+                   CASE WHEN n1 = n2 THEN 0
+                        WHEN damerau_levenshtein(n1, n2) <= 1 THEN 1
+                        WHEN u1 = u2 THEN 2
+                        WHEN damerau_levenshtein(u1, u2) <= 1 THEN 3
+                        ELSE 4 END::BIGINT AS email_level
+            FROM parts
+        """,
+        "haversine": """
+            WITH coords AS (
+              SELECT c_custkey,
+                     (c_custkey % 170)::DOUBLE - 85.0 + 0.5 AS lat,
+                     ((c_custkey * 7) % 360)::DOUBLE - 180.0 + 0.5 AS lon
+              FROM customer
+            )
+            SELECT c_custkey,
+                   round(2 * 6371.0 * asin(sqrt(
+                     pow(sin(radians(40.7 - lat) / 2), 2)
+                     + cos(radians(lat)) * cos(radians(40.7))
+                       * pow(sin(radians(-74.0 - lon) / 2), 2)
+                   )), 4) AS dist_km
+            FROM coords
+        """,
+        "diff_updates": """
+            WITH before_t AS (
+              SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 7 <> 0
+            ),
+            after_t AS (
+              SELECT o_orderkey,
+                     CASE WHEN o_orderkey % 10 = 0
+                          THEN round(o_totalprice + 1.0, 2)
+                          ELSE o_totalprice END AS o_totalprice
+              FROM orders WHERE o_orderkey % 11 <> 0
+            )
+            SELECT b.o_orderkey,
+                   CASE WHEN b.o_totalprice IS NULL AND a.o_totalprice IS NULL
+                          THEN 'remained_null'
+                        WHEN a.o_totalprice IS NULL THEN 'became_null'
+                        WHEN b.o_totalprice IS NULL THEN 'became_nonnull'
+                        WHEN b.o_totalprice = a.o_totalprice THEN 'unchanged'
+                        ELSE 'changed' END AS change
+            FROM before_t b JOIN after_t a USING (o_orderkey)
+            WHERE b.o_totalprice IS DISTINCT FROM a.o_totalprice
+        """,
+        "tf_frequency": """
+            SELECT c_custkey, c_mktsegment,
+                   round(
+                     count(*) OVER (PARTITION BY c_mktsegment)::DOUBLE
+                     / (SELECT count(*) FROM customer), 6) AS freq
+            FROM customer
         """,
         # minhash_lsh_block / simhash_pairs: engine-specific hashing →
         # intentionally no oracle (rows-only check); semantics verified
