@@ -76,7 +76,9 @@ def main() -> None:
 
     # ---- q2: comparison vectors ------------------------------------------
     t0 = time.time()
-    narrow = records.select("record_id", "url", "text", "tokens", "shingles")
+    narrow = records.select(
+        "record_id", "path", "prefix", "text_fp", "tok_hashes", "shingle_hashes"
+    )
     pairs = Linkage(narrow, narrow, links).links_with_both()
     compared = compare(pairs, pipe.comparers).select(
         "record_id_l", "record_id_r", *[c.name for c in pipe.comparers]

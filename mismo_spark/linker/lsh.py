@@ -83,15 +83,30 @@ class MinhashLshLinker:
             right = left
         task = infer_task(left, right, self.task)
 
-        def exploded(df: DataFrame, id_alias: str) -> DataFrame:
+        def exploded(df: DataFrame) -> DataFrame:
+            # IDENTICAL plan shape for both sides of a self-join: Spark's
+            # ReusedExchange then computes the (expensive) minhash
+            # projection + shuffle ONCE and feeds both join inputs.
             return df.select(
-                F.col("record_id").alias(id_alias),
+                F.col("record_id"),
                 F.posexplode(self.keys_for(df)).alias("__band", "__key"),
             )
 
-        lx = exploded(left, ID_L)
-        rx = exploded(right, ID_R)
-        pairs = lx.join(rx, ["__band", "__key"], "inner").select(ID_L, ID_R)
+        if task == "dedupe" and left is right:
+            keyed = exploded(left)
+            lx = keyed.alias("l")
+            rx = keyed.alias("r")
+        else:
+            lx = exploded(left).alias("l")
+            rx = exploded(right).alias("r")
+        pairs = lx.join(
+            rx,
+            (F.col("l.__band") == F.col("r.__band"))
+            & (F.col("l.__key") == F.col("r.__key")),
+            "inner",
+        ).select(
+            F.col("l.record_id").alias(ID_L), F.col("r.record_id").alias(ID_R)
+        )
         if task == "dedupe":
             pairs = pairs.filter(F.col(ID_L) < F.col(ID_R))
         links = pairs.dropDuplicates([ID_L, ID_R])

@@ -48,7 +48,9 @@ def get_spark(
         # Quiet + deterministic for tests.
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("MISMO_SPARK_DRIVER_MEM", "8g"))
+        # local mode: the driver heap IS the executor heap shared by all
+        # worker threads — size it like an executor, not like a driver
+        .config("spark.driver.memory", os.environ.get("MISMO_SPARK_DRIVER_MEM", "48g"))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -159,6 +159,32 @@ def damerau_levenshtein(a: Column, b: Column) -> Column:
     )
 
 
+def double_metaphone(a: Column) -> Column:
+    """Phonetic codes → array<string> (mismo/text/_similarity.py:9-36).
+
+    The reference treats this as an OPTIONAL per-row python UDF over the
+    ``doublemetaphone`` package; that package is not in this container,
+    so this is gated the same way (Arrow pandas UDF when available)."""
+    try:
+        from doublemetaphone import doublemetaphone  # type: ignore
+    except ImportError as e:  # pragma: no cover
+        raise NotImplementedError(
+            "double_metaphone requires the optional 'doublemetaphone' "
+            "package (same optional-extra status as the reference, "
+            "mismo/text/_similarity.py:9-36)"
+        ) from e
+
+    from pyspark.sql.types import ArrayType, StringType
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def _dm_udf(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda x: [c for c in doublemetaphone(x) if c] if x is not None else None
+        )
+
+    return _dm_udf(a)
+
+
 def damerau_levenshtein_ratio(a: Column, b: Column) -> Column:
     """Normalized DL, same shape as levenshtein_ratio
     (mismo/text/_similarity.py:92-102)."""

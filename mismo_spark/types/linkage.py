@@ -87,6 +87,12 @@ class Linkage:
         )
         return Linkage(self.left, self.right, links)
 
+    def min_rules_agree(self, n: int, *, rules_col: str = "blocking_rules") -> "Linkage":
+        """Keep links found by ≥ n blocking rules (OrLinker provenance;
+        the multi-rule-agreement filter example of
+        mismo/linkage/_linkage.py:284-294)."""
+        return self.filter_links(F.size(F.col(rules_col)) >= n)
+
     def unambiguous_only(self) -> "Linkage":
         """Keep links whose right record has exactly one link."""
         w = Window.partitionBy(ID_R)

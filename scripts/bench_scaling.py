@@ -56,12 +56,21 @@ def run_once(corpus_path: str, cpus: int) -> dict:
         block_sec = time.time() - t0
 
         t0 = time.time()
-        narrow = records.select("record_id", "url", "text", "tokens", "shingles")
+        narrow = records.select(
+            "record_id", "path", "prefix", "text_fp", "tok_hashes", "shingle_hashes"
+        )
         pairs = Linkage(narrow, narrow, links).links_with_both()
         compared = compare(pairs, pipe.comparers).select(
             "record_id_l", "record_id_r", *[c.name for c in pipe.comparers]
         )
-        n_compared = compared.count()
+        # force evaluation of EVERY comparison column — a bare count()
+        # would let Catalyst prune all the similarity expressions and
+        # measure nothing but the join
+        agg = compared.agg(
+            F.count(F.lit(1)).alias("n"),
+            *[F.sum(c.name) for c in pipe.comparers],
+        ).collect()[0]
+        n_compared = agg["n"]
         compare_sec = time.time() - t0
 
         total = block_sec + compare_sec
@@ -79,7 +88,10 @@ def run_once(corpus_path: str, cpus: int) -> dict:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--entities", type=int, default=30000)
+    # large enough that per-stage compute dominates fixed job-scheduling
+    # overhead (which does NOT scale with cores and would poison the
+    # efficiency measurement)
+    ap.add_argument("--entities", type=int, default=100000)
     ap.add_argument("--runs", type=int, default=2)
     ap.add_argument("--low", type=int, default=8)
     ap.add_argument("--high", type=int, default=32)

@@ -1,0 +1,127 @@
+"""cluster eval metrics (numpy re-derivation of sklearn semantics),
+address featurize/match_level, NameBlocker."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mismo_spark.cluster.eval import (
+    adjusted_rand_score,
+    fowlkes_mallows,
+    homogeneity_completeness_v,
+    normalized_mutual_info,
+)
+from mismo_spark.lib.address import (
+    AddressesMatchLevel,
+    featurize_address,
+    match_level,
+    parse_street1,
+)
+from mismo_spark.lib.name_blocker import NameBlocker
+
+
+def test_eval_metrics_perfect(spark):
+    df = spark.createDataFrame(
+        [(1, 10, 100), (2, 10, 100), (3, 20, 200)],
+        "record_id long, component long, label_true long",
+    )
+    assert adjusted_rand_score(df) == pytest.approx(1.0)
+    hcv = homogeneity_completeness_v(df)
+    assert hcv["v_measure"] == pytest.approx(1.0)
+    assert normalized_mutual_info(df) == pytest.approx(1.0)
+    assert fowlkes_mallows(df) == pytest.approx(1.0)
+
+
+def test_eval_metrics_imperfect(spark):
+    # one record mis-clustered
+    df = spark.createDataFrame(
+        [(1, 10, 100), (2, 10, 100), (3, 10, 200), (4, 20, 200)],
+        "record_id long, component long, label_true long",
+    )
+    ari = adjusted_rand_score(df)
+    assert -0.5 <= ari < 1.0
+    hcv = homogeneity_completeness_v(df)
+    assert 0.0 <= hcv["homogeneity"] < 1.0
+    fm = fowlkes_mallows(df)
+    assert 0.0 < fm < 1.0
+
+
+def test_eval_matches_known_values(spark):
+    # hand-computed ARI for labels [0,0,1,1] vs [0,0,1,2]
+    df = spark.createDataFrame(
+        [(1, 0, 0), (2, 0, 0), (3, 1, 1), (4, 2, 1)],
+        "record_id long, component long, label_true long",
+    )
+    # contingency [[2,0,0],[0,1,1]]; sklearn ARI = 0.5714285714
+    assert adjusted_rand_score(df) == pytest.approx(0.57142857, abs=1e-6)
+
+
+def test_parse_street1(spark):
+    df = spark.createDataFrame(
+        [("123 N Main St",), ("PO Box 42",), ("456 Oak Avenue Apt 3",)],
+        "s string",
+    )
+    out = [r["v"] for r in df.select(parse_street1(F.col("s")).alias("v")).collect()]
+    assert out[0]["AddressNumber"] == "123"
+    assert out[0]["StreetName"] == "N MAIN"
+    assert out[0]["USPSBoxID"] == ""
+    assert out[1]["USPSBoxID"] == "42"
+    assert out[1]["StreetName"] == ""
+    assert out[2]["AddressNumber"] == "456"
+    assert out[2]["StreetName"] == "OAK"
+
+
+@pytest.fixture
+def addr_pairs(spark):
+    mk = lambda s1, city, state, zipc: (s1, None, city, state, zipc)  # noqa: E731
+    rows = [
+        (mk("123 Main St", "Springfield", "IL", "62704"),
+         mk("123 Main St", "Springfield", "IL", "62704")),   # exact
+        (mk("123 Main St", "Springfield", "IL", "62704"),
+         mk("123 Mian St", "Springfield", "IL", "62704")),   # typo
+        (mk("99 Elm St", "Springfield", "IL", "62704"),
+         mk("5 Oak Rd", "Springfield", "IL", "62704")),      # same region
+        (mk("99 Elm St", "Chicago", "IL", "60601"),
+         mk("5 Oak Rd", "Peoria", "IL", "61601")),           # same state
+        (mk("99 Elm St", "Chicago", "IL", "60601"),
+         mk("5 Oak Rd", "Austin", "TX", "73301")),           # else
+    ]
+    schema_one = "struct<street1:string,street2:string,city:string,state:string,postal_code:string>"
+    return spark.createDataFrame(rows, f"a {schema_one}, b {schema_one}")
+
+
+def test_address_match_levels(addr_pairs):
+    out = addr_pairs.select(
+        match_level(
+            featurize_address(F.col("a")), featurize_address(F.col("b"))
+        ).alias("lvl")
+    ).collect()
+    lvls = [r["lvl"] for r in out]
+    assert lvls == [
+        int(AddressesMatchLevel.STREET1_AND_CITY_OR_POSTAL),
+        int(AddressesMatchLevel.POSSIBLE_TYPO),
+        int(AddressesMatchLevel.SAME_REGION),
+        int(AddressesMatchLevel.SAME_STATE),
+        int(AddressesMatchLevel.ELSE),
+    ]
+
+
+def test_name_blocker(spark):
+    schema = (
+        "record_id long, name struct<prefix:string,given:string,middle:string,"
+        "surname:string,suffix:string,nickname:string>"
+    )
+    df = spark.createDataFrame(
+        [
+            (1, ("", "alice", "", "smith", "", "")),
+            (2, ("", "bob", "", "ALICE", "", "")),   # given↔surname cross
+            (3, ("", "carol", "", "jones", "", "")),
+            (4, ("", "", "", "", "", "")),            # empties never match
+            (5, ("", "", "", "", "", "")),
+        ],
+        schema,
+    )
+    lk = NameBlocker(column="name", task="dedupe")(df)
+    got = {(r["record_id_l"], r["record_id_r"]) for r in lk.links.collect()}
+    assert got == {(1, 2)}
