@@ -103,6 +103,16 @@ def sample_table(df: DataFrame, n: int, *, method: str = "hash", seed: int = 42)
     if method == "row":
         frac = min(1.0, n / max(df.count(), 1))
         return df.sample(fraction=frac, seed=seed)
+    if method == "block":
+        # partition-granular sampling: cheap (no per-row RNG), biased by
+        # partition layout — the reference's block method caveat applies
+        # (mismo/_util.py:214-223)
+        n_parts = df.rdd.getNumPartitions()
+        total = df.count()
+        if total == 0 or n >= total:
+            return df
+        keep = max(1, round(n_parts * n / total))
+        return df.filter(F.spark_partition_id() % max(n_parts // keep, 1) == 0)
     raise ValueError(f"unknown sample method {method!r}")
 
 

@@ -1,12 +1,35 @@
-"""Phone number cleaning.
+"""Phone number cleaning and match levels.
 
-Semantics of mismo/lib/phone/_core.py:31-82 — all pure column algebra.
+Semantics of mismo/lib/phone/_core.py:31-180 — all pure column algebra
+except the near-match edit distance (Arrow pandas UDF).
 """
 
 from __future__ import annotations
 
+from enum import IntEnum
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+
+
+class PhoneMatchLevel(IntEnum):
+    """mismo/lib/phone/_core.py:85-94."""
+
+    EXACT = 0
+    NEAR = 1
+    ELSE = 2
+
+
+def match_level(p1: Column, p2: Column) -> Column:
+    """EXACT < NEAR (DL≤1) < ELSE over already-cleaned numbers
+    (mismo/lib/phone/_core.py:97-130)."""
+    from mismo_spark.text.similarity import damerau_levenshtein
+
+    return (
+        F.when(p1 == p2, F.lit(int(PhoneMatchLevel.EXACT)))
+        .when(damerau_levenshtein(p1, p2) <= 1, F.lit(int(PhoneMatchLevel.NEAR)))
+        .otherwise(F.lit(int(PhoneMatchLevel.ELSE)))
+    )
 
 
 def clean_phone_number(

@@ -78,27 +78,54 @@ class MinhashLshLinker:
             seed=self.seed,
         )
 
+    def _banded(self, df: DataFrame) -> DataFrame:
+        """(record_id, __band, __key) via explode → groupBy-min.
+
+        Same keys as ``keys_for`` (identical hash formula), but as a
+        hash-aggregation plan instead of 64 higher-order ``transform``
+        lambdas: the lambdas run on Spark's interpreted expression path
+        and their huge combined projection is slow to codegen-compile —
+        both serial costs that cap scaling.  Here every operator
+        (explode, xxhash64-of-long, min-aggregate) is whole-stage
+        codegen, and map-side partial aggregation collapses each
+        record's terms before the shuffle, so shuffle volume is
+        |records|·n_hashes·8B regardless of document size."""
+        n_hashes = self.band_size * self.n_bands
+        ex = df.select(
+            "record_id", F.explode(bind_one(df, self.terms_column)).alias("__t")
+        )
+        mins = ex.groupBy("record_id").agg(
+            *[
+                F.min(F.xxhash64("__t", F.lit(self.seed + i))).alias(f"__m{i}")
+                for i in range(n_hashes)
+            ]
+        )
+        bands = [
+            F.xxhash64(
+                *[F.col(f"__m{b * self.band_size + j}") for j in range(self.band_size)],
+                F.lit(b),
+            )
+            for b in range(self.n_bands)
+        ]
+        return mins.select(
+            "record_id", F.posexplode(F.array(*bands)).alias("__band", "__key")
+        )
+
     def __call__(self, left: DataFrame, right: DataFrame | None = None) -> Linkage:
         if right is None:
             right = left
         task = infer_task(left, right, self.task)
 
-        def exploded(df: DataFrame) -> DataFrame:
-            # IDENTICAL plan shape for both sides of a self-join: Spark's
-            # ReusedExchange then computes the (expensive) minhash
-            # projection + shuffle ONCE and feeds both join inputs.
-            return df.select(
-                F.col("record_id"),
-                F.posexplode(self.keys_for(df)).alias("__band", "__key"),
-            )
-
+        # IDENTICAL plan shape for both sides of a self-join: Spark's
+        # ReusedExchange then computes the (expensive) minhash
+        # aggregation + shuffle ONCE and feeds both join inputs.
         if task == "dedupe" and left is right:
-            keyed = exploded(left)
+            keyed = self._banded(left)
             lx = keyed.alias("l")
             rx = keyed.alias("r")
         else:
-            lx = exploded(left).alias("l")
-            rx = exploded(right).alias("r")
+            lx = self._banded(left).alias("l")
+            rx = self._banded(right).alias("r")
         pairs = lx.join(
             rx,
             (F.col("l.__band") == F.col("r.__band"))

@@ -1,0 +1,82 @@
+"""_util helpers + Datasets (mismo/_util.py, mismo/_datasets.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mismo_spark._util import (
+    cases,
+    group_id,
+    join_lookup,
+    n_naive_comparisons,
+    rename_all,
+    sample_table,
+)
+from mismo_spark.types.datasets import Datasets
+
+
+def test_cases(spark):
+    df = spark.createDataFrame([(1,), (5,), (50,)], "x long")
+    out = [
+        r["v"]
+        for r in df.select(
+            cases(
+                [(F.col("x") < 3, F.lit("small")), (F.col("x") < 10, F.lit("mid"))],
+                F.lit("big"),
+            ).alias("v")
+        ).collect()
+    ]
+    assert out == ["small", "mid", "big"]
+
+
+def test_rename_all(t1):
+    out = rename_all(t1, "_l", exclude=["record_id"])
+    assert set(out.columns) == {"record_id", "int_l", "letter_l", "array_l"}
+
+
+def test_join_lookup_defaults(spark):
+    left = spark.createDataFrame([(1, "a"), (2, "zz")], "id long, k string")
+    lookup = spark.createDataFrame([("a", 10.0)], "k string, v double")
+    out = join_lookup(left, lookup, "k", defaults={"v": F.lit(-1.0)})
+    got = {r["id"]: r["v"] for r in out.collect()}
+    assert got == {1: 10.0, 2: -1.0}
+
+
+def test_sample_table_methods(spark):
+    df = spark.range(1000).withColumn("x", F.col("id") * 2)
+    h1 = sample_table(df, 50, method="hash", seed=1)
+    h2 = sample_table(df, 50, method="hash", seed=1)
+    assert h1.count() == 50
+    assert h1.exceptAll(h2).count() == 0  # deterministic
+    r = sample_table(df, 100, method="row", seed=1)
+    assert 40 <= r.count() <= 200
+    b = sample_table(df.repartition(10), 100, method="block")
+    assert 0 < b.count() <= 1000
+
+
+def test_group_id(spark):
+    df = spark.createDataFrame([("a", 1), ("a", 1), ("b", 2)], "k string, n long")
+    out = group_id(df, ["k", "n"])
+    rows = out.collect()
+    codes = {(r["k"], r["n"]): r["group_id"] for r in rows}
+    assert codes[("a", 1)] != codes[("b", 2)]
+    assert len({r["group_id"] for r in rows}) == 2
+
+
+def test_n_naive():
+    assert n_naive_comparisons(10) == 45
+    assert n_naive_comparisons(10, 20) == 200
+
+
+def test_datasets(spark):
+    a = spark.createDataFrame([(1, "x", 1.0)], "record_id long, s string, f double")
+    b = spark.createDataFrame([(2, "y", True)], "record_id long, s string, f boolean")
+    ds = Datasets({"a": a, "b": b})
+    assert ds.names == ["a", "b"]
+    # f has conflicting types → excluded from shared schema
+    assert [n for n, _ in ds.shared_schema()] == ["record_id", "s"]
+    uni = ds.unioned()
+    assert set(uni.columns) == {"record_id", "s", "dataset"}
+    assert uni.count() == 2
+    assert ds.all_record_ids().count() == 2
