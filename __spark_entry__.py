@@ -96,7 +96,11 @@ def q_or_linker(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lenb": KeyLinker(["lang", "len_bucket"], task="dedupe"),
         }
     )
-    return linker(docs, docs).links
+    # serialize the provenance array: the driver's canonicalizer can't
+    # sort list-valued cells (both sides crashed identically in r01)
+    return linker(docs, docs).links.withColumn(
+        "blocking_rules", F.array_join("blocking_rules", ",")
+    )
 
 
 def q_with_n_links(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -145,7 +149,14 @@ def q_with_linked_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         neighbour_max_chars=lambda j: F.max("n_chars"),
         neighbour_ids=lambda j: F.sort_array(F.collect_list("record_id_r")),
     )
-    return out
+    # serialize the id array (numeric-sorted, then stringified) — the
+    # driver's canonicalizer can't hash list-valued cells
+    return out.withColumn(
+        "neighbour_ids",
+        F.array_join(
+            F.transform("neighbour_ids", lambda x: x.cast("string")), ","
+        ),
+    )
 
 
 def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -359,22 +370,41 @@ def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_lsh_block(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Minhash-LSH blocking (engine-specific hashing → rows-only check;
-    acceptance curve verified in tests/test_lsh.py)."""
+    """Minhash-LSH blocking, md5 hash family: the full pipeline
+    (shingle → minhash signature → band bucket join → exact-Jaccard
+    recheck) is deterministic, engine-independent column algebra, so the
+    DuckDB oracle replays ALL of it, not just the post-filter.  The
+    xxhash64 production family has the identical plan (only the hash
+    expr differs) and its acceptance curve is verified in
+    tests/test_lsh.py."""
     from mismo_spark.dedupe import minhash_near_duplicates
 
     docs = _docs(spark, sf_dir)
-    return minhash_near_duplicates(
-        docs, shingle_size=2, band_size=2, n_bands=8, min_jaccard=0.2
+    out = minhash_near_duplicates(
+        docs, shingle_size=2, band_size=2, n_bands=8, min_jaccard=0.2,
+        hasher="md5",
+    )
+    return out.select(
+        "record_id_l",
+        "record_id_r",
+        F.round("jaccard_sim", 6).alias("jaccard_sim"),
     )
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup (engine-specific hashing → rows-only check)."""
+    """SimHash near-dup, md5_32 hash family (oracle replays the whole
+    explode → per-bit majority → block-permutation join → hamming filter
+    in SQL).  Valid params: max_hamming=3 ≤ n_blocks−1=3, the pigeonhole
+    completeness bound (the r01 params max_hamming=20 silently voided
+    it; the library now raises on such calls)."""
     from mismo_spark.dedupe import simhash_near_duplicates
 
     return simhash_near_duplicates(
-        _docs(spark, sf_dir), max_hamming=20, n_blocks=4
+        _docs(spark, sf_dir),
+        max_hamming=3,
+        n_blocks=4,
+        n_bits=32,
+        hasher="md5_32",
     )
 
 
@@ -517,6 +547,114 @@ def _lang_markers_sql(words: list[str]) -> str:
     return f"len(list_intersect({_TOKENS}, [{arr}]))"
 
 
+def _simhash_oracle_sql(
+    *, n_bits: int = 32, seed: int = 42, n_blocks: int = 4, max_hamming: int = 3
+) -> str:
+    """DuckDB replay of simhash_signatures(md5_32) + block-permutation
+    near-dup: token hash = first 8 md5 hex chars as int, bit b of the
+    signature = strict majority of token-hash bit b, candidate pairs =
+    equi-join on any of the n_blocks hash blocks, then exact hamming."""
+    width = n_bits // n_blocks
+    mask = (1 << width) - 1
+    bit_sums = ",\n                   ".join(
+        f"sum((h >> {b}) & 1) AS b{b}" for b in range(n_bits)
+    )
+    sh_expr = "\n                 + ".join(
+        f"(CASE WHEN 2 * b{b} > n THEN (1::BIGINT << {b}) ELSE 0::BIGINT END)"
+        for b in range(n_bits)
+    )
+    blocks = ", ".join(str(b) for b in range(n_blocks))
+    return f"""
+        WITH d AS (SELECT doc_id, {_TOKENS} AS toks FROM documents),
+        ex AS (SELECT doc_id, unnest(toks) AS t FROM d),
+        -- t = '' only arises from empty/whitespace text (spark's
+        -- tokenize returns [] there; exclude to match)
+        h AS (SELECT doc_id,
+                     ('0x' || substr(md5(t || ':{seed}'), 1, 8))::BIGINT AS h
+              FROM ex WHERE t <> ''),
+        sums AS (SELECT doc_id, count(*) AS n,
+                   {bit_sums}
+                 FROM h GROUP BY doc_id),
+        sh AS (SELECT doc_id,
+                   {sh_expr}
+               AS sh FROM sums),
+        blk AS (SELECT doc_id, sh, b, (sh >> (b * {width})) & {mask} AS key
+                FROM sh, (SELECT unnest([{blocks}]) AS b) bb),
+        cand AS (SELECT DISTINCT a.doc_id AS record_id_l, b.doc_id AS record_id_r,
+                        a.sh AS sh_l, b.sh AS sh_r
+                 FROM blk a JOIN blk b
+                   ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id)
+        SELECT record_id_l, record_id_r,
+               bit_count(xor(sh_l, sh_r))::BIGINT AS hamming
+        FROM cand WHERE bit_count(xor(sh_l, sh_r)) <= {max_hamming}
+    """
+
+
+def _minhash_oracle_sql(
+    *,
+    shingle_size: int = 2,
+    band_size: int = 2,
+    n_bands: int = 8,
+    seed: int = 42,
+    min_jaccard: float = 0.2,
+) -> str:
+    """DuckDB replay of minhash_near_duplicates(hasher='md5'): word
+    shingles → per-hash lexicographic-min md5 digest → '|'-joined band
+    keys → bucket self-join → exact shingle-set Jaccard filter."""
+    k = shingle_size
+    n_hashes = band_size * n_bands
+    mins = ",\n                   ".join(
+        f"min(md5(s || ':{seed + i}')) AS m{i}" for i in range(n_hashes)
+    )
+    bands_union = "\n              UNION ALL\n              ".join(
+        f"SELECT doc_id, {b} AS band, "
+        + " || '|' || ".join(f"m{b * band_size + j}" for j in range(band_size))
+        + " AS key FROM mins"
+        for b in range(n_bands)
+    )
+    jac = (
+        "CASE WHEN len(list_intersect(sl, sr)) = 0 THEN 0.0 "
+        "ELSE len(list_intersect(sl, sr))::DOUBLE "
+        "/ len(list_distinct(list_concat(sl, sr))) END"
+    )
+    return f"""
+        WITH d AS (
+          SELECT doc_id,
+                 string_split_regex(lower(trim(text)), '\\s+') AS toks
+          FROM documents
+        ),
+        sets AS (
+          SELECT doc_id,
+                 list_distinct(
+                   CASE WHEN len(toks) < {k}
+                        THEN [array_to_string(toks, ' ')]
+                        ELSE list_transform(
+                               range(1, len(toks) - {k} + 2),
+                               i -> array_to_string(toks[i:i + {k - 1}], ' '))
+                   END) AS sh
+          FROM d
+        ),
+        ex AS (SELECT doc_id, unnest(sh) AS s FROM sets),
+        mins AS (SELECT doc_id,
+                   {mins}
+                 FROM ex GROUP BY doc_id),
+        bands AS (
+              {bands_union}
+        ),
+        cand AS (SELECT DISTINCT a.doc_id AS l, b.doc_id AS r
+                 FROM bands a JOIN bands b
+                   ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+        j AS (SELECT c.l, c.r, sa.sh AS sl, sb.sh AS sr
+              FROM cand c
+              JOIN sets sa ON sa.doc_id = c.l
+              JOIN sets sb ON sb.doc_id = c.r),
+        jac AS (SELECT l, r, {jac} AS jaccard_sim FROM j)
+        SELECT l AS record_id_l, r AS record_id_r,
+               round(jaccard_sim, 6) AS jaccard_sim
+        FROM jac WHERE jaccard_sim >= {min_jaccard}
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     pair_block = """
         SELECT a.doc_id AS record_id_l, b.doc_id AS record_id_r,
@@ -556,7 +694,7 @@ def oracle_sql() -> dict[str, str]:
                                 AND a.doc_id < b.doc_id
             )
             SELECT record_id_l, record_id_r,
-                   list_sort(list(DISTINCT rule)) AS blocking_rules
+                   array_to_string(list_sort(list(DISTINCT rule)), ',') AS blocking_rules
             FROM raw GROUP BY record_id_l, record_id_r
         """,
         "with_n_links": """
@@ -608,7 +746,9 @@ def oracle_sql() -> dict[str, str]:
             ),
             agged AS (
               SELECT l, max(n_chars) AS neighbour_max_chars,
-                     list_sort(list(r)) AS neighbour_ids
+                     array_to_string(
+                       list_transform(list_sort(list(r)), x -> x::VARCHAR),
+                       ',') AS neighbour_ids
               FROM links GROUP BY l
             )
             SELECT d.doc_id AS record_id, a.neighbour_max_chars, a.neighbour_ids
@@ -889,7 +1029,14 @@ def oracle_sql() -> dict[str, str]:
                      / (SELECT count(*) FROM customer), 6) AS freq
             FROM customer
         """,
-        # minhash_lsh_block / simhash_pairs: engine-specific hashing →
-        # intentionally no oracle (rows-only check); semantics verified
-        # in tests/test_lsh.py and tests/test_dedupe_extras.py.
+        # md5-family variants make the full LSH / simhash pipelines
+        # engine-independent → complete oracles (the xxhash64 production
+        # family shares the identical plan; tests/test_lsh.py and
+        # tests/test_dedupe_extras.py verify its semantics)
+        "minhash_lsh_block": _minhash_oracle_sql(
+            shingle_size=2, band_size=2, n_bands=8, seed=42, min_jaccard=0.2
+        ),
+        "simhash_pairs": _simhash_oracle_sql(
+            n_bits=32, seed=42, n_blocks=4, max_hamming=3
+        ),
     }

@@ -129,7 +129,18 @@ def group_id(df: DataFrame, keys: Sequence[str], out: str = "group_id") -> DataF
         df.select(*keys).distinct()
         .withColumn(out, F.monotonically_increasing_id())
     )
-    return df.join(mapping, list(keys), "left")
+    # null-safe equality: the reference's dense_rank puts null keys in a
+    # real group (NULLS share a rank); a plain equi-join would never
+    # match them and leave group_id null
+    src = df.alias("__gsrc")
+    m = mapping.alias("__gmap")
+    cond = None
+    for k in keys:
+        c = F.col(f"__gsrc.{k}").eqNullSafe(F.col(f"__gmap.{k}"))
+        cond = c if cond is None else cond & c
+    return src.join(m, cond, "left").select(
+        *[F.col(f"__gsrc.{c}") for c in df.columns], F.col(f"__gmap.{out}")
+    )
 
 
 def n_naive_comparisons(n_left: int, n_right: int | None = None) -> int:

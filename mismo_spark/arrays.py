@@ -130,11 +130,16 @@ def array_filter_isin_other(
         .groupBy(rid)
         .agg(F.first(result_name).alias(result_name))
     )
+    # default for rows whose array had no survivors: empty array of the
+    # INPUT element type (reference supports arbitrary element types,
+    # mismo/arrays/_array.py:79-135 — a hardcoded array<string> would
+    # fail the coalesce on e.g. array<long> inputs)
+    arr_type = df.select(arr.alias("__t")).schema[0].dataType
     return (
         base.join(recollected, rid, "left")
         .withColumn(
             result_name,
-            F.coalesce(F.col(result_name), F.array().cast("array<string>")),
+            F.coalesce(F.col(result_name), F.array().cast(arr_type)),
         )
         .drop(rid)
     )

@@ -66,6 +66,7 @@ def minhash_near_duplicates(
     n_bands: int = 16,
     min_jaccard: float = 0.7,
     seed: int = 42,
+    hasher: str = "xxhash64",
 ) -> DataFrame:
     """Shingle → minhash → band → bucket-join near-dup detection.
 
@@ -79,7 +80,12 @@ def minhash_near_duplicates(
         ).alias("shingles"),
     )
     lk = MinhashLshLinker(
-        "shingles", band_size=band_size, n_bands=n_bands, seed=seed, task="dedupe"
+        "shingles",
+        band_size=band_size,
+        n_bands=n_bands,
+        seed=seed,
+        task="dedupe",
+        hasher=hasher,
     )(recs)
     pairs = Linkage(recs, recs, lk.links).links_with_both()
     return pairs.select(
@@ -99,11 +105,12 @@ def _word_shingles(text: Column, k: int) -> Column:
 
 
 def simhash(text: Column, *, n_bits: int = 64, seed: int = 42) -> Column:
-    """64-bit SimHash of the whitespace token set — pure column algebra:
-    per bit, sign of Σ_tokens (bit(xxhash64(tok)) ? +1 : −1).
+    """SimHash of the whitespace token set as a single column expression.
 
-    Expressed without explode: aggregate over the token array per bit
-    group via bit-counting on the token hashes."""
+    Convenience form for one-off use on small inputs: the per-bit
+    ``F.aggregate`` lambdas run on Spark's interpreted expression path.
+    At scale use :func:`simhash_signatures` (explode → groupBy, fully
+    whole-stage-codegen) — same output values."""
     toks = F.array_distinct(tokenize(F.lower(text)))
     hashes = F.transform(toks, lambda t: F.xxhash64(t, F.lit(seed)))
     def popcount_fn(bb: int):
@@ -123,6 +130,71 @@ def simhash(text: Column, *, n_bits: int = 64, seed: int = 42) -> Column:
     return F.when(F.size(toks) > 0, out)
 
 
+def _token_hash(tok: Column, *, hasher: str, seed: int) -> Column:
+    """Per-token integer hash for sketching.
+
+    ``xxhash64`` (default): JVM builtin, full 64 bits, fastest.
+    ``md5_32``: lower 32 bits parsed from the md5 hex digest — slower,
+    but byte-identical to ``('0x'||substr(md5(t||':seed'),1,8))::BIGINT``
+    in ANSI SQL engines, so results are independently verifiable by the
+    DuckDB oracle harness."""
+    if hasher == "xxhash64":
+        return F.xxhash64(tok, F.lit(seed))
+    if hasher == "md5_32":
+        return F.conv(
+            F.substring(F.md5(F.concat(tok, F.lit(f":{seed}"))), 1, 8), 16, 10
+        ).cast("long")
+    raise ValueError(f"unknown hasher {hasher!r}")
+
+
+def simhash_signatures(
+    df: DataFrame,
+    text_column: str = "text",
+    *,
+    id_column: str = "record_id",
+    n_bits: int = 64,
+    seed: int = 42,
+    hasher: str = "xxhash64",
+) -> DataFrame:
+    """→ (record_id, sh): SimHash per record via explode → groupBy.
+
+    The scale path: explode the distinct token set, hash each token once
+    (8-byte long), then ONE hash aggregation with ``n_bits`` conditional
+    sums — every operator (explode, hash-of-string, sum, comparison) is
+    whole-stage codegen, and map-side partial aggregation collapses each
+    record's tokens before the shuffle, so shuffle volume is
+    |records|·n_bits·8B regardless of document length.  Records with an
+    empty/null token set produce no row (they cannot near-dup).
+
+    Same bit definition as :func:`simhash`: bit b set iff the majority
+    of token hashes have bit b set (strict majority, ties → 0).
+    """
+    if n_bits < 1 or n_bits > 64:
+        raise ValueError(f"n_bits must be in [1, 64], got {n_bits}")
+    toks = F.array_distinct(tokenize(F.lower(F.col(text_column))))
+    ex = df.select(
+        F.col(id_column).alias("record_id"), F.explode(toks).alias("__t")
+    ).select(
+        "record_id", _token_hash(F.col("__t"), hasher=hasher, seed=seed).alias("__h")
+    )
+    sums = ex.groupBy("record_id").agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[
+            F.sum(
+                F.shiftrightunsigned(F.col("__h"), b).bitwiseAND(F.lit(1))
+            ).alias(f"__b{b}")
+            for b in range(n_bits)
+        ],
+    )
+    sh = None
+    for b in range(n_bits):
+        bit = F.shiftleft(
+            (F.col(f"__b{b}") * 2 > F.col("__n")).cast("long"), b
+        )
+        sh = bit if sh is None else sh.bitwiseOR(bit)
+    return sums.select("record_id", sh.alias("sh"))
+
+
 def hamming64(a: Column, b: Column) -> Column:
     """Hamming distance of two int64 simhashes (bit_count of xor)."""
     return F.bit_count(a.bitwiseXOR(b))
@@ -134,19 +206,37 @@ def simhash_near_duplicates(
     *,
     id_column: str = "record_id",
     max_hamming: int = 3,
-    n_blocks: int = 4,
+    n_blocks: int | None = None,
+    n_bits: int = 64,
     seed: int = 42,
+    hasher: str = "xxhash64",
 ) -> DataFrame:
     """SimHash near-dup with the standard block-permutation trick: split
-    the 64-bit hash into ``n_blocks`` blocks; any pair within
+    the ``n_bits`` hash into ``n_blocks`` blocks; any pair within
     ``max_hamming ≤ n_blocks − 1`` bits shares at least one exact block
     (pigeonhole) → equi-join per block, union, exact hamming filter.
-    No cross join anywhere."""
-    recs = df.select(
-        F.col(id_column).alias("record_id"),
-        simhash(F.col(text_column), seed=seed).alias("sh"),
-    ).filter(F.col("sh").isNotNull())
-    width = 64 // n_blocks
+    No cross join anywhere.
+
+    ``n_blocks`` defaults to ``max_hamming + 1`` — the smallest block
+    count with a completeness guarantee.  Passing a smaller value raises:
+    it would silently miss pairs whose differing bits land in every
+    block, making the result NOT "all pairs within max_hamming" as the
+    API promises."""
+    if n_blocks is None:
+        n_blocks = max_hamming + 1
+    if max_hamming > n_blocks - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs n_blocks >= {max_hamming + 1} "
+            f"(got {n_blocks}): with k blocks the pigeonhole guarantee only "
+            "covers pairs differing in <= k-1 bits; beyond that pairs are "
+            "silently missed. Pass a larger n_blocks (or omit it)."
+        )
+    if n_bits % n_blocks != 0:
+        raise ValueError(f"n_bits={n_bits} not divisible by n_blocks={n_blocks}")
+    recs = simhash_signatures(
+        df, text_column, id_column=id_column, n_bits=n_bits, seed=seed, hasher=hasher
+    )
+    width = n_bits // n_blocks
     parts = []
     for blk in range(n_blocks):
         key = F.shiftrightunsigned(F.col("sh"), blk * width).bitwiseAND(
@@ -166,7 +256,9 @@ def simhash_near_duplicates(
 
     cands = reduce(DataFrame.unionByName, parts).dropDuplicates([ID_L, ID_R])
     return cands.select(
-        ID_L, ID_R, hamming64(F.col("sh_l"), F.col("sh_r")).alias("hamming")
+        ID_L,
+        ID_R,
+        hamming64(F.col("sh_l"), F.col("sh_r")).cast("long").alias("hamming"),
     ).filter(F.col("hamming") <= max_hamming)
 
 

@@ -63,20 +63,54 @@ class MinhashLshLinker:
         n_bands: int = 20,
         seed: int = 42,
         task: str | None = None,
+        hasher: str = "xxhash64",
     ) -> None:
+        """``hasher``: ``"xxhash64"`` (default, JVM builtin, fastest) or
+        ``"md5"`` — minhash over the lexicographic order of md5 hex
+        digests ``md5(term || ':' || hash_index)``.  md5 is slower but
+        byte-identical to ANSI-SQL ``md5()``, so md5-mode blocking is
+        independently verifiable by the DuckDB oracle harness (the
+        minhash property only needs a uniform hash order; lexicographic
+        order on hex digests qualifies)."""
+        if hasher not in ("xxhash64", "md5"):
+            raise ValueError(f"unknown hasher {hasher!r}")
         self.terms_column = terms_column
         self.band_size = band_size
         self.n_bands = n_bands
         self.seed = seed
         self.task = task
+        self.hasher = hasher
+
+    def _hash(self, term: Column, i: int) -> Column:
+        if self.hasher == "xxhash64":
+            return F.xxhash64(term, F.lit(self.seed + i))
+        return F.md5(F.concat(term, F.lit(f":{self.seed + i}")))
 
     def keys_for(self, df: DataFrame) -> Column:
-        return minhash_lsh_keys(
-            bind_one(df, self.terms_column),
-            band_size=self.band_size,
-            n_bands=self.n_bands,
-            seed=self.seed,
-        )
+        terms = bind_one(df, self.terms_column)
+        if self.hasher == "xxhash64":
+            return minhash_lsh_keys(
+                terms,
+                band_size=self.band_size,
+                n_bands=self.n_bands,
+                seed=self.seed,
+            )
+        # md5 mode: band key = '|'-joined per-hash minima (array<string>)
+        band_keys = []
+        for b in range(self.n_bands):
+            mins = [
+                F.array_min(
+                    F.transform(
+                        terms,
+                        (lambda idx: lambda t: self._hash(t, idx))(
+                            b * self.band_size + j
+                        ),
+                    )
+                )
+                for j in range(self.band_size)
+            ]
+            band_keys.append(F.concat_ws("|", *mins))
+        return F.when(F.size(terms) > 0, F.array(*band_keys))
 
     def _banded(self, df: DataFrame) -> DataFrame:
         """(record_id, __band, __key) via explode → groupBy-min.
@@ -96,17 +130,32 @@ class MinhashLshLinker:
         )
         mins = ex.groupBy("record_id").agg(
             *[
-                F.min(F.xxhash64("__t", F.lit(self.seed + i))).alias(f"__m{i}")
+                F.min(self._hash(F.col("__t"), i)).alias(f"__m{i}")
                 for i in range(n_hashes)
             ]
         )
-        bands = [
-            F.xxhash64(
-                *[F.col(f"__m{b * self.band_size + j}") for j in range(self.band_size)],
-                F.lit(b),
-            )
-            for b in range(self.n_bands)
-        ]
+        if self.hasher == "xxhash64":
+            bands = [
+                F.xxhash64(
+                    *[
+                        F.col(f"__m{b * self.band_size + j}")
+                        for j in range(self.band_size)
+                    ],
+                    F.lit(b),
+                )
+                for b in range(self.n_bands)
+            ]
+        else:
+            bands = [
+                F.concat_ws(
+                    "|",
+                    *[
+                        F.col(f"__m{b * self.band_size + j}")
+                        for j in range(self.band_size)
+                    ],
+                )
+                for b in range(self.n_bands)
+            ]
         return mins.select(
             "record_id", F.posexplode(F.array(*bands)).alias("__band", "__key")
         )

@@ -222,16 +222,46 @@ class DedupePipeline:
             }
         )
 
-    def run(self, spark: SparkSession, pages: DataFrame) -> DataFrame:
-        """→ DataFrame(record_id, component)."""
-        records = self._stage(
-            spark, "01_records", "v1", lambda: self.prepare_records(pages)
+    def _comparers_fingerprint(self) -> str:
+        """Config identity of the comparer set: names + level names.
+        (Level predicates are lambdas — not hashable — so a *code*
+        change inside a predicate still needs a fresh work_dir; every
+        *configuration* change is covered.)"""
+        return ";".join(
+            f"{c.name}({','.join(c.level_names)})" for c in self.comparers
         )
 
+    @staticmethod
+    def _fp(*parts) -> str:
+        """Chained stage fingerprint: downstream stages hash their
+        upstream stage's fingerprint plus every parameter that feeds
+        them, so changing e.g. the LSH seed invalidates 02_links AND
+        everything built from it (a stale 03_compared parquet from the
+        old links would be silently wrong)."""
+        import hashlib
+
+        h = hashlib.sha256("|".join(str(p) for p in parts).encode())
+        return h.hexdigest()[:16]
+
+    def run(self, spark: SparkSession, pages: DataFrame) -> DataFrame:
+        """→ DataFrame(record_id, component)."""
+        fp_records = self._fp("records", "v2")
+        records = self._stage(
+            spark, "01_records", fp_records, lambda: self.prepare_records(pages)
+        )
+
+        fp_links = self._fp(
+            fp_records,
+            "links",
+            self.lsh_band_size,
+            self.lsh_n_bands,
+            self.seed,
+            self.max_pairs_per_key,
+        )
         links = self._stage(
             spark,
             "02_links",
-            f"v1:lsh{self.lsh_band_size}x{self.lsh_n_bands}:s{self.seed}",
+            fp_links,
             lambda: self.blocker()(records, records).links,
         )
 
@@ -247,24 +277,49 @@ class DedupePipeline:
                 ID_L, ID_R, *[c.name for c in self.comparers]
             )
 
-        compared = self._stage(spark, "03_compared", "v1", _compared)
+        fp_compared = self._fp(fp_links, "compared", self._comparers_fingerprint())
+        compared = self._stage(spark, "03_compared", fp_compared, _compared)
 
         if self.weights is None:
-            self.weights = self._train_weights(compared)
-            if self.checkpoint:
-                self.weights.to_json(os.path.join(self.work_dir, "weights.json"))
+            fp_weights = self._fp(
+                fp_compared, "weights", self.em_max_pairs, self.seed
+            )
+            wpath = os.path.join(self.work_dir, "weights.json")
+            manifest = self._load_manifest() if self.checkpoint else {"stages": {}}
+            entry = manifest["stages"].get("weights")
+            if (
+                self.checkpoint
+                and entry
+                and entry.get("fingerprint") == fp_weights
+                and os.path.exists(wpath)
+            ):
+                self.weights = Weights.from_json(wpath)
+            else:
+                self.weights = self._train_weights(compared)
+                if self.checkpoint:
+                    self.weights.to_json(wpath)
+                    manifest = self._load_manifest()
+                    manifest["stages"]["weights"] = {
+                        "fingerprint": fp_weights,
+                        "path": wpath,
+                    }
+                    self._save_manifest(manifest)
 
+        fp_scored = self._fp(
+            fp_compared, "scored", self.weights.to_json(), self.em_max_pairs
+        )
         def _scored():
             return self.weights.score_compared(compared).select(
                 ID_L, ID_R, "odds"
             )
 
-        scored = self._stage(spark, "04_scored", "v1", _scored)
+        scored = self._stage(spark, "04_scored", fp_scored, _scored)
 
+        fp_matches = self._fp(fp_scored, "matches", self.threshold_odds)
         matches = self._stage(
             spark,
             "05_matches",
-            f"v1:thr{self.threshold_odds}",
+            fp_matches,
             lambda: scored.filter(F.col("odds") >= self.threshold_odds).select(ID_L, ID_R),
         )
 
@@ -272,7 +327,7 @@ class DedupePipeline:
         components = self._stage(
             spark,
             "06_components",
-            f"v1:{self.cc_algorithm}",
+            self._fp(fp_matches, "components", self.cc_algorithm),
             lambda: connected_components(
                 matches,
                 records.select("record_id"),
@@ -293,10 +348,21 @@ class DedupePipeline:
         """
         from pyspark.storagelevel import StorageLevel
 
+        from mismo_spark._util import sample_table
         from mismo_spark.fs.em import _initial_weights, _weights_from_histogram
 
         dims = [c.name for c in self.comparers]
-        sample = compared.select(*dims).persist(StorageLevel.MEMORY_AND_DISK)
+        # EM converges on a bounded sample; 5 full passes over the whole
+        # pair table would scale with corpus size for no accuracy gain
+        # (the reference's guidance: 1e7 pairs "often adequate",
+        # mismo/fs/_train.py:60-71).  Sample BEFORE projecting to dims so
+        # the hash includes the pair ids → deterministic despite the
+        # dim columns' massive value ties.
+        sample = (
+            sample_table(compared, self.em_max_pairs, seed=self.seed)
+            .select(*dims)
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
         try:
             weights = _initial_weights(self.comparers, sample)
             for _ in range(5):
