@@ -449,6 +449,68 @@ def q_email_match_level(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_GIVENS = [
+    "WILLIAM", "ROBERT", "RICHARD", "MARGARET", "ELIZABETH",
+    "JAMES", "JOHN", "KATHERINE", "MICHAEL",
+]
+_SURNAMES = ["SMITH", "JOHNSON", "WILLIAMS", "BROWN", "JONES", "GARCIA", "MILLER"]
+_NICK_OF = {
+    "WILLIAM": "BILL", "ROBERT": "BOB", "RICHARD": "DICK",
+    "MARGARET": "PEGGY", "ELIZABETH": "BETH", "JAMES": "JIM",
+    "JOHN": "JACK", "KATHERINE": "KATE", "MICHAEL": "MIKE",
+}
+
+
+def q_name_match_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NameComparer levels (mismo/lib/name/_compare.py:53-129) on
+    deterministic name mutations: per customer key, the right-side name
+    is EXACT / prefix-only-diff / nickname / typo / initial / different /
+    null — exercising every level incl. the reference's TYPO-before-
+    INITIALS case order."""
+    from mismo_spark.lib.name import name_match_level
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    k = F.col("c_custkey")
+    giv = F.element_at(F.array(*[F.lit(g) for g in _GIVENS]), (k % 9 + 1).cast("int"))
+    sur = F.element_at(
+        F.array(*[F.lit(s) for s in _SURNAMES]), (k % 7 + 1).cast("int")
+    )
+    giv2_alt = F.element_at(
+        F.array(*[F.lit(g) for g in _GIVENS]), ((k + 4) % 9 + 1).cast("int")
+    )
+    m = k % 7
+    nick = giv
+    for canon, n in _NICK_OF.items():
+        nick = F.when(giv == canon, F.lit(n)).otherwise(nick)
+    g2 = (
+        F.when(m == 2, nick)
+        .when(m == 3, F.concat(F.substring(giv, 1, 1), F.substring(giv, 3, 50)))
+        .when(m == 4, F.substring(giv, 1, 1))
+        .when(m == 5, giv2_alt)
+        .when(m == 6, F.lit(None).cast("string"))
+        .otherwise(giv)
+    )
+    p2 = F.when(m == 1, F.lit("MR")).otherwise(F.lit(""))
+    empty = F.lit("")
+    name_l = F.struct(
+        empty.alias("prefix"), giv.alias("given"), empty.alias("middle"),
+        sur.alias("surname"), empty.alias("suffix"), empty.alias("nickname"),
+    )
+    name_r = F.struct(
+        p2.alias("prefix"), g2.alias("given"), empty.alias("middle"),
+        sur.alias("surname"), empty.alias("suffix"), empty.alias("nickname"),
+    )
+    pairs = cust.select(
+        "c_custkey", name_l.alias("name_l"), name_r.alias("name_r")
+    )
+    return pairs.select(
+        "c_custkey",
+        name_match_level(F.col("name_l"), F.col("name_r"))
+        .cast("long")
+        .alias("name_level"),
+    )
+
+
 def q_haversine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """haversine distance_km (mismo/lib/geo/_latlon.py:16-57) on
     synthesized coordinates."""
@@ -528,6 +590,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_block": q_minhash_lsh_block,
         "simhash_pairs": q_simhash_pairs,
         "clean_phone": q_clean_phone,
+        "name_match_level": q_name_match_level,
         "email_match_level": q_email_match_level,
         "haversine": q_haversine,
         "diff_updates": q_diff_updates,
@@ -652,6 +715,64 @@ def _minhash_oracle_sql(
         SELECT l AS record_id_l, r AS record_id_r,
                round(jaccard_sim, 6) AS jaccard_sim
         FROM jac WHERE jaccard_sim >= {min_jaccard}
+    """
+
+
+def _name_level_oracle_sql() -> str:
+    """DuckDB replay of q_name_match_level: same deterministic name
+    synthesis, then the NameMatchLevel CASE in the reference's order
+    (NULL, EXACT, GIVEN_SURNAME, NICKNAMES, TYPO, INITIALS, ELSE —
+    mismo/lib/name/_compare.py:72-107)."""
+    from mismo_spark.lib.name import _NICKNAME_PAIRS
+
+    givens = ", ".join(f"'{g}'" for g in _GIVENS)
+    surnames = ", ".join(f"'{s}'" for s in _SURNAMES)
+    nick_case = " ".join(
+        f"WHEN '{c}' THEN '{n}'" for c, n in _NICK_OF.items()
+    )
+    alias_lits = sorted(
+        {f"'{a.lower()}#{b.lower()}'" for a, b in _NICKNAME_PAIRS}
+        | {f"'{b.lower()}#{a.lower()}'" for a, b in _NICKNAME_PAIRS}
+    )
+    aliases = ", ".join(alias_lits)
+    return f"""
+        WITH base AS (
+          SELECT c_custkey,
+                 ([{givens}])[(c_custkey % 9) + 1] AS g,
+                 ([{surnames}])[(c_custkey % 7) + 1] AS s,
+                 ([{givens}])[((c_custkey + 4) % 9) + 1] AS galt,
+                 c_custkey % 7 AS m
+          FROM customer
+        ),
+        rhs AS (
+          SELECT c_custkey, g, s,
+                 CASE m
+                   WHEN 2 THEN CASE g {nick_case} ELSE g END
+                   WHEN 3 THEN substr(g, 1, 1) || substr(g, 3)
+                   WHEN 4 THEN substr(g, 1, 1)
+                   WHEN 5 THEN galt
+                   WHEN 6 THEN NULL
+                   ELSE g END AS g2,
+                 CASE WHEN m = 1 THEN 'MR' ELSE '' END AS p2
+          FROM base
+        )
+        SELECT c_custkey,
+          CASE
+            WHEN g IS NULL OR s IS NULL OR g2 IS NULL THEN 0
+            -- all non-given fields are '' on both sides except prefix
+            WHEN p2 = '' AND g = g2 THEN 1
+            WHEN g = g2 THEN 2
+            WHEN (lower(trim(g)) || '#' || lower(trim(g2))) IN ({aliases})
+                 OR lower(trim(g)) = lower(trim(g2)) THEN 3
+            WHEN damerau_levenshtein(g, g2) <= 1
+                 OR (damerau_levenshtein(g, g2) <= 2 AND length(g) > 5)
+                 OR (contains(g, g2) AND length(g2) >= 3)
+                 OR (contains(g2, g) AND length(g) >= 3) THEN 5
+            WHEN substr(g, 1, 1) = substr(g2, 1, 1)
+                 AND (length(g) = 1 OR length(g2) = 1) THEN 4
+            ELSE 6
+          END::BIGINT AS name_level
+        FROM rhs
     """
 
 
@@ -1033,6 +1154,7 @@ def oracle_sql() -> dict[str, str]:
         # engine-independent → complete oracles (the xxhash64 production
         # family shares the identical plan; tests/test_lsh.py and
         # tests/test_dedupe_extras.py verify its semantics)
+        "name_match_level": _name_level_oracle_sql(),
         "minhash_lsh_block": _minhash_oracle_sql(
             shingle_size=2, band_size=2, n_bands=8, seed=42, min_jaccard=0.2
         ),

@@ -56,7 +56,7 @@ def main() -> None:
     n_pages = pages.count()
     extras["corpus_pages"] = n_pages
 
-    from mismo_spark.pipeline import DedupePipeline
+    from mismo_spark.pipeline import DedupePipeline, pair_features
     from mismo_spark.types.linkage import Linkage
     from mismo_spark.compare.enum import compare
 
@@ -80,7 +80,7 @@ def main() -> None:
         "record_id", "path", "prefix", "text_fp", "tok_hashes", "shingle_hashes"
     )
     pairs = Linkage(narrow, narrow, links).links_with_both()
-    compared = compare(pairs, pipe.comparers).select(
+    compared = compare(pair_features(pairs), pipe.comparers).select(
         "record_id_l", "record_id_r", *[c.name for c in pipe.comparers]
     )
     compared.persist()

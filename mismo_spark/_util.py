@@ -100,6 +100,19 @@ def sample_table(df: DataFrame, n: int, *, method: str = "hash", seed: int = 42)
     if method == "hash":
         h = F.xxhash64(*[F.col(c) for c in df.columns], F.lit(seed))
         return df.orderBy(h).limit(n)
+    if method == "hash_filter":
+        # exact top-k by hash ("hash") single-threads the TakeOrdered
+        # merge when n is large; this variant is a hash-threshold FILTER
+        # — same deterministic pseudo-random subset idea with a plain
+        # scan (no sort), at the cost of approximate (±binomial) size.
+        # The method of choice for large-n samples (e.g. EM training).
+        total = df.count()
+        if total <= n:
+            return df
+        h = F.xxhash64(*[F.col(c) for c in df.columns], F.lit(seed))
+        # map hash to [0, 1) uniformly; keep ≈ n/total of rows
+        u = (h.cast("double") / F.lit(float(2**64))) + F.lit(0.5)
+        return df.filter(u < F.lit(n / total))
     if method == "row":
         frac = min(1.0, n / max(df.count(), 1))
         return df.sample(fraction=frac, seed=seed)

@@ -1,11 +1,14 @@
 """Person-name normalization and comparison helpers.
 
-Semantics of mismo/lib/name/_clean.py:11-79 and
+Semantics of mismo/lib/name/_clean.py:11-79,
 mismo/lib/name/_nicknames.py:68-125 (nickname data reduced to a small
-built-in sample; real deployments would broadcast a full table).
+built-in sample; real deployments would broadcast a full table), and
+mismo/lib/name/_compare.py:12-155 (NameMatchLevel / NameComparer).
 """
 
 from __future__ import annotations
+
+from enum import IntEnum
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -90,3 +93,147 @@ def with_nickname_match(
     return joined.withColumn(out, F.coalesce(F.col("__hit"), F.lit(False))).drop(
         "canonical", "nick", "__hit", "__na", "__nb"
     )
+
+
+# ---------------------------------------------------------------------------
+# NameMatchLevel / NameComparer (mismo/lib/name/_compare.py:12-155)
+# ---------------------------------------------------------------------------
+
+
+class NameMatchLevel(IntEnum):
+    """How closely two names match (mismo/lib/name/_compare.py:53-69)."""
+
+    NULL = 0
+    EXACT = 1
+    GIVEN_SURNAME = 2
+    NICKNAMES = 3
+    INITIALS = 4
+    TYPO = 5
+    ELSE = 6
+
+
+NAME_FIELDS = ("prefix", "given", "middle", "surname", "suffix", "nickname")
+
+
+def are_aliases(a: Column, b: Column, *, pairs: list[tuple[str, str]] | None = None) -> Column:
+    """True when the two names are nickname-interchangeable (either
+    direction) or equal; case-insensitive, ends-trimmed
+    (mismo/lib/name/_compare.py's are_aliases via
+    mismo/lib/name/_nicknames.py:21-84).
+
+    The nickname data is a broadcast-sized literal set, so this stays a
+    pure column expression (``isin`` over literals — same shape as the
+    reference's ``needle.isin(memtable column)``)."""
+    if pairs is None:
+        pairs = _NICKNAME_PAIRS
+    an = F.lower(F.trim(a))
+    bn = F.lower(F.trim(b))
+    needle = F.concat_ws("\x1f", an, bn)
+    lits = sorted(
+        {f"{x.lower()}\x1f{y.lower()}" for x, y in pairs}
+        | {f"{y.lower()}\x1f{x.lower()}" for x, y in pairs}
+    )
+    return needle.isin(*lits) | (an == bn)
+
+
+def initials_equal(a: Column, b: Column) -> Column:
+    """First letter matches and at least one side is a single letter
+    (mismo/lib/name/_compare.py:22-29)."""
+    return (F.substring(a, 1, 1) == F.substring(b, 1, 1)) & (
+        (F.length(a) == 1) | (F.length(b) == 1)
+    )
+
+
+def _substring_match(a: Column, b: Column, *, min_len: int = 3) -> Column:
+    """Shorter string contained in longer, and at least min_len
+    (mismo/lib/name/_compare.py:43-50)."""
+    return (F.contains(a, b) & (F.length(b) >= min_len)) | (
+        F.contains(b, a) & (F.length(a) >= min_len)
+    )
+
+
+def equal_forgiving_typo(a: Column, b: Column) -> Column:
+    """Edit distance ≤ 1, or ≤ 2 for longer-than-5 strings, or substring
+    containment (mismo/lib/name/_compare.py:32-40)."""
+    from mismo_spark.text.similarity import damerau_levenshtein
+
+    dl = damerau_levenshtein(a, b)
+    return (dl <= 1) | ((dl <= 2) & (F.length(a) > 5)) | _substring_match(a, b)
+
+
+def name_match_level(
+    left: Column,
+    right: Column,
+    *,
+    nickname_pairs: list[tuple[str, str]] | None = None,
+) -> Column:
+    """Agreement level of two name structs
+    (struct<prefix,given,middle,surname,suffix,nickname>), assumed
+    already normalized.  First-match-wins CASE mirroring the
+    reference's order exactly — note TYPO is checked BEFORE INITIALS
+    despite the enum values (mismo/lib/name/_compare.py:72-107)."""
+    from mismo_spark._util import cases
+    from mismo_spark.structs import struct_equal, struct_isnull
+
+    surname_eq = left["surname"] == right["surname"]
+    return cases(
+        [
+            (
+                struct_isnull(left, ["given", "surname"], how="any")
+                | struct_isnull(right, ["given", "surname"], how="any"),
+                F.lit(int(NameMatchLevel.NULL)),
+            ),
+            (
+                struct_equal(left, right, NAME_FIELDS),
+                F.lit(int(NameMatchLevel.EXACT)),
+            ),
+            (
+                struct_equal(left, right, ["given", "surname"]),
+                F.lit(int(NameMatchLevel.GIVEN_SURNAME)),
+            ),
+            (
+                are_aliases(left["given"], right["given"], pairs=nickname_pairs)
+                & surname_eq,
+                F.lit(int(NameMatchLevel.NICKNAMES)),
+            ),
+            (
+                equal_forgiving_typo(left["given"], right["given"]) & surname_eq,
+                F.lit(int(NameMatchLevel.TYPO)),
+            ),
+            (
+                initials_equal(left["given"], right["given"]) & surname_eq,
+                F.lit(int(NameMatchLevel.INITIALS)),
+            ),
+        ],
+        else_=F.lit(int(NameMatchLevel.ELSE)),
+    )
+
+
+class NameComparer:
+    """Compare name structs on a pairs table
+    (mismo/lib/name/_compare.py:110-155)."""
+
+    Levels = NameMatchLevel
+
+    def __init__(
+        self,
+        left_column: str = "name_l",
+        right_column: str = "name_r",
+        *,
+        result_column: str | None = None,
+        nickname_pairs: list[tuple[str, str]] | None = None,
+    ) -> None:
+        self.left_column = left_column
+        self.right_column = right_column
+        self.name = result_column or f"{left_column}_vs_{right_column}"
+        self.nickname_pairs = nickname_pairs
+
+    def __call__(self, pairs: DataFrame) -> DataFrame:
+        return pairs.withColumn(
+            self.name,
+            name_match_level(
+                pairs[self.left_column],
+                pairs[self.right_column],
+                nickname_pairs=self.nickname_pairs,
+            ),
+        )

@@ -45,46 +45,67 @@ def normalized_domain(url_col) -> F.Column:
     return host
 
 
+def pair_features(pairs: DataFrame) -> DataFrame:
+    """Compute each pairwise similarity ONCE as a feature column.
+
+    Critical plan shape: an EnumComparer level that calls e.g.
+    ``jw(df) >= 0.93`` per level would evaluate the similarity
+    expression per THRESHOLD — Catalyst does not reliably CSE repeated
+    expressions across ``when`` branches, and repeated pandas-UDF calls
+    each get their own ArrowEvalPython node (a full extra
+    Python+Arrow round-trip over every row).  Deriving the features
+    first means one JVM projection + exactly one Arrow pass, and the
+    comparer CASEs become trivial column thresholds."""
+    return pairs.select(
+        ID_L,
+        ID_R,
+        (F.col("text_fp_l") == F.col("text_fp_r")).alias("fp_eq"),
+        jaccard(F.col("tok_hashes_l"), F.col("tok_hashes_r")).alias("tok_jac"),
+        jaccard(F.col("shingle_hashes_l"), F.col("shingle_hashes_r")).alias(
+            "shingle_jac"
+        ),
+        levenshtein_ratio(F.col("prefix_l"), F.col("prefix_r")).alias("prefix_lev"),
+        jaro_winkler_similarity(F.col("path_l"), F.col("path_r")).alias("path_jw"),
+    )
+
+
 def default_comparers() -> list[EnumComparer]:
     """Comparison dimensions for web pages: token-set Jaccard of text,
     word-shingle Jaccard (order-sensitive signal, near-zero across
     entities), Levenshtein ratio of a lowercased text prefix, and
     Jaro-Winkler of the url path (the north star's JW / Levenshtein /
-    token-set Jaccard trio)."""
-    jac = lambda df: jaccard(df["tok_hashes_l"], df["tok_hashes_r"])  # noqa: E731
-    sjac = lambda df: jaccard(df["shingle_hashes_l"], df["shingle_hashes_r"])  # noqa: E731
-    lev = lambda df: levenshtein_ratio(df["prefix_l"], df["prefix_r"])  # noqa: E731
-    jw = lambda df: jaro_winkler_similarity(df["path_l"], df["path_r"])  # noqa: E731
+    token-set Jaccard trio).  Thresholds read the ``pair_features``
+    columns — each similarity is computed once, upstream."""
     return [
         EnumComparer(
             "text_jaccard",
             [
-                ("exact", lambda df: df["text_fp_l"] == df["text_fp_r"]),
-                ("very_close", lambda df: jac(df) >= 0.9),
-                ("close", lambda df: jac(df) >= 0.7),
-                ("weak", lambda df: jac(df) >= 0.4),
+                ("exact", lambda df: df["fp_eq"]),
+                ("very_close", lambda df: df["tok_jac"] >= 0.9),
+                ("close", lambda df: df["tok_jac"] >= 0.7),
+                ("weak", lambda df: df["tok_jac"] >= 0.4),
             ],
         ),
         EnumComparer(
             "shingle_jaccard",
             [
-                ("high", lambda df: sjac(df) >= 0.55),
-                ("mid", lambda df: sjac(df) >= 0.3),
-                ("low", lambda df: sjac(df) >= 0.12),
+                ("high", lambda df: df["shingle_jac"] >= 0.55),
+                ("mid", lambda df: df["shingle_jac"] >= 0.3),
+                ("low", lambda df: df["shingle_jac"] >= 0.12),
             ],
         ),
         EnumComparer(
             "text_prefix_lev",
             [
-                ("close", lambda df: lev(df) >= 0.9),
-                ("mid", lambda df: lev(df) >= 0.7),
+                ("close", lambda df: df["prefix_lev"] >= 0.9),
+                ("mid", lambda df: df["prefix_lev"] >= 0.7),
             ],
         ),
         EnumComparer(
             "url_path_jw",
             [
-                ("close", lambda df: jw(df) >= 0.93),
-                ("mid", lambda df: jw(df) >= 0.85),
+                ("close", lambda df: df["path_jw"] >= 0.93),
+                ("mid", lambda df: df["path_jw"] >= 0.85),
             ],
         ),
     ]
@@ -273,11 +294,13 @@ class DedupePipeline:
                 "record_id", "path", "prefix", "text_fp", "tok_hashes", "shingle_hashes"
             )
             pairs = Linkage(narrow, narrow, links).links_with_both()
-            return compare(pairs, self.comparers).select(
+            return compare(pair_features(pairs), self.comparers).select(
                 ID_L, ID_R, *[c.name for c in self.comparers]
             )
 
-        fp_compared = self._fp(fp_links, "compared", self._comparers_fingerprint())
+        fp_compared = self._fp(
+            fp_links, "compared", "v2", self._comparers_fingerprint()
+        )
         compared = self._stage(spark, "03_compared", fp_compared, _compared)
 
         if self.weights is None:
@@ -359,7 +382,9 @@ class DedupePipeline:
         # the hash includes the pair ids → deterministic despite the
         # dim columns' massive value ties.
         sample = (
-            sample_table(compared, self.em_max_pairs, seed=self.seed)
+            sample_table(
+                compared, self.em_max_pairs, seed=self.seed, method="hash_filter"
+            )
             .select(*dims)
             .persist(StorageLevel.MEMORY_AND_DISK)
         )

@@ -123,19 +123,77 @@ def _pairwise(a: pd.Series, b: pd.Series, fn, null=np.nan) -> pd.Series:
     return pd.Series(out)
 
 
+# -- batched execution: in-UDF unique-pair dedup -------------------------
+#
+# Real pair tables repeat string pairs heavily (URL paths within a
+# domain, truncated prefixes), so each Arrow batch first collapses to
+# its DISTINCT (a, b) pairs and computes the kernel once per unique
+# pair — no extra shuffle, the dedup lives entirely inside the UDF.
+# (A numpy codepoint-matrix vectorization of the Jaro matching loop was
+# benchmarked and LOST to the scalar kernel — the greedy window scan
+# can't be pruned per-row, so padded whole-batch ops do strictly more
+# character work, 2× slower on uniform batches and unboundedly worse
+# with one long outlier.  Keep the scalar kernel; dedup is the lever.)
+
+
+def _apply_unique(a: pd.Series, b: pd.Series, batch_fn) -> pd.Series:
+    av = a.to_numpy(dtype=object)
+    bv = b.to_numpy(dtype=object)
+    out = np.full(len(av), np.nan, dtype=np.float64)
+    valid = np.fromiter(
+        (x is not None and y is not None for x, y in zip(av, bv)),
+        dtype=bool,
+        count=len(av),
+    )
+    if not valid.any():
+        return pd.Series(out)
+    ka, kb = av[valid], bv[valid]
+    keys = np.fromiter(
+        (x + "\x00" + y for x, y in zip(ka, kb)), dtype=object, count=len(ka)
+    )
+    _, first, inverse = np.unique(keys, return_index=True, return_inverse=True)
+    res_u = batch_fn(ka[first], kb[first])
+    out[valid] = res_u[inverse]
+    return pd.Series(out)
+
+
+def _jaro_batch(a_strs: np.ndarray, b_strs: np.ndarray) -> np.ndarray:
+    return np.fromiter(
+        (_jaro(x, y) for x, y in zip(a_strs, b_strs)),
+        dtype=np.float64,
+        count=len(a_strs),
+    )
+
+
+def _jw_batch(a_strs: np.ndarray, b_strs: np.ndarray) -> np.ndarray:
+    return np.fromiter(
+        (_jaro_winkler(x, y) for x, y in zip(a_strs, b_strs)),
+        dtype=np.float64,
+        count=len(a_strs),
+    )
+
+
 @F.pandas_udf(DoubleType())
 def _jaro_udf(a: pd.Series, b: pd.Series) -> pd.Series:
-    return _pairwise(a, b, _jaro)
+    return _apply_unique(a, b, _jaro_batch)
 
 
 @F.pandas_udf(DoubleType())
 def _jw_udf(a: pd.Series, b: pd.Series) -> pd.Series:
-    return _pairwise(a, b, _jaro_winkler)
+    return _apply_unique(a, b, _jw_batch)
+
+
+def _dl_batch(a_strs: np.ndarray, b_strs: np.ndarray) -> np.ndarray:
+    return np.fromiter(
+        (float(_damerau_levenshtein(x, y)) for x, y in zip(a_strs, b_strs)),
+        dtype=np.float64,
+        count=len(a_strs),
+    )
 
 
 @F.pandas_udf(DoubleType())
 def _dl_udf(a: pd.Series, b: pd.Series) -> pd.Series:
-    return _pairwise(a, b, lambda x, y: float(_damerau_levenshtein(x, y)))
+    return _apply_unique(a, b, _dl_batch)
 
 
 def jaro_similarity(a: Column, b: Column) -> Column:

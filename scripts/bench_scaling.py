@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 def run_once(corpus_path: str, cpus: int) -> dict:
     from mismo_spark.session import get_spark
     from mismo_spark.compare.enum import compare
-    from mismo_spark.pipeline import DedupePipeline
+    from mismo_spark.pipeline import DedupePipeline, pair_features
     from mismo_spark.types.linkage import Linkage
 
     spark = get_spark(
@@ -60,7 +60,7 @@ def run_once(corpus_path: str, cpus: int) -> dict:
             "record_id", "path", "prefix", "text_fp", "tok_hashes", "shingle_hashes"
         )
         pairs = Linkage(narrow, narrow, links).links_with_both()
-        compared = compare(pairs, pipe.comparers).select(
+        compared = compare(pair_features(pairs), pipe.comparers).select(
             "record_id_l", "record_id_r", *[c.name for c in pipe.comparers]
         )
         # force evaluation of EVERY comparison column — a bare count()

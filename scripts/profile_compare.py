@@ -24,7 +24,7 @@ def main() -> None:
 
     from mismo_spark.session import get_spark
     from mismo_spark.corpus import make_corpus
-    from mismo_spark.pipeline import DedupePipeline
+    from mismo_spark.pipeline import DedupePipeline, pair_features
     from mismo_spark.types.linkage import Linkage
     from mismo_spark.compare.enum import compare
 
@@ -54,11 +54,11 @@ def main() -> None:
 
     for c in pipe.comparers:
         t = time.time()
-        compare(pairs, [c]).agg(F.sum(c.name)).collect()
+        compare(pair_features(pairs), [c]).agg(F.sum(c.name)).collect()
         print(c.name, round(time.time() - t, 1), flush=True)
 
     t = time.time()
-    compare(pairs, pipe.comparers).agg(
+    compare(pair_features(pairs), pipe.comparers).agg(
         *[F.sum(c.name) for c in pipe.comparers]
     ).collect()
     print("all_dims", round(time.time() - t, 1), flush=True)
