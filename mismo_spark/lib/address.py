@@ -16,8 +16,10 @@ from __future__ import annotations
 
 from enum import IntEnum
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
 
 from mismo_spark.lib.geo import distance_km
 from mismo_spark.text.features import ngrams
@@ -159,3 +161,132 @@ def match_level(left: Column, right: Column, *, has_latlon: bool = False) -> Col
     return out.when(
         left["state"] == right["state"], F.lit(int(AddressesMatchLevel.SAME_STATE))
     ).otherwise(F.lit(int(AddressesMatchLevel.ELSE)))
+
+
+# -- AddressesDimension (mismo/lib/geo/_address.py:205-277) ----------------
+
+
+def _dl_ratio_py(a, b) -> float:
+    from mismo_spark.text.similarity import _damerau_levenshtein
+
+    if a is None or b is None:
+        return float("nan")
+    mx = max(len(a), len(b))
+    if mx == 0:
+        return float("nan")
+    return (mx - _damerau_levenshtein(a, b)) / mx
+
+
+def _eq(a, b) -> bool:
+    return a is not None and a == b
+
+
+def _address_pair_level(a: dict, b: dict) -> int:
+    """Python mirror of match_level (sans latlon) for one featurized
+    address pair — executed inside the Arrow batch of
+    AddressesDimension.compare."""
+    if _eq(a["street1"], b["street1"]) and (
+        _eq(a["city"], b["city"]) or _eq(a["postal_code"], b["postal_code"])
+    ):
+        return int(AddressesMatchLevel.STREET1_AND_CITY_OR_POSTAL)
+    sn = _dl_ratio_py(a["street_name"], b["street_name"])
+    ct = _dl_ratio_py(a["city"], b["city"])
+    pc = _dl_ratio_py(a["postal_code"], b["postal_code"])
+    typo = (
+        (_eq(a["street1"], b["street1"]) and len(a["street1"]) >= 5)
+        or (sn > 0.9 and ct > 0.9)
+        or (sn > 0.9 and pc >= 0.8)
+        or (_eq(a["street_number"], b["street_number"]) and sn > 0.4 and ct > 0.9)
+    )
+    if typo:
+        return int(AddressesMatchLevel.POSSIBLE_TYPO)
+    if _eq(a["postal_code"], b["postal_code"]) or (
+        _eq(a["city"], b["city"]) and _eq(a["state"], b["state"])
+    ):
+        return int(AddressesMatchLevel.SAME_REGION)
+    if _eq(a["state"], b["state"]):
+        return int(AddressesMatchLevel.SAME_STATE)
+    return int(AddressesMatchLevel.ELSE)
+
+
+@F.pandas_udf(LongType())
+def _best_address_level_udf(left: pd.Series, right: pd.Series) -> pd.Series:
+    """Best (min) match level across all l×r combinations of two
+    featurized address arrays — one Arrow stage, no shuffle."""
+    out = []
+    for le, ri in zip(left, right):
+        if le is None or ri is None or len(le) == 0 or len(ri) == 0:
+            out.append(int(AddressesMatchLevel.ELSE))
+            continue
+        best = int(AddressesMatchLevel.ELSE)
+        for a in le:
+            for b in ri:
+                lvl = _address_pair_level(a, b)
+                if lvl < best:
+                    best = lvl
+                    if best == 0:
+                        break
+            if best == 0:
+                break
+        out.append(best)
+    return pd.Series(out)
+
+
+class AddressesDimension:
+    """Prep + block + compare bundle over an array<address-struct>
+    column (mismo/lib/geo/_address.py:205-277).
+
+    compare() is a single Arrow pandas-UDF stage taking the best (min)
+    match level over all l×r address combinations — the reference maps
+    match_level over array_combinations; the level needs an
+    edit-distance UDF so a higher-order-function translation is
+    impossible and explode→re-aggregate would add two shuffles."""
+
+    def __init__(
+        self,
+        column: str,
+        *,
+        column_featured: str = "{column}_featured",
+        column_compared: str = "{column}_compared",
+    ) -> None:
+        self.column = column
+        self.column_featured = column_featured.format(column=column)
+        self.column_compared = column_compared.format(column=column)
+
+    def prepare(self, t):
+        """array<address> → array<featurized address> (higher-order
+        transform over featurize_address, pure column algebra)
+        (mismo/lib/geo/_address.py:235-244)."""
+        return t.withColumn(
+            self.column_featured,
+            F.transform(F.col(self.column), featurize_address),
+        )
+
+    def block(self, left, right=None, **kwargs):
+        """UnnestLinker on (street_number, street_name) keys — the
+        same any-address-matches blocking shape as the reference's
+        keywords blocking (mismo/lib/geo/_address.py:246-266), keyed on
+        the parsed street identity instead of trigram keywords."""
+        from mismo_spark.linker.unnest import UnnestLinker
+
+        key = F.transform(
+            F.col(self.column_featured),
+            lambda a: F.concat_ws(
+                "\x00",
+                F.coalesce(a["street_number"], F.lit("")),
+                F.coalesce(a["street_name"], F.lit("")),
+                F.coalesce(a["postal_code"], F.lit("")),
+            ),
+        )
+        return UnnestLinker(key, **kwargs)(left, right)
+
+    def compare(self, t):
+        """Best (min) match level over all address combinations
+        (mismo/lib/geo/_address.py:270-277)."""
+        return t.withColumn(
+            self.column_compared,
+            _best_address_level_udf(
+                F.col(self.column_featured + "_l"),
+                F.col(self.column_featured + "_r"),
+            ),
+        )
