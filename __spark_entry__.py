@@ -563,6 +563,134 @@ def q_tf_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_updates_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Updates.from_tables + apply_to roundtrip
+    (mismo/types/_updates.py:192-375): rows only in `before` keep their
+    old values, rows in both take the after values."""
+    from mismo_spark.types.updates import Updates
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+    k = F.col("o_orderkey")
+    after = orders.filter(k % 11 != 0).withColumn(
+        "o_totalprice",
+        F.when(k % 10 == 0, F.round(F.col("o_totalprice") + 1.0, 2)).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+    u = Updates.from_tables(orders, after, join_on="o_orderkey")
+    res = u.apply_to(orders)
+    return res.select("o_orderkey", F.round("o_totalprice", 2).alias("price"))
+
+
+def q_emails_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EmailsDimension.prepare + compare (mismo/lib/email/_core.py:136-212):
+    best match level over all l×r email combinations, exercising every
+    EmailMatchLevel via deterministic mutations of c_custkey."""
+    from mismo_spark.lib.email import EmailsDimension, clean_email, parse_email
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    k = F.col("c_custkey")
+    m = k % 5
+    user = F.concat(F.lit("user"), (k % 97).cast("string"))
+    user_r = (
+        F.when(m == 1, F.concat(user, F.lit("x")))
+        .when(m == 3, F.concat(user, F.lit("q")))
+        .when(m == 4, F.concat(F.lit("zz"), (k % 13).cast("string")))
+        .otherwise(user)
+    )
+    dom_r = F.when(m >= 2, F.lit("@other.org")).otherwise(F.lit("@mail.com"))
+    emails_l = F.array(
+        F.concat(user, F.lit("@mail.com")),
+        F.concat(F.lit("alt"), (k % 7).cast("string"), F.lit("@mail.com")),
+    )
+    emails_r = F.array(F.concat(user_r, dom_r))
+
+    def parse(col):
+        return F.filter(
+            F.transform(col, lambda e: parse_email(clean_email(e, normalize=True))),
+            lambda p: p["full"].isNotNull(),
+        )
+
+    dim = EmailsDimension("emails")
+    t = cust.select(
+        "c_custkey",
+        parse(emails_l).alias(dim.column_parsed + "_l"),
+        parse(emails_r).alias(dim.column_parsed + "_r"),
+    )
+    return dim.compare(t).select(
+        "c_custkey", F.col(dim.column_compared).cast("long").alias("email_level")
+    )
+
+
+_STREETS = [
+    "MAPLEWOOD HEIGHTS", "OAKBROOK TERRACE", "RIVERBEND CROSSING",
+    "LAKESHORE COMMONS", "PINEHURST GARDENS",
+]
+_CITIES = ["SPRINGFIELD", "RIVERTOWN", "LAKESIDE", "HILLTOP"]
+_STATES = ["VA", "NY", "CA", "TX", "WA"]
+
+
+def q_address_match_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """featurize_address + match_level (mismo/lib/geo/_address.py:60-202)
+    on synthesized pairs exercising STREET1_AND_CITY_OR_POSTAL /
+    POSSIBLE_TYPO / SAME_REGION / SAME_STATE / ELSE."""
+    from mismo_spark.lib.address import featurize_address, match_level
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    k = F.col("c_custkey")
+    m = k % 6
+
+    def pick(pool, expr):
+        return F.element_at(F.array(*[F.lit(x) for x in pool]), expr.cast("int"))
+
+    num = ((k % 89) + 1).cast("string")
+    name = pick(_STREETS, k % 5 + 1)
+    name_alt = pick(_STREETS, (k + 2) % 5 + 1)
+    # single-char substitution keeps dl_ratio > 0.9 on these long names
+    name_typo = F.concat(F.lit("X"), F.substring(name, 2, 100))
+    city = pick(_CITIES, k % 4 + 1)
+    city_alt = pick(_CITIES, (k + 1) % 4 + 1)
+    state = pick(_STATES, k % 5 + 1)
+    state_alt = pick(_STATES, (k + 1) % 5 + 1)
+    postal = F.lpad(((k * 13) % 89999 + 10000).cast("string"), 5, "0")
+    postal_alt = F.lpad(((k * 13) % 89999 + 10001).cast("string"), 5, "0")
+    num_alt = ((k % 89) + 2).cast("string")
+
+    s1_l = F.concat_ws(" ", num, name, F.lit("ST"))
+    s1_r = (
+        F.when(m == 1, s1_l)
+        .when(m == 2, F.concat_ws(" ", num, name_typo, F.lit("ST")))
+        .when(m == 3, F.concat_ws(" ", num_alt, name_alt, F.lit("ST")))
+        .when(m == 4, F.concat_ws(" ", num_alt, name_alt, F.lit("ST")))
+        .when(m == 5, F.concat_ws(" ", num_alt, name_alt, F.lit("ST")))
+        .otherwise(s1_l)
+    )
+    city_r = F.when((m == 1) | (m == 4) | (m == 5), city_alt).otherwise(city)
+    state_r = F.when(m == 5, state_alt).otherwise(state)
+    postal_r = F.when((m == 2) | (m == 4) | (m == 5), postal_alt).otherwise(postal)
+
+    def addr(s1, c, st, pc):
+        return F.struct(
+            s1.alias("street1"),
+            F.lit(None).cast("string").alias("street2"),
+            c.alias("city"),
+            st.alias("state"),
+            pc.alias("postal_code"),
+        )
+
+    t = cust.select(
+        "c_custkey",
+        featurize_address(addr(s1_l, city, state, postal)).alias("a_l"),
+        featurize_address(addr(s1_r, city_r, state_r, postal_r)).alias("a_r"),
+    )
+    return t.select(
+        "c_custkey",
+        match_level(F.col("a_l"), F.col("a_r")).cast("long").alias("addr_level"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "key_counts": q_key_counts,
@@ -595,6 +723,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "haversine": q_haversine,
         "diff_updates": q_diff_updates,
         "tf_frequency": q_tf_frequency,
+        "updates_apply": q_updates_apply,
+        "emails_dimension": q_emails_dimension,
+        "address_match_level": q_address_match_level,
     }
 
 
@@ -773,6 +904,129 @@ def _name_level_oracle_sql() -> str:
             ELSE 6
           END::BIGINT AS name_level
         FROM rhs
+    """
+
+
+def _email_level_case(f1: str, f2: str, u1: str, u2: str) -> str:
+    """CASE mirroring EmailMatchLevel over normalized (full, user) pairs
+    (mismo/lib/email/_core.py:93-133)."""
+    return f"""CASE WHEN {f1} = {f2} THEN 0
+        WHEN damerau_levenshtein({f1}, {f2}) <= 1 THEN 1
+        WHEN {u1} = {u2} THEN 2
+        WHEN damerau_levenshtein({u1}, {u2}) <= 1 THEN 3
+        ELSE 4 END"""
+
+
+def _emails_dimension_oracle_sql() -> str:
+    """Mirrors q_emails_dimension: two left emails × one right email;
+    the dimension takes the min level across combinations."""
+    return f"""
+        WITH raw AS (
+          SELECT c_custkey,
+                 'user' || (c_custkey % 97)::VARCHAR || '@mail.com' AS ea,
+                 'alt' || (c_custkey % 7)::VARCHAR || '@mail.com' AS eb,
+                 (CASE c_custkey % 5
+                    WHEN 1 THEN 'user' || (c_custkey % 97)::VARCHAR || 'x'
+                    WHEN 3 THEN 'user' || (c_custkey % 97)::VARCHAR || 'q'
+                    WHEN 4 THEN 'zz' || (c_custkey % 13)::VARCHAR
+                    ELSE 'user' || (c_custkey % 97)::VARCHAR END)
+                 || (CASE WHEN c_custkey % 5 >= 2
+                          THEN '@other.org' ELSE '@mail.com' END) AS er
+          FROM customer
+        ),
+        norm AS (
+          SELECT c_custkey,
+                 replace(replace(lower(ea), '.', ''), '_', '') AS na,
+                 replace(replace(lower(eb), '.', ''), '_', '') AS nb,
+                 replace(replace(lower(er), '.', ''), '_', '') AS nr
+          FROM raw
+        ),
+        parts AS (
+          SELECT c_custkey, na, nb, nr,
+                 string_split(na, '@')[1] AS ua,
+                 string_split(nb, '@')[1] AS ub,
+                 string_split(nr, '@')[1] AS ur
+          FROM norm
+        )
+        SELECT c_custkey,
+               least({_email_level_case('na', 'nr', 'ua', 'ur')},
+                     {_email_level_case('nb', 'nr', 'ub', 'ur')})::BIGINT
+               AS email_level
+        FROM parts
+    """
+
+
+def _address_level_oracle_sql() -> str:
+    """Mirrors q_address_match_level.  The synthesized street1 strings
+    are already normalized, so the oracle computes the level cascade
+    (mismo/lib/geo/_address.py:135-202) from the known parsed parts —
+    if the Spark-side featurize/parse diverged from those parts, the
+    levels (and hashes) would diverge."""
+    streets = ", ".join(f"'{s}'" for s in _STREETS)
+    cities = ", ".join(f"'{c}'" for c in _CITIES)
+    states = ", ".join(f"'{s}'" for s in _STATES)
+    ratio = (
+        "((greatest(length({a}), length({b})) - damerau_levenshtein({a}, {b}))"
+        " / greatest(length({a}), length({b})))"
+    )
+    snr = ratio.format(a="name_l", b="name_r")
+    ctr = ratio.format(a="city_l", b="city_r")
+    pcr = ratio.format(a="postal_l", b="postal_r")
+    return f"""
+        WITH pools AS (
+          SELECT c_custkey, c_custkey % 6 AS m,
+                 [{streets}] AS sts, [{cities}] AS cts, [{states}] AS sas
+          FROM customer
+        ),
+        parts AS (
+          SELECT c_custkey, m,
+                 ((c_custkey % 89) + 1)::VARCHAR AS num_l,
+                 ((c_custkey % 89) + 2)::VARCHAR AS num_alt,
+                 sts[(c_custkey % 5 + 1)::INT] AS name_l,
+                 sts[((c_custkey + 2) % 5 + 1)::INT] AS name_alt,
+                 'X' || substring(sts[(c_custkey % 5 + 1)::INT], 2) AS name_typo,
+                 cts[(c_custkey % 4 + 1)::INT] AS city_l,
+                 cts[((c_custkey + 1) % 4 + 1)::INT] AS city_alt,
+                 sas[(c_custkey % 5 + 1)::INT] AS state_l,
+                 sas[((c_custkey + 1) % 5 + 1)::INT] AS state_alt,
+                 ((c_custkey * 13) % 89999 + 10000)::VARCHAR AS postal_l,
+                 ((c_custkey * 13) % 89999 + 10001)::VARCHAR AS postal_alt
+          FROM pools
+        ),
+        sides AS (
+          SELECT c_custkey, m, num_l, name_l, city_l, state_l, postal_l,
+                 CASE WHEN m = 2 THEN num_l
+                      WHEN m IN (3, 4, 5) THEN num_alt
+                      ELSE num_l END AS num_r,
+                 CASE WHEN m = 2 THEN name_typo
+                      WHEN m IN (3, 4, 5) THEN name_alt
+                      ELSE name_l END AS name_r,
+                 CASE WHEN m IN (1, 4, 5) THEN city_alt ELSE city_l END AS city_r,
+                 CASE WHEN m = 5 THEN state_alt ELSE state_l END AS state_r,
+                 CASE WHEN m IN (2, 4, 5) THEN postal_alt
+                      ELSE postal_l END AS postal_r
+          FROM parts
+        ),
+        streets1 AS (
+          SELECT *,
+                 num_l || ' ' || name_l || ' ST' AS s1_l,
+                 num_r || ' ' || name_r || ' ST' AS s1_r
+          FROM sides
+        )
+        SELECT c_custkey,
+               (CASE
+                 WHEN s1_l = s1_r AND (city_l = city_r OR postal_l = postal_r)
+                   THEN 0
+                 WHEN (s1_l = s1_r AND length(s1_l) >= 5)
+                   OR ({snr} > 0.9 AND {ctr} > 0.9)
+                   OR ({snr} > 0.9 AND {pcr} >= 0.8)
+                   OR (num_l = num_r AND {snr} > 0.4 AND {ctr} > 0.9)
+                   THEN 1
+                 WHEN postal_l = postal_r
+                   OR (city_l = city_r AND state_l = state_r) THEN 2
+                 WHEN state_l = state_r THEN 4
+                 ELSE 6 END)::BIGINT AS addr_level
+        FROM streets1
     """
 
 
@@ -1155,6 +1409,22 @@ def oracle_sql() -> dict[str, str]:
         # family shares the identical plan; tests/test_lsh.py and
         # tests/test_dedupe_extras.py verify its semantics)
         "name_match_level": _name_level_oracle_sql(),
+        "updates_apply": """
+            WITH a AS (
+              SELECT o_orderkey,
+                     CASE WHEN o_orderkey % 10 = 0
+                          THEN round(o_totalprice + 1.0, 2)
+                          ELSE o_totalprice END AS o_totalprice
+              FROM orders WHERE o_orderkey % 11 <> 0
+            )
+            SELECT b.o_orderkey, round(b.o_totalprice, 2) AS price
+            FROM orders b
+            WHERE b.o_orderkey NOT IN (SELECT o_orderkey FROM a)
+            UNION ALL
+            SELECT o_orderkey, round(o_totalprice, 2) AS price FROM a
+        """,
+        "emails_dimension": _emails_dimension_oracle_sql(),
+        "address_match_level": _address_level_oracle_sql(),
         "minhash_lsh_block": _minhash_oracle_sql(
             shingle_size=2, band_size=2, n_bands=8, seed=42, min_jaccard=0.2
         ),
