@@ -691,6 +691,88 @@ def q_address_match_level(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide embedding-cosine near-duplicate detection
+    (hyperplane-LSH buckets → candidate self-join → exact cosine ≥ τ).
+    The raw embeddings table has no near-dup pairs (max cosine ≈ 0.51),
+    so 100 duplicates are planted deterministically: for vec_id % 5 == 0
+    a copy at id+100000 with element 1 perturbed by +0.05 (cosine
+    ≈ 0.9988).  The oracle replays the identical seeded hyperplanes, so
+    candidate generation AND the cosine recheck are both value-checked."""
+    from mismo_spark.ann import embedding_near_duplicates
+
+    emb = _emb(spark, sf_dir)
+    v = F.col("embedding").cast("array<double>")
+    base = emb.select("vec_id", v.alias("embedding"))
+    pert = F.concat(
+        F.array(F.element_at(v, 1) + F.lit(0.05)), F.slice(v, 2, 63)
+    )
+    dups = emb.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), pert.alias("embedding")
+    )
+    allv = base.unionByName(dups)
+    return embedding_near_duplicates(
+        allv,
+        min_cosine=0.95,
+        dim=64,
+        n_bands=8,
+        band_bits=8,
+        seed=42,
+    )
+
+
+def _embedding_near_dup_oracle_sql(
+    *, dim: int = 64, n_bands: int = 8, band_bits: int = 8, seed: int = 42
+) -> str:
+    """DuckDB replay of q_embedding_near_dup: the SAME seeded
+    hyperplanes (numpy RandomState draw order matches
+    mismo_spark/ann/__init__.py hyperplane_buckets) folded in as list
+    literals, sign-bit buckets packed identically, bucket self-join,
+    then the exact-cosine recheck with the same dot/√·√ formula."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    buckets = []
+    for b in range(n_bands):
+        bits = []
+        for j in range(band_bits):
+            h = rng.randn(dim)
+            lit = "[" + ", ".join(repr(float(w)) for w in h) + "]"
+            bits.append(
+                f"(CASE WHEN list_dot_product(v, {lit}::DOUBLE[]) > 0 "
+                f"THEN {1 << j} ELSE 0 END)"
+            )
+        buckets.append("(" + " + ".join(bits) + f" + {b << 32})")
+    bucket_arr = "[" + ",\n ".join(buckets) + "]"
+    return f"""
+        WITH b AS (
+          SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings
+        ),
+        allv AS (
+          SELECT * FROM b
+          UNION ALL
+          SELECT id + 100000, [v[1] + 0.05] || v[2:] FROM b WHERE id % 5 = 0
+        ),
+        keyed AS (
+          SELECT id, v, unnest({bucket_arr}) AS bucket FROM allv
+        ),
+        cand AS (
+          SELECT DISTINCT l.id AS id_l, r.id AS id_r
+          FROM keyed l JOIN keyed r ON l.bucket = r.bucket AND l.id < r.id
+        ),
+        scored AS (
+          SELECT id_l, id_r,
+                 list_dot_product(a.v, c.v)
+                   / (sqrt(list_dot_product(a.v, a.v))
+                      * sqrt(list_dot_product(c.v, c.v))) AS cosine
+          FROM cand
+          JOIN allv a ON a.id = cand.id_l
+          JOIN allv c ON c.id = cand.id_r
+        )
+        SELECT id_l, id_r, cosine FROM scored WHERE cosine >= 0.95
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "key_counts": q_key_counts,
@@ -726,6 +808,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "updates_apply": q_updates_apply,
         "emails_dimension": q_emails_dimension,
         "address_match_level": q_address_match_level,
+        "embedding_near_dup": q_embedding_near_dup,
     }
 
 
@@ -1425,6 +1508,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "emails_dimension": _emails_dimension_oracle_sql(),
         "address_match_level": _address_level_oracle_sql(),
+        "embedding_near_dup": _embedding_near_dup_oracle_sql(),
         "minhash_lsh_block": _minhash_oracle_sql(
             shingle_size=2, band_size=2, n_bands=8, seed=42, min_jaccard=0.2
         ),

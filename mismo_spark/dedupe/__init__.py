@@ -73,10 +73,15 @@ def minhash_near_duplicates(
     Candidate pairs come from LSH (recall-oriented), then the exact
     token-shingle Jaccard filters to ``min_jaccard`` (precision).
     → (record_id_l, record_id_r, jaccard_sim)."""
+    # two-step select: tokens materialize first so the shingle HOF
+    # lambda only touches attribute refs (see word_shingles_from_tokens)
     recs = df.select(
         F.col(id_column).alias("record_id"),
+        tokenize(F.lower(F.col(text_column))).alias("__toks"),
+    ).select(
+        "record_id",
         F.array_distinct(
-            _word_shingles(F.lower(F.col(text_column)), shingle_size)
+            word_shingles_from_tokens(F.col("__toks"), shingle_size)
         ).alias("shingles"),
     )
     lk = MinhashLshLinker(
@@ -95,7 +100,29 @@ def minhash_near_duplicates(
     ).filter(F.col("jaccard_sim") >= min_jaccard)
 
 
+def word_shingles_from_tokens(toks: Column, k: int) -> Column:
+    """Word k-gram shingle strings from an already-MATERIALIZED token
+    array column.
+
+    Pass an attribute (``F.col(...)``), not an inline expression: any
+    expression referenced inside a higher-order-function lambda is
+    re-evaluated PER ELEMENT, so an inline ``tokenize()`` here would
+    run its split once per shingle index instead of once per row — and
+    because HOF projects fall off whole-stage codegen, it runs on the
+    interpreted path too (observed: a 10×+ stage blowup in the
+    blocking profile before this was split into two selects)."""
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), n - F.lit(k))
+    return F.when(n < k, F.array(F.concat_ws(" ", toks))).otherwise(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))
+    )
+
+
 def _word_shingles(text: Column, k: int) -> Column:
+    """One-shot text→shingles expression.  ONLY for single-use contexts
+    (e.g. as the direct input of explode); inside a multi-reference
+    select, materialize tokens first and use
+    :func:`word_shingles_from_tokens` — see its docstring."""
     toks = tokenize(text)
     n = F.size(toks)
     idx = F.sequence(F.lit(0), n - F.lit(k))

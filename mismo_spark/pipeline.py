@@ -190,32 +190,52 @@ class DedupePipeline:
         """url → record_id; extract text from html when absent; derive
         domain + token set.  Only these derived columns flow into
         blocking — column pruning keeps the scans narrow."""
-        from mismo_spark.dedupe import _word_shingles
+        from mismo_spark.dedupe import word_shingles_from_tokens
 
         df = pages
         if "text" not in df.columns:
             df = df.withColumn("text", extract_text(F.col("html")))
-        tokens = tokenize(F.lower(F.col("text")))
+        hash64 = lambda arr: F.transform(arr, lambda t: F.xxhash64(t))  # noqa: E731
+        # Staged selects, one derived array per step: an expression
+        # referenced inside a HOF lambda is re-evaluated per element
+        # (and HOF projects run interpreted), so tokenize must be a
+        # materialized column BEFORE the shingle lambda touches it —
+        # inlining it made the blocking scan recompile the split regex
+        # once per shingle per row (10×+ stage blowup, thread dump
+        # showed every task thread inside Pattern.compile).
+        # CollapseProject will not merge these selects: the aliases are
+        # referenced multiple times and are not cheap.
+        step1 = df.select(
+            F.col("url"),
+            F.col("text"),
+            tokenize(F.lower(F.col("text"))).alias("__toks"),
+        )
         # LSH blocks on word 3-gram shingles, not unigrams: shared
         # vocabulary gives unrelated docs nontrivial unigram Jaccard,
         # while shingle overlap across entities is ~0 — this is what
         # keeps the candidate set ~linear in true duplicates
-        shingles = F.array_distinct(_word_shingles(F.lower(F.col("text")), 3))
-        hash64 = lambda arr: F.transform(arr, lambda t: F.xxhash64(t))  # noqa: E731
-        return df.select(
+        step2 = step1.select(
+            "url",
+            "text",
+            "__toks",
+            F.array_distinct(
+                word_shingles_from_tokens(F.col("__toks"), 3)
+            ).alias("__shingles"),
+        )
+        return step2.select(
             F.col("url").alias("record_id"),
             F.col("url"),
             F.col("text"),
             normalized_domain(F.col("url")).alias("domain"),
-            tokens.alias("tokens"),
-            shingles.alias("shingles"),
             # per-record precomputation for the PAIR stage: Jaccard only
             # needs element equality, so 8-byte hashes replace strings —
             # the pair table (the biggest thing in the pipeline) carries
             # ~4× less shuffle volume, and the hash work happens once per
-            # record instead of once per pair
-            hash64(F.array_distinct(tokens)).alias("tok_hashes"),
-            hash64(shingles).alias("shingle_hashes"),
+            # record instead of once per pair.  The token/shingle STRING
+            # arrays are deliberately not in the output: nothing
+            # downstream reads them and the records table is persisted.
+            hash64(F.array_distinct(F.col("__toks"))).alias("tok_hashes"),
+            hash64(F.col("__shingles")).alias("shingle_hashes"),
             # 64 chars: the Levenshtein DP is O(len²) per pair — 64²
             # costs 3.6× less than 120² with the same discriminative
             # power at these thresholds
@@ -266,7 +286,9 @@ class DedupePipeline:
 
     def run(self, spark: SparkSession, pages: DataFrame) -> DataFrame:
         """→ DataFrame(record_id, component)."""
-        fp_records = self._fp("records", "v2")
+        # v3: tokens/shingles string columns dropped from the records
+        # schema (hashes only) — stale v2 checkpoints must not be reused
+        fp_records = self._fp("records", "v3")
         records = self._stage(
             spark, "01_records", fp_records, lambda: self.prepare_records(pages)
         )
