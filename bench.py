@@ -79,7 +79,7 @@ def main() -> None:
     narrow = records.select(
         "record_id", "path", "prefix", "text_fp", "tok_hashes", "shingle_hashes"
     )
-    pairs = Linkage(narrow, narrow, links).links_with_both()
+    pairs = Linkage(narrow, narrow, links).links_with_both(broadcast_records=True)
     compared = compare(pair_features(pairs), pipe.comparers).select(
         "record_id_l", "record_id_r", *[c.name for c in pipe.comparers]
     )

@@ -22,13 +22,26 @@ from mismo_spark.types.linkage import ID_L, ID_R, Linkage
 
 
 class OrLinker:
-    def __init__(self, linkers, *, task: str | None = None) -> None:
-        """``linkers``: mapping name → Linker, or iterable of Linkers."""
+    def __init__(
+        self, linkers, *, task: str | None = None, track_rules: bool = True
+    ) -> None:
+        """``linkers``: mapping name → Linker, or iterable of Linkers.
+
+        ``track_rules`` (default True, reference semantics): annotate
+        each pair with the sorted array of rule names that produced it.
+        That provenance is a ``collect_set`` per pair — a
+        TypedImperativeAggregate that always falls back to sort-based
+        aggregation (ObjectHashAggregate's 128-key in-memory limit), so
+        on a billion-pair candidate table it is a material cost.  Pass
+        ``track_rules=False`` in production pipelines that only need
+        the pair set: dedup becomes a plain codegen hash aggregate with
+        map-side partial combine."""
         if isinstance(linkers, dict):
             self.linkers = dict(linkers)
         else:
             self.linkers = {f"rule_{i}": lk for i, lk in enumerate(linkers)}
         self.task = task
+        self.track_rules = track_rules
 
     def __call__(self, left: DataFrame, right: DataFrame | None = None) -> Linkage:
         if right is None:
@@ -36,12 +49,16 @@ class OrLinker:
         parts = []
         for name, linker in self.linkers.items():
             lk = linker(left, right)
-            parts.append(
-                lk.links.select(ID_L, ID_R).withColumn("rule", F.lit(name))
-            )
+            part = lk.links.select(ID_L, ID_R)
+            if self.track_rules:
+                part = part.withColumn("rule", F.lit(name))
+            parts.append(part)
         unioned = reduce(DataFrame.unionByName, parts)
-        # one pair per (l, r); provenance = sorted array of rule names
-        links = unioned.groupBy(ID_L, ID_R).agg(
-            F.array_sort(F.collect_set("rule")).alias("blocking_rules")
-        )
+        if self.track_rules:
+            # one pair per (l, r); provenance = sorted array of rule names
+            links = unioned.groupBy(ID_L, ID_R).agg(
+                F.array_sort(F.collect_set("rule")).alias("blocking_rules")
+            )
+        else:
+            links = unioned.dropDuplicates([ID_L, ID_R])
         return Linkage(left=left, right=right, links=links)

@@ -31,7 +31,7 @@ from mismo_spark.fs.weights import Weights
 from mismo_spark.linker.key import KeyLinker
 from mismo_spark.linker.lsh import MinhashLshLinker
 from mismo_spark.linker.or_ import OrLinker
-from mismo_spark.sets.compare import jaccard
+from mismo_spark.sets.compare import jaccard_distinct
 from mismo_spark.text.features import tokenize
 from mismo_spark.text.similarity import jaro_winkler_similarity, levenshtein_ratio
 from mismo_spark.types.linkage import ID_L, ID_R, Linkage
@@ -60,8 +60,8 @@ def pair_features(pairs: DataFrame) -> DataFrame:
         ID_L,
         ID_R,
         (F.col("text_fp_l") == F.col("text_fp_r")).alias("fp_eq"),
-        jaccard(F.col("tok_hashes_l"), F.col("tok_hashes_r")).alias("tok_jac"),
-        jaccard(F.col("shingle_hashes_l"), F.col("shingle_hashes_r")).alias(
+        jaccard_distinct(F.col("tok_hashes_l"), F.col("tok_hashes_r")).alias("tok_jac"),
+        jaccard_distinct(F.col("shingle_hashes_l"), F.col("shingle_hashes_r")).alias(
             "shingle_jac"
         ),
         levenshtein_ratio(F.col("prefix_l"), F.col("prefix_r")).alias("prefix_lev"),
@@ -127,6 +127,10 @@ class DedupePipeline:
     # huge domains comes from the LSH rule instead
     max_pairs_per_key: int | None = 100_000
     em_max_pairs: int = 200_000
+    # broadcast the narrow per-record feature table into the pair joins
+    # while it has at most this many records (≈ fits executor memory);
+    # beyond it, fall back to shuffle joins + bucketing
+    broadcast_records_limit: int = 5_000_000
     seed: int = 42
     checkpoint: bool = True
     comparers: list[EnumComparer] = field(default_factory=default_comparers)
@@ -245,8 +249,12 @@ class DedupePipeline:
         )
 
     def blocker(self) -> OrLinker:
+        # track_rules=False: the pipeline consumes only the pair set —
+        # per-pair rule provenance would be a collect_set object-agg
+        # over every candidate pair (sort-based fallback, see OrLinker)
         return OrLinker(
-            {
+            track_rules=False,
+            linkers={
                 "domain": KeyLinker(
                     ["domain"], task="dedupe", max_pairs=self.max_pairs_per_key
                 ),
@@ -293,9 +301,11 @@ class DedupePipeline:
             spark, "01_records", fp_records, lambda: self.prepare_records(pages)
         )
 
+        # v2: links schema is the bare pair set (no blocking_rules col)
         fp_links = self._fp(
             fp_records,
             "links",
+            "v2",
             self.lsh_band_size,
             self.lsh_n_bands,
             self.seed,
@@ -311,11 +321,17 @@ class DedupePipeline:
         def _compared():
             # join back only the columns the comparers read — the pair
             # table is the biggest thing in the pipeline, so every
-            # column dropped here is shuffle volume saved
+            # column dropped here is shuffle volume saved.  Broadcast
+            # the narrow feature table while it fits (see
+            # Linkage.links_with_both): the pair table then streams
+            # with zero shuffles through the feature joins.
             narrow = records.select(
                 "record_id", "path", "prefix", "text_fp", "tok_hashes", "shingle_hashes"
             )
-            pairs = Linkage(narrow, narrow, links).links_with_both()
+            bcast = records.count() <= self.broadcast_records_limit
+            pairs = Linkage(narrow, narrow, links).links_with_both(
+                broadcast_records=bcast
+            )
             return compare(pair_features(pairs), self.comparers).select(
                 ID_L, ID_R, *[c.name for c in self.comparers]
             )

@@ -41,23 +41,45 @@ class Linkage:
 
     # -- LinksTable semantics (mismo/types/_links_table.py:97-190) ------
 
-    def links_with_left(self) -> DataFrame:
+    def links_with_left(self, *, broadcast_records: bool = False) -> DataFrame:
         """Join left-record attributes onto links with `_l` suffixes."""
         lrec = rename_all(self.left, "_l")
+        if broadcast_records:
+            lrec = F.broadcast(lrec)
         return self.links.join(lrec, ID_L, "inner")
 
-    def links_with_right(self) -> DataFrame:
+    def links_with_right(self, *, broadcast_records: bool = False) -> DataFrame:
         rrec = rename_all(self.right, "_r")
+        if broadcast_records:
+            rrec = F.broadcast(rrec)
         return self.links.join(rrec, ID_R, "inner")
 
-    def links_with_both(self) -> DataFrame:
+    def links_with_both(self, *, broadcast_records: bool = False) -> DataFrame:
         """Pairs table with all record attributes, `_l`/`_r` suffixed.
 
-        Two hash joins; at scale both are shuffles on record_id — the
-        links table is pre-partitioned on record_id_l by the blocker so
-        the first join avoids re-shuffling links.
+        Join strategy matters more here than anywhere else in the
+        engine: with sort-merge joins, the SECOND join re-shuffles the
+        (pairs × left-attributes) intermediate — every candidate pair
+        dragging its ~KBs of feature arrays through the exchange (at
+        3.8M pairs that is ~10 GB of shuffle; it is what capped
+        measured core-scaling of the compare stage at ~1.5×, the stage
+        being I/O- not CPU-bound).  ``broadcast_records=True`` hashes
+        the (narrow) record-feature table to every executor instead:
+        the pair table then streams straight out of the blocker with
+        ZERO pair shuffles.
+
+        Policy at 100 TB: broadcast while the narrow per-record feature
+        table fits in executor memory (millions of records); beyond
+        that, bucket/co-partition records and links by record_id so the
+        heavy side shuffles once, not per join (and leave AQE on).
         """
-        return self.links_with_left().join(rename_all(self.right, "_r"), ID_R, "inner")
+        return self.links_with_left(broadcast_records=broadcast_records).join(
+            F.broadcast(rename_all(self.right, "_r"))
+            if broadcast_records
+            else rename_all(self.right, "_r"),
+            ID_R,
+            "inner",
+        )
 
     def swap_perspective(self) -> "Linkage":
         """Swap l/r (mismo/types/_links_table.py:208-217)."""

@@ -7,14 +7,13 @@ levels and report candidate-pairs/sec at both plus
 
     eff = (pairs_per_sec @ 4N) / (4 × pairs_per_sec @ N).
 
-Two details make this an honest proxy for "N executors vs 4N
+Details that make this an honest proxy for "N executors vs 4N
 executors" on one machine:
 
 * **Fresh JVM per run** — each measurement runs in its own
   subprocess.  (``spark.stop()`` does NOT kill the PySpark gateway
-  JVM; reusing one JVM across configs lets heap/GC state from earlier
-  runs poison later ones — observed: local[32] 40% slower than
-  local[8] when run 3rd/4th in a shared JVM.)
+  JVM; reusing one JVM across configs lets heap/JIT/page state from
+  earlier runs poison later ones.)
 * **CPU pinning** (``--taskset``, default on) — local[N] is pinned to
   N host CPUs with ``taskset``.  On a real cluster an executor's
   Python UDF workers compete with its JVM task threads *inside the
@@ -22,12 +21,25 @@ executors" on one machine:
   its 8 Python workers run on 8 EXTRA host CPUs, silently giving the
   small config ~2x its nominal capacity and deflating measured
   scaling.
+* **Warmup pass** — each subprocess executes the full block+compare
+  job once untimed, then measures a second, freshly-planned execution.
+  The sandbox is a Firecracker microVM whose first-touch memory pages
+  and JIT compilation dominate cold runs (observed: identical configs
+  16s vs 216s); steady-state is the defensible number — on a real
+  cluster executors are long-lived.
+* **Host-weather calibration + interleaving** — this VM's delivered
+  CPU fluctuates ~10× on multi-minute scales (kernel time from
+  hypervisor paging; cumulative sys time 3× user time).  Each run
+  records a single-core and an all-core spin calibration taken right
+  before its timed section, the low/high configs run INTERLEAVED
+  (low,high,low,high,…) so both sample the same weather distribution,
+  and the reported number is best-of-N per config.
 
 The workload is the blocking+compare stages of the dedupe pipeline
 over a pre-generated deterministic corpus (generation excluded from
 timing; the corpus is identical at any parallelism by construction).
 
-Usage: python scripts/bench_scaling.py [--entities 100000] [--runs 2]
+Usage: python scripts/bench_scaling.py [--entities 100000] [--runs 3]
 """
 
 from __future__ import annotations
@@ -45,14 +57,77 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
-def run_once_inprocess(corpus_path: str, cpus: int) -> dict:
-    """Executed inside a dedicated subprocess (fresh JVM)."""
+def _spin_units(seconds: float) -> int:
+    """Fixed busy-loop; returns loop units completed — a host-speed probe."""
+    end = time.perf_counter() + seconds
+    n = 0
+    while time.perf_counter() < end:
+        for _ in range(10_000):
+            n += 1
+    return n
+
+
+def _calibrate(n_procs: int) -> dict:
+    """Single-core and n_procs-core spin throughput (units/sec)."""
+    import multiprocessing as mp
+
+    one = _spin_units(0.4) / 0.4
+    q: mp.Queue = mp.Queue()
+
+    def worker(q):
+        q.put(_spin_units(0.5))
+
+    ps = [mp.Process(target=worker, args=(q,)) for _ in range(n_procs)]
+    for p in ps:
+        p.start()
+    total = sum(q.get() for _ in ps)
+    for p in ps:
+        p.join()
+    return {
+        "cal_1core_mups": round(one / 1e6, 1),
+        f"cal_{n_procs}core_mups": round(total / 0.5 / 1e6, 1),
+    }
+
+
+def _run_job(spark, pipe, records) -> tuple[int, float, float]:
+    """One full block+compare execution with fresh plans; returns
+    (n_pairs, block_sec, compare_sec)."""
     from pyspark.sql import functions as F
 
     from mismo_spark.compare.enum import compare
-    from mismo_spark.pipeline import DedupePipeline, pair_features
-    from mismo_spark.session import get_spark
+    from mismo_spark.pipeline import pair_features
     from mismo_spark.types.linkage import Linkage
+
+    t0 = time.time()
+    links = pipe.blocker()(records, records).links
+    links.persist()
+    n_pairs = links.count()
+    block_sec = time.time() - t0
+
+    t0 = time.time()
+    narrow = records.select(
+        "record_id", "path", "prefix", "text_fp", "tok_hashes", "shingle_hashes"
+    )
+    pairs = Linkage(narrow, narrow, links).links_with_both(broadcast_records=True)
+    compared = compare(pair_features(pairs), pipe.comparers).select(
+        "record_id_l", "record_id_r", *[c.name for c in pipe.comparers]
+    )
+    # force evaluation of EVERY comparison column — a bare count()
+    # would let Catalyst prune all the similarity expressions and
+    # measure nothing but the join
+    compared.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.sum(c.name) for c in pipe.comparers],
+    ).collect()
+    compare_sec = time.time() - t0
+    links.unpersist()
+    return n_pairs, block_sec, compare_sec
+
+
+def run_once_inprocess(corpus_path: str, cpus: int) -> dict:
+    """Executed inside a dedicated subprocess (fresh JVM)."""
+    from mismo_spark.pipeline import DedupePipeline
+    from mismo_spark.session import get_spark
 
     spark = get_spark(
         f"scaling_{cpus}", master=f"local[{cpus}]", shuffle_partitions=cpus * 2
@@ -64,31 +139,14 @@ def run_once_inprocess(corpus_path: str, cpus: int) -> dict:
         records.persist()
         records.count()
 
-        t0 = time.time()
-        links = pipe.blocker()(records, records).links
-        links.persist()
-        n_pairs = links.count()
-        block_sec = time.time() - t0
+        # warmup: full job once, untimed (page/JIT warm, steady-state)
+        _run_job(spark, pipe, records)
 
-        t0 = time.time()
-        narrow = records.select(
-            "record_id", "path", "prefix", "text_fp", "tok_hashes", "shingle_hashes"
-        )
-        pairs = Linkage(narrow, narrow, links).links_with_both()
-        compared = compare(pair_features(pairs), pipe.comparers).select(
-            "record_id_l", "record_id_r", *[c.name for c in pipe.comparers]
-        )
-        # force evaluation of EVERY comparison column — a bare count()
-        # would let Catalyst prune all the similarity expressions and
-        # measure nothing but the join
-        agg = compared.agg(
-            F.count(F.lit(1)).alias("n"),
-            *[F.sum(c.name) for c in pipe.comparers],
-        ).collect()[0]
-        compare_sec = time.time() - t0
+        cal = _calibrate(cpus)
+        n_pairs, block_sec, compare_sec = _run_job(spark, pipe, records)
 
         total = block_sec + compare_sec
-        return {
+        out = {
             "cpus": cpus,
             "candidate_pairs": n_pairs,
             "block_sec": round(block_sec, 3),
@@ -96,6 +154,8 @@ def run_once_inprocess(corpus_path: str, cpus: int) -> dict:
             "total_sec": round(total, 3),
             "pairs_per_sec": round(n_pairs / total, 1),
         }
+        out.update(cal)
+        return out
     finally:
         spark.stop()
 
@@ -112,8 +172,12 @@ def run_once(corpus_path: str, cpus: int, pin: bool) -> dict:
         corpus_path,
         str(cpus),
     ]
+    env = dict(os.environ)
+    # modest heap: the job needs ~2g; a 48g lazy heap amplifies the
+    # microVM's page-fault overhead (sys-time storms on first touch)
+    env.setdefault("MISMO_SPARK_DRIVER_MEM", "12g")
     out = subprocess.run(
-        cmd, capture_output=True, text=True, cwd=REPO, timeout=3600
+        cmd, capture_output=True, text=True, cwd=REPO, timeout=3600, env=env
     )
     if out.returncode != 0:
         raise RuntimeError(f"run cpus={cpus} failed:\n{out.stderr[-2000:]}")
@@ -126,10 +190,13 @@ def main() -> None:
     # overhead (which does NOT scale with cores and would poison the
     # efficiency measurement)
     ap.add_argument("--entities", type=int, default=100000)
-    ap.add_argument("--runs", type=int, default=2)
+    ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--low", type=int, default=8)
     ap.add_argument("--high", type=int, default=32)
     ap.add_argument("--no-taskset", action="store_true")
+    # launch runs only when an all-core spin calibration reaches this
+    # many Mups (≈750 nominal on this host at 32 cores; 0 = no gate)
+    ap.add_argument("--min-cal", type=float, default=600.0)
     ap.add_argument("--single", nargs=2, metavar=("CORPUS", "CPUS"))
     args = ap.parse_args()
 
@@ -152,15 +219,32 @@ def main() -> None:
     spark.stop()
 
     pin = not args.no_taskset
-    results = {}
-    for cpus in (args.low, args.high):
-        best = None
-        for _ in range(args.runs):
+
+    def wait_for_weather() -> None:
+        """Block until the host delivers near-nominal CPU (the microVM
+        has multi-minute ~10× slow phases); bounded at ~10 min."""
+        if args.min_cal <= 0:
+            return
+        for _ in range(20):
+            cal = _calibrate(args.high)[f"cal_{args.high}core_mups"]
+            if cal >= args.min_cal:
+                return
+            print(f"# weather: {cal} Mups < {args.min_cal}, waiting", file=sys.stderr)
+            time.sleep(30)
+
+    results: dict[int, dict] = {}
+    runs_log = []
+    # interleaved: low,high,low,high,… so both configs sample the same
+    # host-weather distribution
+    for _ in range(args.runs):
+        for cpus in (args.low, args.high):
+            wait_for_weather()
             r = run_once(corpus_path, cpus, pin)
             print(f"# run: {json.dumps(r)}", file=sys.stderr)
-            if best is None or r["total_sec"] < best["total_sec"]:
-                best = r
-        results[cpus] = best
+            runs_log.append(r)
+            best = results.get(cpus)
+            if best is None or r["pairs_per_sec"] > best["pairs_per_sec"]:
+                results[cpus] = r
 
     lo, hi = results[args.low], results[args.high]
     eff = hi["pairs_per_sec"] / ((args.high / args.low) * lo["pairs_per_sec"])
@@ -171,6 +255,9 @@ def main() -> None:
         "scaling_factor": args.high / args.low,
         "efficiency": round(eff, 3),
         "cpu_pinned": pin,
+        "warmup": True,
+        "selection": "best pairs_per_sec per config, interleaved runs",
+        "all_runs": runs_log,
         "gate": "eff >= 0.8",
         "pass": eff >= 0.8,
     }

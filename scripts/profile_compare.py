@@ -45,7 +45,7 @@ def main() -> None:
     narrow = records.select(
         "record_id", "path", "prefix", "text_fp", "tok_hashes", "shingle_hashes"
     )
-    pairs = Linkage(narrow, narrow, links).links_with_both()
+    pairs = Linkage(narrow, narrow, links).links_with_both(broadcast_records=True)
 
     # baseline: join only, force row materialization via a cheap column
     t = time.time()

@@ -108,3 +108,57 @@ def test_stateful_dedupe_stream_cross_batch(spark, tmp_path):
     run_drain()
     got2 = {tuple(r) for r in spark.read.parquet(out_dir).collect()}
     assert got2 == {(1, "a"), (3, "b"), (5, "c")}
+
+
+def test_or_linker_track_rules_false_same_pairs(spark):
+    from mismo_spark.linker.key import KeyLinker
+    from mismo_spark.linker.or_ import OrLinker
+
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "b", 10), (4, "b", 20), (5, "c", 10)],
+        "record_id long, letter string, num long",
+    )
+    linkers = {
+        "letter": KeyLinker(["letter"], task="dedupe"),
+        "num": KeyLinker(["num"], task="dedupe"),
+    }
+    with_rules = OrLinker(dict(linkers), task="dedupe")(df).links
+    bare = OrLinker(dict(linkers), task="dedupe", track_rules=False)(df).links
+    assert set(bare.columns) == {"record_id_l", "record_id_r"}
+    a = {(r[0], r[1]) for r in with_rules.select("record_id_l", "record_id_r").collect()}
+    b = {(r[0], r[1]) for r in bare.collect()}
+    assert a == b and len(a) > 0
+
+
+def test_jaccard_distinct_matches_jaccard(spark):
+    from mismo_spark.sets.compare import jaccard, jaccard_distinct
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [([1, 2, 3], [2, 3, 4]), ([1], [2]), ([], [1]), ([5, 6], [5, 6])],
+        "a array<long>, b array<long>",
+    )
+    out = df.select(
+        jaccard(F.col("a"), F.col("b")).alias("j"),
+        jaccard_distinct(F.col("a"), F.col("b")).alias("jd"),
+    ).collect()
+    for r in out:
+        assert r["j"] == r["jd"]
+
+
+def test_links_with_both_broadcast_equivalent(spark):
+    from mismo_spark.types.linkage import Linkage
+
+    recs = spark.createDataFrame(
+        [(1, "x"), (2, "y"), (3, "z")], "record_id long, val string"
+    )
+    links = spark.createDataFrame(
+        [(1, 2), (2, 3)], "record_id_l long, record_id_r long"
+    )
+    plain = Linkage(recs, recs, links).links_with_both()
+    bcast = Linkage(recs, recs, links).links_with_both(broadcast_records=True)
+    assert set(plain.columns) == set(bcast.columns)
+    key = lambda r: (r["record_id_l"], r["record_id_r"])  # noqa: E731
+    assert sorted(map(key, plain.collect())) == sorted(map(key, bcast.collect()))
+    rows = {key(r): (r["val_l"], r["val_r"]) for r in bcast.collect()}
+    assert rows == {(1, 2): ("x", "y"), (2, 3): ("y", "z")}
