@@ -773,6 +773,37 @@ def _embedding_near_dup_oracle_sql(
     """
 
 
+def q_crawl_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time windowed crawl stats (mismo has no streaming; this is
+    the engine's watermarked windowed-agg operator run in batch mode,
+    where the watermark is a no-op and exact distinct is allowed).
+    Pages synthesized from orders: deterministic url/domain, warc_ts =
+    o_orderdate, text = o_comment."""
+    from mismo_spark.streaming.monitor import crawl_stats_stream
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    pages = orders.select(
+        F.concat(
+            F.lit("http://d"),
+            (F.col("o_custkey") % 50).cast("string"),
+            F.lit(".com/"),
+            F.col("o_orderkey").cast("string"),
+        ).alias("url"),
+        F.col("o_orderdate").alias("warc_ts"),
+        F.col("o_orderpriority").alias("text"),
+    )
+    out = crawl_stats_stream(
+        pages, window="1 day", watermark="1 hour", exact=True
+    )
+    return out.select(
+        F.col("window.start").cast("date").alias("day"),
+        "domain",
+        "n_pages",
+        F.col("approx_distinct_texts").alias("distinct_texts"),
+        "dup_rate",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "key_counts": q_key_counts,
@@ -809,6 +840,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emails_dimension": q_emails_dimension,
         "address_match_level": q_address_match_level,
         "embedding_near_dup": q_embedding_near_dup,
+        "crawl_stats": q_crawl_stats,
     }
 
 
@@ -1509,6 +1541,20 @@ def oracle_sql() -> dict[str, str]:
         "emails_dimension": _emails_dimension_oracle_sql(),
         "address_match_level": _address_level_oracle_sql(),
         "embedding_near_dup": _embedding_near_dup_oracle_sql(),
+        "crawl_stats": """
+            WITH p AS (
+              SELECT 'd' || (o_custkey % 50)::VARCHAR || '.com' AS domain,
+                     date_trunc('day', o_orderdate) AS day,
+                     o_orderpriority AS text
+              FROM orders
+            )
+            SELECT day, domain,
+                   count(*) AS n_pages,
+                   count(DISTINCT text) AS distinct_texts,
+                   round(1 - count(DISTINCT text)::DOUBLE / count(*), 6)
+                     AS dup_rate
+            FROM p GROUP BY day, domain
+        """,
         "minhash_lsh_block": _minhash_oracle_sql(
             shingle_size=2, band_size=2, n_bands=8, seed=42, min_jaccard=0.2
         ),

@@ -51,3 +51,69 @@ def test_incremental_link_stream(spark, tmp_path):
         F.col("new_record_id") == F.concat(F.col("existing_record_id"), F.lit("?recrawl=1"))
     ).count()
     assert self_links > 0
+
+
+def test_crawl_stats_stream_watermark(spark, tmp_path):
+    """Windowed agg with watermark: on-time rows land in their event-time
+    windows; a row arriving far behind the watermark is dropped."""
+    import datetime as dt
+
+    from mismo_spark.streaming.monitor import crawl_stats_stream
+
+    schema = "url string, warc_ts timestamp, text string"
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def ts(h, m=0):
+        return dt.datetime(2026, 1, 1, h, m)
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(in_dir)
+        q = (
+            crawl_stats_stream(stream, window="1 hour", watermark="30 minutes")
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    b1 = spark.createDataFrame(
+        [
+            ("http://a.com/1", ts(10, 5), "x"),
+            ("http://a.com/2", ts(10, 20), "x"),
+            ("http://a.com/3", ts(10, 40), "y"),
+            ("http://b.com/1", ts(10, 10), "z"),
+        ],
+        schema,
+    )
+    b1.write.mode("append").parquet(in_dir)
+    drain()
+
+    # batch 2: the watermark in force is batch 1's max event time minus
+    # the delay (10:40 − 30min = 10:10), so the 9:30 row is LATE and
+    # must be dropped; the 15:00 row advances the watermark past 11:00,
+    # finalizing (and emitting) the 10:00 windows at batch end
+    b2 = spark.createDataFrame(
+        [
+            ("http://a.com/4", ts(15, 0), "w"),
+            ("http://a.com/late", ts(9, 30), "late"),  # behind watermark
+        ],
+        schema,
+    )
+    b2.write.mode("append").parquet(in_dir)
+    drain()
+    got = {
+        (r["window"]["start"].hour, r["domain"]): (
+            r["n_pages"],
+            r["approx_distinct_texts"],
+        )
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert got.get((10, "a.com")) == (3, 2)
+    assert got.get((10, "b.com")) == (1, 1)
+    # the dropped late row must not have created a 9:00 window
+    assert not any(h == 9 for h, _ in got)
