@@ -33,6 +33,25 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 N_ENTITIES = int(os.environ.get("BENCH_N_ENTITIES", "30000"))
 
 
+def _calibrate_and_wait(extras: dict, *, min_cal_per_core: float, max_wait: int) -> None:
+    """The sandbox host's delivered CPU has multi-minute ~10× slow
+    phases (see BENCH_scaling.json / scripts/bench_scaling.py).  Wait
+    (bounded) for near-nominal CPU, and record the spin calibration so
+    the recorded timings carry their own weather context."""
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts"))
+    from bench_scaling import _calibrate
+
+    n = int(CPUS)
+    deadline = time.time() + max_wait
+    while True:
+        cal = _calibrate(n)
+        per_core = cal[f"cal_{n}core_mups"] / n
+        if per_core >= min_cal_per_core or time.time() >= deadline:
+            extras.update(cal)
+            return
+        time.sleep(20)
+
+
 def main() -> None:
     spark = get_spark(
         "mismo_spark_bench",
@@ -41,6 +60,11 @@ def main() -> None:
     )
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}
+    _calibrate_and_wait(
+        extras,
+        min_cal_per_core=float(os.environ.get("BENCH_MIN_CAL_PER_CORE", "18")),
+        max_wait=int(os.environ.get("BENCH_MAX_WEATHER_WAIT", "300")),
+    )
 
     # ---- corpus setup (untimed) ----------------------------------------
     from mismo_spark.corpus import make_corpus
@@ -64,6 +88,23 @@ def main() -> None:
     records = pipe.prepare_records(pages.drop("label_true"))
     records.persist()
     records.count()
+
+    # ---- warmup (untimed): one full block+compare execution ------------
+    # JIT-compiles the generated code and faults in working-set pages so
+    # the timed sections measure steady state (executors on a real
+    # cluster are long-lived); see BASELINE.md measurement notes.
+    t0 = time.time()
+    _wlinks = pipe.blocker()(records, records).links
+    _wnarrow = records.select(
+        "record_id", "path", "prefix", "text_fp", "tok_hashes", "shingle_hashes"
+    )
+    _wpairs = Linkage(_wnarrow, _wnarrow, _wlinks).links_with_both(
+        broadcast_records=True
+    )
+    compare(pair_features(_wpairs), pipe.comparers).agg(
+        F.count(F.lit(1)), *[F.sum(c.name) for c in pipe.comparers]
+    ).collect()
+    extras["warmup_sec"] = round(time.time() - t0, 3)
 
     # ---- q1: blocking (domain key ∪ minhash LSH) ------------------------
     t0 = time.time()
