@@ -778,7 +778,7 @@ def q_crawl_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     the engine's watermarked windowed-agg operator run in batch mode,
     where the watermark is a no-op and exact distinct is allowed).
     Pages synthesized from orders: deterministic url/domain, warc_ts =
-    o_orderdate, text = o_comment."""
+    o_orderdate, text = o_orderpriority."""
     from mismo_spark.streaming.monitor import crawl_stats_stream
 
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")

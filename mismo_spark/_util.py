@@ -91,6 +91,42 @@ def _is_smallish(df: DataFrame) -> bool:
         return False
 
 
+def estimate_broadcast_bytes(
+    df: DataFrame, *, n_rows: int | None = None, sample_rows: int = 2000
+) -> int:
+    """Estimated size of ``df`` if broadcast: row count × average
+    serialized row size measured on a small sample.
+
+    Row COUNT is the wrong unit for a broadcast decision — a "narrow"
+    record table carrying token/shingle hash arrays can be KBs per row,
+    so a rows-only gate can admit a multi-10-GB broadcast that OOMs the
+    driver.  JSON length of the sampled rows slightly over-estimates the
+    binary size (field names, digits vs varints), which is the safe
+    direction for an OOM guard."""
+    if n_rows is None:
+        n_rows = df.count()
+    if n_rows == 0:
+        return 0
+    row = (
+        df.limit(sample_rows)
+        .select(F.octet_length(F.to_json(F.struct(*df.columns))).alias("__sz"))
+        .agg(F.avg("__sz").alias("avg"))
+        .first()
+    )
+    return int((row["avg"] or 0.0) * n_rows)
+
+
+def should_broadcast(
+    df: DataFrame, *, max_bytes: int = 512 << 20, n_rows: int | None = None
+) -> bool:
+    """Byte-gated broadcast policy: hash-broadcast ``df`` only while its
+    estimated materialized size fits ``max_bytes`` (default 512 MiB —
+    comfortably under Spark's 8 GB broadcast hard limit and typical
+    executor overheads).  Beyond it, callers fall back to shuffle joins
+    (AQE still applies)."""
+    return estimate_broadcast_bytes(df, n_rows=n_rows) <= max_bytes
+
+
 def sample_table(df: DataFrame, n: int, *, method: str = "hash", seed: int = 42) -> DataFrame:
     """Deterministic approx-n sample (mismo/_util.py:196-247).
 

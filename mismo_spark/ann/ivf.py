@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import IntegerType
 
-from mismo_spark.ann import _cosine
+from mismo_spark.ann import cosine_pairs
 
 
 def _assign_udf(centroids: np.ndarray):
@@ -169,7 +169,7 @@ def ivf_topk(
         .select(
             "query_id",
             "neighbour_id",
-            _cosine(F.col("__qv"), F.col("__cv")).alias("cosine"),
+            cosine_pairs(F.col("__qv"), F.col("__cv")).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(

@@ -67,12 +67,26 @@ def minhash_near_duplicates(
     min_jaccard: float = 0.7,
     seed: int = 42,
     hasher: str = "xxhash64",
+    broadcast_records: bool | None = None,
+    broadcast_max_bytes: int = 512 << 20,
 ) -> DataFrame:
     """Shingle → minhash → band → bucket-join near-dup detection.
 
     Candidate pairs come from LSH (recall-oriented), then the exact
     token-shingle Jaccard filters to ``min_jaccard`` (precision).
-    → (record_id_l, record_id_r, jaccard_sim)."""
+    → (record_id_l, record_id_r, jaccard_sim).
+
+    ``broadcast_records`` controls the pair↔shingles join strategy for
+    the Jaccard recheck: ``True`` hash-broadcasts the narrow
+    (record_id, shingles) table so the candidate-pair table streams out
+    of the band join with ZERO pair-table shuffles — without it, both
+    shingle-array sides re-shuffle per candidate pair, the exact
+    multi-GB-exchange bottleneck the pipeline's compare stage fixed
+    (see Linkage.links_with_both).  Default ``None`` auto-gates on the
+    estimated broadcast size (byte-based, not rows — shingle arrays can
+    be KBs per record) vs ``broadcast_max_bytes``."""
+    from mismo_spark._util import should_broadcast
+
     # two-step select: tokens materialize first so the shingle HOF
     # lambda only touches attribute refs (see word_shingles_from_tokens)
     recs = df.select(
@@ -92,7 +106,12 @@ def minhash_near_duplicates(
         task="dedupe",
         hasher=hasher,
     )(recs)
-    pairs = Linkage(recs, recs, lk.links).links_with_both()
+    if broadcast_records is None:
+        recs = recs.persist()  # shingling runs once for gate + bands + recheck
+        broadcast_records = should_broadcast(recs, max_bytes=broadcast_max_bytes)
+    pairs = Linkage(recs, recs, lk.links).links_with_both(
+        broadcast_records=broadcast_records
+    )
     return pairs.select(
         ID_L,
         ID_R,

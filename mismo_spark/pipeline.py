@@ -35,6 +35,7 @@ from mismo_spark.sets.compare import jaccard_distinct
 from mismo_spark.text.features import tokenize
 from mismo_spark.text.similarity import jaro_winkler_similarity, levenshtein_ratio
 from mismo_spark.types.linkage import ID_L, ID_R, Linkage
+from mismo_spark._util import should_broadcast
 
 
 def normalized_domain(url_col) -> F.Column:
@@ -128,9 +129,11 @@ class DedupePipeline:
     max_pairs_per_key: int | None = 100_000
     em_max_pairs: int = 200_000
     # broadcast the narrow per-record feature table into the pair joins
-    # while it has at most this many records (≈ fits executor memory);
-    # beyond it, fall back to shuffle joins + bucketing
-    broadcast_records_limit: int = 5_000_000
+    # while its ESTIMATED SIZE fits this many bytes (rows are the wrong
+    # unit: the feature table carries tok/shingle hash arrays that can
+    # be KBs per record, so a row-count gate could admit a multi-GB
+    # broadcast); beyond it, fall back to shuffle joins + bucketing
+    broadcast_records_max_bytes: int = 512 << 20
     seed: int = 42
     checkpoint: bool = True
     comparers: list[EnumComparer] = field(default_factory=default_comparers)
@@ -328,7 +331,9 @@ class DedupePipeline:
             narrow = records.select(
                 "record_id", "path", "prefix", "text_fp", "tok_hashes", "shingle_hashes"
             )
-            bcast = records.count() <= self.broadcast_records_limit
+            bcast = should_broadcast(
+                narrow, max_bytes=self.broadcast_records_max_bytes
+            )
             pairs = Linkage(narrow, narrow, links).links_with_both(
                 broadcast_records=bcast
             )

@@ -124,9 +124,11 @@ class Updates:
         passes, one shuffle each, no driver materialization.
         """
         before, after = self.before(), self.after()
-        if sorted(t.columns) != sorted(before.columns):
+        t_schema = sorted((f.name, f.dataType) for f in t.schema.fields)
+        b_schema = sorted((f.name, f.dataType) for f in before.schema.fields)
+        if t_schema != b_schema:
             raise ValueError(
-                f"table columns {t.columns} != before columns {before.columns}"
+                f"table schema {t_schema} != before schema {b_schema}"
             )
         t = t.exceptAll(before.select(*t.columns))
         missing = [c for c in after.columns if c not in before.columns]
