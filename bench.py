@@ -11,6 +11,14 @@ synthetic web-page corpus (mismo has no TPC-style suite; its benchmarks
 are blocking pair-counts — ours cover blocking, comparison, scoring and
 clustering).  Corpus generation happens once, outside the timers, into
 a temp parquet.
+
+Weather-proofing: the sandbox host's delivered CPU has multi-minute
+~10× slow phases (see BENCH_scaling.json), so EVERY timed stage is
+bracketed by spin calibrations (`cal_<stage>_pre/post_mups` in the
+output) — a recorded timing carries its own evidence of the CPU it ran
+on, and a stage whose bracketing calibrations fall below
+~70% of the nominal per-core rate is re-run once (the discarded
+timing is kept in the artifact as `<stage>_discarded_sec`).
 """
 
 from __future__ import annotations
@@ -23,33 +31,53 @@ import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts"))
 
 from pyspark.sql import functions as F
 
 from mismo_spark.session import get_spark
+from bench_scaling import _calibrate
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 N_ENTITIES = int(os.environ.get("BENCH_N_ENTITIES", "30000"))
+MIN_CAL_PER_CORE = float(os.environ.get("BENCH_MIN_CAL_PER_CORE", "18"))
+# a stage is weather-poisoned (re-run once) when either bracketing
+# calibration is below this fraction of the nominal per-core rate
+RERUN_CAL_FRACTION = float(os.environ.get("BENCH_RERUN_CAL_FRACTION", "0.7"))
+STAGE_RETRIES = int(os.environ.get("BENCH_STAGE_RETRIES", "1"))
 
 
-def _calibrate_and_wait(extras: dict, *, min_cal_per_core: float, max_wait: int) -> None:
-    """The sandbox host's delivered CPU has multi-minute ~10× slow
-    phases (see BENCH_scaling.json / scripts/bench_scaling.py).  Wait
-    (bounded) for near-nominal CPU, and record the spin calibration so
-    the recorded timings carry their own weather context."""
-    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts"))
-    from bench_scaling import _calibrate
+class StageTimer:
+    """Times stages with bracketing spin calibrations; re-runs a stage
+    once when the host's delivered CPU was off-nominal during it."""
 
-    n = int(CPUS)
-    deadline = time.time() + max_wait
-    while True:
-        cal = _calibrate(n)
-        per_core = cal[f"cal_{n}core_mups"] / n
-        if per_core >= min_cal_per_core or time.time() >= deadline:
-            extras.update(cal)
-            return
-        time.sleep(20)
+    def __init__(self, n_cores: int, timings: dict, extras: dict) -> None:
+        self.n = n_cores
+        self.timings = timings
+        self.extras = extras
+        self._last_cal: float | None = None  # post-cal chains into next pre-cal
+
+    def _cal(self) -> float:
+        return _calibrate(self.n)[f"cal_{self.n}core_mups"]
+
+    def run(self, name: str, fn) -> None:
+        floor = RERUN_CAL_FRACTION * MIN_CAL_PER_CORE * self.n
+        for attempt in range(STAGE_RETRIES + 1):
+            pre = self._last_cal if self._last_cal is not None else self._cal()
+            t0 = time.time()
+            fn()
+            dt = time.time() - t0
+            post = self._cal()
+            self._last_cal = post
+            self.extras[f"cal_{name}_pre_mups"] = round(pre, 1)
+            self.extras[f"cal_{name}_post_mups"] = round(post, 1)
+            if min(pre, post) >= floor or attempt == STAGE_RETRIES:
+                self.timings[name] = round(dt, 3)
+                return
+            # poisoned: keep the evidence, re-run fresh
+            self.extras[f"{name}_discarded_sec"] = round(dt, 3)
+            self._last_cal = None
 
 
 def main() -> None:
@@ -60,11 +88,16 @@ def main() -> None:
     )
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}
-    _calibrate_and_wait(
-        extras,
-        min_cal_per_core=float(os.environ.get("BENCH_MIN_CAL_PER_CORE", "18")),
-        max_wait=int(os.environ.get("BENCH_MAX_WEATHER_WAIT", "300")),
-    )
+    n = int(CPUS)
+
+    # bounded wait for near-nominal CPU before any timing starts
+    deadline = time.time() + int(os.environ.get("BENCH_MAX_WEATHER_WAIT", "300"))
+    while True:
+        cal = _calibrate(n)
+        if cal[f"cal_{n}core_mups"] / n >= MIN_CAL_PER_CORE or time.time() >= deadline:
+            extras.update(cal)
+            break
+        time.sleep(20)
 
     # ---- corpus setup (untimed) ----------------------------------------
     from mismo_spark.corpus import make_corpus
@@ -77,8 +110,7 @@ def main() -> None:
     ).write.mode("overwrite").parquet(corpus_path)
     extras["corpus_setup_sec"] = round(time.time() - t0, 3)
     pages = spark.read.parquet(corpus_path)
-    n_pages = pages.count()
-    extras["corpus_pages"] = n_pages
+    extras["corpus_pages"] = pages.count()
 
     from mismo_spark.pipeline import DedupePipeline, pair_features
     from mismo_spark.types.linkage import Linkage
@@ -106,78 +138,105 @@ def main() -> None:
     ).collect()
     extras["warmup_sec"] = round(time.time() - t0, 3)
 
+    timer = StageTimer(n, timings, extras)
+    state: dict = {}
+
     # ---- q1: blocking (domain key ∪ minhash LSH) ------------------------
-    t0 = time.time()
-    links = pipe.blocker()(records, records).links
-    links.persist()
-    n_candidates = links.count()
-    timings["block"] = round(time.time() - t0, 3)
-    extras["candidate_pairs"] = n_candidates
-    extras["candidate_pairs_per_sec"] = round(n_candidates / timings["block"], 1)
+    def run_block():
+        if "links" in state:
+            state["links"].unpersist()
+        links = pipe.blocker()(records, records).links
+        links.persist()
+        state["n_candidates"] = links.count()
+        state["links"] = links
+
+    timer.run("block", run_block)
+    extras["candidate_pairs"] = state["n_candidates"]
+    extras["candidate_pairs_per_sec"] = round(
+        state["n_candidates"] / timings["block"], 1
+    )
 
     # ---- q2: comparison vectors ------------------------------------------
-    t0 = time.time()
-    narrow = records.select(
-        "record_id", "path", "prefix", "text_fp", "tok_hashes", "shingle_hashes"
+    def run_compare():
+        if "compared" in state:
+            state["compared"].unpersist()
+        narrow = records.select(
+            "record_id", "path", "prefix", "text_fp", "tok_hashes", "shingle_hashes"
+        )
+        pairs = Linkage(narrow, narrow, state["links"]).links_with_both(
+            broadcast_records=True
+        )
+        compared = compare(pair_features(pairs), pipe.comparers).select(
+            "record_id_l", "record_id_r", *[c.name for c in pipe.comparers]
+        )
+        compared.persist()
+        state["n_compared"] = compared.count()
+        state["compared"] = compared
+
+    timer.run("compare", run_compare)
+    extras["compared_pairs_per_sec"] = round(
+        state["n_compared"] / timings["compare"], 1
     )
-    pairs = Linkage(narrow, narrow, links).links_with_both(broadcast_records=True)
-    compared = compare(pair_features(pairs), pipe.comparers).select(
-        "record_id_l", "record_id_r", *[c.name for c in pipe.comparers]
-    )
-    compared.persist()
-    n_compared = compared.count()
-    timings["compare"] = round(time.time() - t0, 3)
-    extras["compared_pairs_per_sec"] = round(n_compared / timings["compare"], 1)
 
     # ---- q3: EM weight estimation (agreement-pattern aggregation loop) ---
-    t0 = time.time()
-    weights = pipe._train_weights(compared)
-    timings["em_train"] = round(time.time() - t0, 3)
+    def run_em():
+        state["weights"] = pipe._train_weights(state["compared"])
+
+    timer.run("em_train", run_em)
 
     # ---- q4: FS scoring ----------------------------------------------------
-    t0 = time.time()
-    scored = weights.score_compared(compared).select(
-        "record_id_l", "record_id_r", "odds"
-    )
-    scored.persist()
-    n_scored = scored.count()
-    timings["score"] = round(time.time() - t0, 3)
-    extras["scored_pairs_per_sec"] = round(n_scored / timings["score"], 1)
+    def run_score():
+        if "scored" in state:
+            state["scored"].unpersist()
+        scored = state["weights"].score_compared(state["compared"]).select(
+            "record_id_l", "record_id_r", "odds"
+        )
+        scored.persist()
+        state["n_scored"] = scored.count()
+        state["scored"] = scored
 
-    # ---- q3: threshold + connected components ---------------------------
-    t0 = time.time()
+    timer.run("score", run_score)
+    extras["scored_pairs_per_sec"] = round(state["n_scored"] / timings["score"], 1)
+
+    # ---- q5: threshold + connected components ---------------------------
     from mismo_spark.cluster.cc import connected_components
 
-    matches = scored.filter(F.col("odds") >= 10.0).select(
-        "record_id_l", "record_id_r"
-    )
-    comps = connected_components(
-        matches, records.select("record_id"), algorithm="star"
-    )
-    n_components = comps.select("component").distinct().count()
-    timings["cluster_cc"] = round(time.time() - t0, 3)
-    extras["n_components"] = n_components
+    def run_cc():
+        matches = state["scored"].filter(F.col("odds") >= 10.0).select(
+            "record_id_l", "record_id_r"
+        )
+        comps = connected_components(
+            matches, records.select("record_id"), algorithm="star"
+        )
+        state["n_components"] = comps.select("component").distinct().count()
 
-    # ---- q4: documents minhash near-dup (sf table) -----------------------
-    t0 = time.time()
+    timer.run("cluster_cc", run_cc)
+    extras["n_components"] = state["n_components"]
+
+    # ---- q6: documents minhash near-dup (sf table) -----------------------
     from mismo_spark.dedupe import minhash_near_duplicates
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").withColumn(
         "record_id", F.col("doc_id")
     )
-    n_neardup = minhash_near_duplicates(
-        docs, shingle_size=2, band_size=2, n_bands=8, min_jaccard=0.3
-    ).count()
-    timings["docs_minhash_dedupe"] = round(time.time() - t0, 3)
-    extras["docs_neardup_pairs"] = n_neardup
 
-    # ---- q5: embeddings cosine top-k -------------------------------------
-    t0 = time.time()
+    def run_minhash():
+        state["n_neardup"] = minhash_near_duplicates(
+            docs, shingle_size=2, band_size=2, n_bands=8, min_jaccard=0.3
+        ).count()
+
+    timer.run("docs_minhash_dedupe", run_minhash)
+    extras["docs_neardup_pairs"] = state["n_neardup"]
+
+    # ---- q7: embeddings cosine top-k -------------------------------------
     from mismo_spark.ann import cosine_topk
 
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
-    cosine_topk(emb, emb.limit(100), k=10).count()
-    timings["cosine_topk"] = round(time.time() - t0, 3)
+
+    def run_topk():
+        state["n_topk"] = cosine_topk(emb, emb.limit(100), k=10).count()
+
+    timer.run("cosine_topk", run_topk)
 
     total = round(sum(timings.values()), 3)
     print(
