@@ -48,27 +48,38 @@ def norm_address(address: Column) -> Column:
 
 
 def parse_street1(street1: Column) -> Column:
-    """→ struct<AddressNumber, StreetName, USPSBoxID>
-    (compact re-derivation of mismo/lib/geo/_regex_parse.py:662-686)."""
-    s = F.upper(F.trim(street1))
-    box = F.regexp_extract(s, r"^P\.?\s*O\.?\s*BOX\s+(\d+)", 1)
-    number = F.regexp_extract(s, r"^(\d+[A-Z]?)\s", 1)
-    name = F.trim(
-        F.regexp_replace(
-            F.regexp_extract(s, r"^(?:\d+[A-Z]?\s+)?(.*?)$", 1),
-            # strip a trailing street type + optional unit
-            r"\s+(ST|STREET|AVE|AVENUE|RD|ROAD|BLVD|BOULEVARD|LN|LANE|DR|DRIVE"
-            r"|CT|COURT|PL|PLACE|WAY|TER|TERRACE|CIR|CIRCLE|HWY|HIGHWAY)\.?"
-            r"(\s+(APT|UNIT|STE|SUITE|#)\.?\s*\S*)?$",
-            "",
-        )
+    """→ struct<AddressNumber, StreetNamePreDirectional, StreetName,
+    StreetNamePostType, StreetNamePostDirectional, USPSBoxID> — the
+    reference's ParsedStreet1 shape (mismo/lib/geo/_regex_parse.py:
+    653-686) over the full USPS Pub-28 vocabulary
+    (mismo_spark/lib/street_vocab.py): number, optional pre-directional,
+    1-4 word name (preferring fewer), optional post street type
+    ("TERRACE", "CIR", "PKWY", …, longest alternative first), optional
+    post-directional; or a PO-box form.  Components absent from a
+    matching line are empty strings; a line matching neither grammar
+    yields a NULL struct (same convention as the reference, which skips
+    per-field nullif for engine-performance reasons).
+
+    Six ``regexp_extract`` runs of one shared pattern per row — all
+    JVM-side, whole-stage codegen; no Python in the path."""
+    from mismo_spark.lib.street_vocab import street1_pattern
+
+    # case-insensitive match, case-preserving capture (the reference's
+    # behavior: "7100 Ridge Manor ln" parses with name "Ridge Manor")
+    s = F.trim(street1)
+    pat = "(?i)" + street1_pattern()
+    groups = {
+        "AddressNumber": 1,
+        "StreetNamePreDirectional": 2,
+        "StreetName": 3,
+        "StreetNamePostType": 4,
+        "StreetNamePostDirectional": 5,
+        "USPSBoxID": 6,
+    }
+    parsed = F.struct(
+        *[F.regexp_extract(s, pat, i).alias(n) for n, i in groups.items()]
     )
-    name = F.when(box != "", F.lit("")).otherwise(name)
-    return F.struct(
-        number.alias("AddressNumber"),
-        name.alias("StreetName"),
-        box.alias("USPSBoxID"),
-    )
+    return F.when(s.rlike(pat), parsed)
 
 
 def featurize_address(address: Column) -> Column:

@@ -59,17 +59,81 @@ def test_eval_matches_known_values(spark):
 
 def test_parse_street1(spark):
     df = spark.createDataFrame(
-        [("123 N Main St",), ("PO Box 42",), ("456 Oak Avenue Apt 3",)],
+        [("123 N Main St",), ("PO Box 42",), ("456 Oak Avenue",)],
         "s string",
     )
     out = [r["v"] for r in df.select(parse_street1(F.col("s")).alias("v")).collect()]
     assert out[0]["AddressNumber"] == "123"
-    assert out[0]["StreetName"] == "N MAIN"
+    assert out[0]["StreetNamePreDirectional"] == "N"
+    assert out[0]["StreetName"] == "Main"
+    assert out[0]["StreetNamePostType"] == "St"
     assert out[0]["USPSBoxID"] == ""
     assert out[1]["USPSBoxID"] == "42"
     assert out[1]["StreetName"] == ""
     assert out[2]["AddressNumber"] == "456"
-    assert out[2]["StreetName"] == "OAK"
+    assert out[2]["StreetName"] == "Oak"
+    assert out[2]["StreetNamePostType"] == "Avenue"
+
+
+# the reference's own parse expectations
+# (mismo/lib/geo/tests/test_re_parse.py:9-330, sans the USPSBoxGroup
+# fields we don't capture)
+_REF_PARSE_CASES = [
+    ("GENERAL DELIVERY", None),
+    ("BARRACKS ST UNIT 2", None),
+    ("4602 CR 673", ("4602", "", "CR 673", "", "", "")),
+    ("6473 FM 1798", ("6473", "", "FM 1798", "", "", "")),
+    ("1 1ST", ("1", "", "1ST", "", "", "")),
+    ("123 MAIN", ("123", "", "MAIN", "", "", "")),
+    ("123 S MAIN WEST", ("123", "S", "MAIN", "", "WEST", "")),
+    ("1 1ST ST", ("1", "", "1ST", "ST", "", "")),
+    ("7100 RIDGE MANOR LN", ("7100", "", "RIDGE MANOR", "LN", "", "")),
+    ("7100 Ridge Manor ln", ("7100", "", "Ridge Manor", "ln", "", "")),
+    ("1101B ODIN ST", ("1101B", "", "ODIN", "ST", "", "")),
+    ("1385 JUNEAU AVE", ("1385", "", "JUNEAU", "AVE", "", "")),
+    ("PO BOX 651", ("", "", "", "", "", "651")),
+    ("p.o. Box 651", ("", "", "", "", "", "651")),
+    ("604 FIFTH ST", ("604", "", "FIFTH", "ST", "", "")),
+    ("604 E  FIFTH ST", ("604", "E", "FIFTH", "ST", "", "")),
+    ("604 E  5TH ST", ("604", "E", "5TH", "ST", "", "")),
+    ("44755 STERLING HWY", ("44755", "", "STERLING", "HWY", "", "")),
+    ("100 MC CARREY ST", ("100", "", "MC CARREY", "ST", "", "")),
+    ("100 MC CARREY ST.", ("100", "", "MC CARREY", "ST", "", "")),
+    ("100 MC CARREY ST. W", ("100", "", "MC CARREY", "ST", "W", "")),
+    ("100 MC CARREY ST. W.", ("100", "", "MC CARREY", "ST", "W", "")),
+    ("100 St. Johann Loop", ("100", "", "St. Johann", "Loop", "", "")),
+    ("1015 OTTER RUN", ("1015", "", "OTTER", "RUN", "", "")),
+    (
+        "9950 STEPHEN RICHARDS MEMORIAL DR",
+        ("9950", "", "STEPHEN RICHARDS MEMORIAL", "DR", "", ""),
+    ),
+    ("123 MAIN TERRACE", ("123", "", "MAIN", "TERRACE", "", "")),
+    ("45 OAK CIRCLE", ("45", "", "OAK", "CIRCLE", "", "")),
+    ("9 LIBERTY PARKWAY", ("9", "", "LIBERTY", "PARKWAY", "", "")),
+]
+
+
+def test_parse_street1_reference_parity(spark):
+    df = spark.createDataFrame([(s,) for s, _ in _REF_PARSE_CASES], "s string")
+    got = {
+        r["s"]: r["v"]
+        for r in df.select("s", parse_street1(F.col("s")).alias("v")).collect()
+    }
+    fields = (
+        "AddressNumber",
+        "StreetNamePreDirectional",
+        "StreetName",
+        "StreetNamePostType",
+        "StreetNamePostDirectional",
+        "USPSBoxID",
+    )
+    for s, expected in _REF_PARSE_CASES:
+        v = got[s]
+        if expected is None:
+            assert v is None, (s, v)
+        else:
+            assert v is not None, s
+            assert tuple(v[f] for f in fields) == expected, (s, v)
 
 
 @pytest.fixture
