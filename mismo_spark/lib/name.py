@@ -1,8 +1,10 @@
 """Person-name normalization and comparison helpers.
 
 Semantics of mismo/lib/name/_clean.py:11-79,
-mismo/lib/name/_nicknames.py:68-125 (nickname data reduced to a small
-built-in sample; real deployments would broadcast a full table), and
+mismo/lib/name/_nicknames.py:68-125 (the built-in sample is a
+fallback — pass a CSV path / pair list / DataFrame anywhere a
+``pairs``/``nickname_pairs`` argument appears to use a full table;
+see ``load_nickname_pairs``), and
 mismo/lib/name/_compare.py:12-155 (NameMatchLevel / NameComparer).
 """
 
@@ -55,10 +57,43 @@ def name_tokens(*cols: Column) -> Column:
     return F.flatten(F.array(*arrays))
 
 
-def nickname_pairs(spark) -> DataFrame:
-    """(canonical, nick) pairs — broadcast-sized lookup
-    (mismo/lib/name/_nicknames.py:106-125)."""
-    return spark.createDataFrame(_NICKNAME_PAIRS, "canonical string, nick string")
+def load_nickname_pairs(source) -> list[tuple[str, str]]:
+    """Resolve a nickname-pair source to a list of (canonical, nick).
+
+    ``source`` may be ``None`` (the built-in sample), an existing list
+    of pairs, or a path to a two-column CSV (``canonical,nick``; a
+    header row is auto-detected and skipped).  The table is
+    broadcast-sized by contract — the reference materializes the whole
+    `nicknames` package lookup the same way
+    (mismo/lib/name/_nicknames.py:86-105) — so a driver-side read is
+    the right shape: the pairs become literals / a broadcast join, and
+    executors never touch the file."""
+    if source is None:
+        return list(_NICKNAME_PAIRS)
+    if isinstance(source, list):
+        return source
+    import csv
+
+    pairs: list[tuple[str, str]] = []
+    with open(source, newline="") as f:
+        for i, row in enumerate(csv.reader(f)):
+            if not row or len(row) < 2:
+                continue
+            a, b = row[0].strip(), row[1].strip()
+            if i == 0 and {a.lower(), b.lower()} & {"canonical", "nick", "nickname"}:
+                continue  # header row
+            if a and b:
+                pairs.append((a, b))
+    return pairs
+
+
+def nickname_pairs(spark, source=None) -> DataFrame:
+    """(canonical, nick) pairs as a broadcast-sized lookup table
+    (mismo/lib/name/_nicknames.py:106-125).  ``source`` as in
+    :func:`load_nickname_pairs`."""
+    return spark.createDataFrame(
+        load_nickname_pairs(source), "canonical string, nick string"
+    )
 
 
 def with_nickname_match(
@@ -67,16 +102,16 @@ def with_nickname_match(
     b,
     *,
     out: str = "is_nickname_match",
-    pairs: DataFrame | None = None,
+    pairs: DataFrame | str | None = None,
 ) -> DataFrame:
     """Add a boolean column: (a, b) is a known (canonical, nick) pair in
     either direction — a broadcast join against the nickname table
     (mismo/lib/name/_nicknames.py:68-103).  ``a``/``b`` are column names
-    or Columns."""
+    or Columns; ``pairs`` a prepared DataFrame, a CSV path, or None."""
     a = df[a] if isinstance(a, str) else a
     b = df[b] if isinstance(b, str) else b
-    if pairs is None:
-        pairs = nickname_pairs(df.sparkSession)
+    if pairs is None or isinstance(pairs, str):
+        pairs = nickname_pairs(df.sparkSession, pairs)
     sym = pairs.unionByName(
         pairs.select(
             F.col("nick").alias("canonical"), F.col("canonical").alias("nick")
@@ -115,17 +150,20 @@ class NameMatchLevel(IntEnum):
 NAME_FIELDS = ("prefix", "given", "middle", "surname", "suffix", "nickname")
 
 
-def are_aliases(a: Column, b: Column, *, pairs: list[tuple[str, str]] | None = None) -> Column:
+def are_aliases(
+    a: Column, b: Column, *, pairs: list[tuple[str, str]] | str | None = None
+) -> Column:
     """True when the two names are nickname-interchangeable (either
     direction) or equal; case-insensitive, ends-trimmed
     (mismo/lib/name/_compare.py's are_aliases via
-    mismo/lib/name/_nicknames.py:21-84).
+    mismo/lib/name/_nicknames.py:21-84).  ``pairs`` may be a list, a
+    CSV path, or None (built-in sample) — see
+    :func:`load_nickname_pairs`.
 
     The nickname data is a broadcast-sized literal set, so this stays a
     pure column expression (``isin`` over literals — same shape as the
     reference's ``needle.isin(memtable column)``)."""
-    if pairs is None:
-        pairs = _NICKNAME_PAIRS
+    pairs = load_nickname_pairs(pairs)
     an = F.lower(F.trim(a))
     bn = F.lower(F.trim(b))
     needle = F.concat_ws("\x1f", an, bn)
@@ -165,7 +203,7 @@ def name_match_level(
     left: Column,
     right: Column,
     *,
-    nickname_pairs: list[tuple[str, str]] | None = None,
+    nickname_pairs: list[tuple[str, str]] | str | None = None,
 ) -> Column:
     """Agreement level of two name structs
     (struct<prefix,given,middle,surname,suffix,nickname>), assumed
@@ -221,7 +259,7 @@ class NameComparer:
         right_column: str = "name_r",
         *,
         result_column: str | None = None,
-        nickname_pairs: list[tuple[str, str]] | None = None,
+        nickname_pairs: list[tuple[str, str]] | str | None = None,
     ) -> None:
         self.left_column = left_column
         self.right_column = right_column

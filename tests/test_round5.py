@@ -155,3 +155,51 @@ def test_updates_apply_type_mismatch_raises(spark):
     wrong = spark.createDataFrame([(1, 2)], "record_id long, v long")
     with pytest.raises(ValueError, match="schema"):
         ups.apply_to(wrong)
+
+
+def test_nickname_csv_loader_through_name_comparer(spark):
+    import os
+
+    from mismo_spark.lib.name import (
+        NameComparer,
+        NameMatchLevel,
+        load_nickname_pairs,
+        with_nickname_match,
+    )
+
+    path = os.path.join(os.path.dirname(__file__), "fixtures", "nicknames.csv")
+    pairs = load_nickname_pairs(path)
+    assert len(pairs) >= 100
+    assert ("THEODORE", "TED") in pairs
+
+    def name(given, surname):
+        return (None, given, None, surname, None, None)
+
+    schema_one = (
+        "struct<prefix:string,given:string,middle:string,"
+        "surname:string,suffix:string,nickname:string>"
+    )
+    rows = [
+        (name("THEODORE", "SMITH"), name("TED", "SMITH")),     # fixture-only pair
+        (name("PEGGY", "JONES"), name("MARGARET", "JONES")),   # reverse direction
+        (name("XELDA", "SMITH"), name("QUORN", "SMITH")),      # no alias
+    ]
+    df = spark.createDataFrame(rows, f"name_l {schema_one}, name_r {schema_one}")
+    out = NameComparer(nickname_pairs=path)(df).collect()
+    levels = [r["name_l_vs_name_r"] for r in out]
+    assert levels[0] == int(NameMatchLevel.NICKNAMES)
+    assert levels[1] == int(NameMatchLevel.NICKNAMES)
+    assert levels[2] == int(NameMatchLevel.ELSE)
+
+    # THEODORE/TED is NOT in the 14-pair built-in sample
+    default_out = NameComparer()(df).collect()
+    assert default_out[0]["name_l_vs_name_r"] != int(NameMatchLevel.NICKNAMES)
+
+    # DataFrame-join path accepts the CSV too
+    flat = spark.createDataFrame(
+        [("Theodore", "Ted"), ("Alice", "Bob")], "a string, b string"
+    )
+    got = {r["a"]: r["is_nickname_match"] for r in with_nickname_match(
+        flat, "a", "b", pairs=path
+    ).collect()}
+    assert got == {"Theodore": True, "Alice": False}
