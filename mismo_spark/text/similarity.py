@@ -218,26 +218,22 @@ def damerau_levenshtein(a: Column, b: Column) -> Column:
 
 
 def double_metaphone(a: Column) -> Column:
-    """Phonetic codes → array<string> (mismo/text/_similarity.py:9-36).
+    """Phonetic codes → array<string> [primary, secondary]
+    (mismo/text/_similarity.py:9-36: "catherine" → ['K0RN', 'KTRN'],
+    "" → ['', ''], NULL → NULL).
 
-    The reference treats this as an OPTIONAL per-row python UDF over the
-    ``doublemetaphone`` package; that package is not in this container,
-    so this is gated the same way (Arrow pandas UDF when available)."""
-    try:
-        from doublemetaphone import doublemetaphone  # type: ignore
-    except ImportError as e:  # pragma: no cover
-        raise NotImplementedError(
-            "double_metaphone requires the optional 'doublemetaphone' "
-            "package (same optional-extra status as the reference, "
-            "mismo/text/_similarity.py:9-36)"
-        ) from e
-
+    The reference gates this behind the optional ``doublemetaphone``
+    package; here the algorithm is vendored
+    (mismo_spark/text/_metaphone.py) and mapped over Arrow batches —
+    no optional dependency, no per-row Python UDF."""
     from pyspark.sql.types import ArrayType, StringType
+
+    from mismo_spark.text._metaphone import double_metaphone_str
 
     @F.pandas_udf(ArrayType(StringType()))
     def _dm_udf(s: pd.Series) -> pd.Series:
         return s.map(
-            lambda x: [c for c in doublemetaphone(x) if c] if x is not None else None
+            lambda x: list(double_metaphone_str(x)) if x is not None else None
         )
 
     return _dm_udf(a)

@@ -203,3 +203,25 @@ def test_nickname_csv_loader_through_name_comparer(spark):
         flat, "a", "b", pairs=path
     ).collect()}
     assert got == {"Theodore": True, "Alice": False}
+
+
+def test_double_metaphone_reference_vectors(spark):
+    from mismo_spark.text.similarity import double_metaphone
+
+    # the reference's own expectations
+    # (mismo/text/tests/test_similarity.py:9-22)
+    cases = [
+        ("hello", ["HL", "HL"]),
+        ("world", ["ARLT", "FRLT"]),
+        ("hello world", ["HLRLT", "HLRLT"]),
+        ("catherine", ["K0RN", "KTRN"]),
+        ("", ["", ""]),
+        (None, None),
+    ]
+    df = spark.createDataFrame([(s,) for s, _ in cases], "s string")
+    got = {
+        r["s"]: r["dm"]
+        for r in df.select("s", double_metaphone(F.col("s")).alias("dm")).collect()
+    }
+    for s, expected in cases:
+        assert got[s] == expected, (s, got[s])
