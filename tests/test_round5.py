@@ -225,3 +225,27 @@ def test_double_metaphone_reference_vectors(spark):
     }
     for s, expected in cases:
         assert got[s] == expected, (s, got[s])
+
+
+def test_ivf_partitioned_write_prunes_probes(spark, tmp_path):
+    from mismo_spark.ann.ivf import ivf_assign, train_centroids
+
+    vecs = _unit_vectors(200, 16, seed=5)
+    df = _vec_df(spark, vecs)
+    centroids = train_centroids(df, n_lists=4, sample_size=200, seed=5)
+    path = str(tmp_path / "ivf_corpus")
+    ivf_assign(df, centroids).write.partitionBy("cell").parquet(path)
+
+    indexed = spark.read.parquet(path)
+    probed = indexed.filter(F.col("cell").isin(0, 2))
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    # the cell predicate must reach the scan as a partition filter,
+    # not a post-scan Filter: that is what makes probes prune
+    assert "PartitionFilters" in plan
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "cell" in m.group(1), plan[:2000]
+    # and the scan reads only the probed cells' files
+    files = {r["f"] for r in probed.select(
+        F.input_file_name().alias("f")
+    ).distinct().collect()}
+    assert files and all("cell=0" in f or "cell=2" in f for f in files)
