@@ -721,14 +721,13 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _embedding_near_dup_oracle_sql(
-    *, dim: int = 64, n_bands: int = 8, band_bits: int = 8, seed: int = 42
+def _hyperplane_bucket_sql(
+    *, dim: int, n_bands: int, band_bits: int, seed: int
 ) -> str:
-    """DuckDB replay of q_embedding_near_dup: the SAME seeded
-    hyperplanes (numpy RandomState draw order matches
-    mismo_spark/ann/__init__.py hyperplane_buckets) folded in as list
-    literals, sign-bit buckets packed identically, bucket self-join,
-    then the exact-cosine recheck with the same dot/√·√ formula."""
+    """SQL list literal of the n_bands bucket keys for a DOUBLE[] column
+    ``v``: the SAME seeded hyperplanes (numpy RandomState draw order
+    matches mismo_spark/ann/__init__.py hyperplane_buckets) folded in as
+    list literals, sign-bit buckets packed identically."""
     import numpy as np
 
     rng = np.random.RandomState(seed)
@@ -743,7 +742,18 @@ def _embedding_near_dup_oracle_sql(
                 f"THEN {1 << j} ELSE 0 END)"
             )
         buckets.append("(" + " + ".join(bits) + f" + {b << 32})")
-    bucket_arr = "[" + ",\n ".join(buckets) + "]"
+    return "[" + ",\n ".join(buckets) + "]"
+
+
+def _embedding_near_dup_oracle_sql(
+    *, dim: int = 64, n_bands: int = 8, band_bits: int = 8, seed: int = 42
+) -> str:
+    """DuckDB replay of q_embedding_near_dup: seeded-hyperplane buckets
+    (see _hyperplane_bucket_sql), bucket self-join, then the
+    exact-cosine recheck with the same dot/√·√ formula."""
+    bucket_arr = _hyperplane_bucket_sql(
+        dim=dim, n_bands=n_bands, band_bits=band_bits, seed=seed
+    )
     return f"""
         WITH b AS (
           SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings
@@ -770,6 +780,77 @@ def _embedding_near_dup_oracle_sql(
           JOIN allv c ON c.id = cand.id_r
         )
         SELECT id_l, id_r, cosine FROM scored WHERE cosine >= 0.95
+    """
+
+
+def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH approximate cosine top-k
+    (mismo_spark/ann/lsh_cosine_topk: corpus explodes to (id, bucket)
+    rows, queries broadcast with their vectors, exact cosine_pairs
+    re-rank within shared-bucket candidates).  Queries are perturbed
+    copies of every 25th corpus vector (+0.05 on element 1, id+200000)
+    so each query has a strong planted neighbour; the oracle replays
+    the identical seeded hyperplanes as SQL literals, so candidate
+    generation AND the re-rank are both value-checked."""
+    from mismo_spark.ann import lsh_cosine_topk
+
+    emb = _emb(spark, sf_dir)
+    v = F.col("embedding").cast("array<double>")
+    corpus = emb.select("vec_id", v.alias("embedding"))
+    pert = F.concat(
+        F.array(F.element_at(v, 1) + F.lit(0.05)), F.slice(v, 2, 63)
+    )
+    queries = emb.filter(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 200000).alias("vec_id"), pert.alias("embedding")
+    )
+    out = lsh_cosine_topk(
+        corpus, queries, k=5, dim=64, n_bands=16, band_bits=8, seed=42
+    )
+    return out.select(
+        "query_id", "neighbour_id", F.round("cosine", 6).alias("cosine")
+    )
+
+
+def _lsh_topk_oracle_sql(
+    *, dim: int = 64, n_bands: int = 16, band_bits: int = 8, seed: int = 42
+) -> str:
+    """DuckDB replay of q_lsh_topk: same seeded hyperplane buckets on
+    both sides, bucket equi-join, distinct (query, neighbour) pairs,
+    exact cosine, per-query top-5 window."""
+    bucket_arr = _hyperplane_bucket_sql(
+        dim=dim, n_bands=n_bands, band_bits=band_bits, seed=seed
+    )
+    return f"""
+        WITH c AS (
+          SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings
+        ),
+        q AS (
+          SELECT id + 200000 AS id, [v[1] + 0.05] || v[2:] AS v
+          FROM c WHERE id % 25 = 0
+        ),
+        ck AS (SELECT id, v, unnest({bucket_arr}) AS bucket FROM c),
+        qk AS (SELECT id, v, unnest({bucket_arr}) AS bucket FROM q),
+        cand AS (
+          SELECT DISTINCT qk.id AS query_id, ck.id AS neighbour_id
+          FROM ck JOIN qk ON ck.bucket = qk.bucket AND ck.id <> qk.id
+        ),
+        scored AS (
+          SELECT query_id, neighbour_id,
+                 list_dot_product(qv.v, cv.v)
+                   / (sqrt(list_dot_product(qv.v, qv.v))
+                      * sqrt(list_dot_product(cv.v, cv.v))) AS cosine
+          FROM cand
+          JOIN q qv ON qv.id = cand.query_id
+          JOIN c cv ON cv.id = cand.neighbour_id
+        ),
+        ranked AS (
+          SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbour_id ASC
+          ) AS rn
+          FROM scored
+        )
+        SELECT query_id, neighbour_id, round(cosine, 6) AS cosine
+        FROM ranked WHERE rn <= 5
     """
 
 
@@ -840,6 +921,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emails_dimension": q_emails_dimension,
         "address_match_level": q_address_match_level,
         "embedding_near_dup": q_embedding_near_dup,
+        "lsh_topk": q_lsh_topk,
         "crawl_stats": q_crawl_stats,
     }
 
@@ -1541,6 +1623,7 @@ def oracle_sql() -> dict[str, str]:
         "emails_dimension": _emails_dimension_oracle_sql(),
         "address_match_level": _address_level_oracle_sql(),
         "embedding_near_dup": _embedding_near_dup_oracle_sql(),
+        "lsh_topk": _lsh_topk_oracle_sql(),
         "crawl_stats": """
             WITH p AS (
               SELECT 'd' || (o_custkey % 50)::VARCHAR || '.com' AS domain,
