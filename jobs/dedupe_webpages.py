@@ -34,6 +34,12 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--lsh-band-size", type=int, default=2)
     ap.add_argument("--lsh-n-bands", type=int, default=32)
     ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument(
+        "--broadcast-max-bytes", type=int, default=512 << 20,
+        help="broadcast the per-record feature table into pair joins while "
+        "its estimated size fits this (0 disables; size it to executor "
+        "memory on the cluster)",
+    )
     ap.add_argument("--weights-json", default=None, help="pre-trained weights (skip EM)")
     ap.add_argument("--lang", default=None, help="optional language filter, e.g. 'en'")
     args = ap.parse_args(argv)
@@ -66,6 +72,7 @@ def main(argv: list[str] | None = None) -> None:
         lsh_band_size=args.lsh_band_size,
         lsh_n_bands=args.lsh_n_bands,
         seed=args.seed,
+        broadcast_records_max_bytes=args.broadcast_max_bytes,
     )
     components = pipe.run(spark, pages)
     components.write.mode("overwrite").parquet(args.output)
