@@ -165,26 +165,55 @@ class MinhashLshLinker:
             right = left
         task = infer_task(left, right, self.task)
 
-        # IDENTICAL plan shape for both sides of a self-join: Spark's
-        # ReusedExchange then computes the (expensive) minhash
-        # aggregation + shuffle ONCE and feeds both join inputs.
-        if task == "dedupe" and left is right:
+        if task == "dedupe":
+            # Bucket-combination plan: group the banded rows by bucket,
+            # sort each bucket's ids, emit the i<j combinations.  Same
+            # pair set as a band self-join + `id_l < id_r` filter, but
+            # ONE hash aggregation instead of a sort-merge self-join:
+            # the 2 per-side sorts disappear, the banded exchange is
+            # read once not twice, and the Σn² self-matches / reversed
+            # duplicates are never materialized (measured: the SMJ
+            # emitted 16.8M raw rows for 3.85M kept pairs at 283k docs).
+            # The quadratic blowup inside one giant bucket is the SAME
+            # as the join's (Σ n_b²) — huge-bucket corpora need a
+            # semantic cap either way (cf. KeyLinker.max_pairs).
             keyed = self._banded(left)
-            lx = keyed.alias("l")
-            rx = keyed.alias("r")
+            # xxhash64 band keys already fold the band index into the
+            # 64-bit key (`xxhash64(*mins, lit(b))`); md5 keys are raw
+            # digest concatenations, so they need the band column to
+            # disambiguate equal digests across bands.
+            group_cols = ["__key"] if self.hasher == "xxhash64" else ["__band", "__key"]
+            buckets = (
+                keyed.groupBy(*group_cols)
+                .agg(F.sort_array(F.collect_list("record_id")).alias("__ids"))
+                .filter(F.size("__ids") >= 2)
+            )
+            # 2-arg transform lambda receives (element, 0-based index):
+            # pair each id with every LATER id in the sorted bucket
+            ids = F.col("__ids")
+            combos = F.flatten(
+                F.transform(
+                    ids,
+                    lambda x, i: F.transform(
+                        F.slice(ids, i + F.lit(2), F.size(ids) - i - F.lit(1)),
+                        lambda y: F.struct(x.alias("l"), y.alias("r")),
+                    ),
+                )
+            )
+            pairs = buckets.select(F.explode(combos).alias("__p")).select(
+                F.col("__p.l").alias(ID_L), F.col("__p.r").alias(ID_R)
+            )
         else:
             lx = self._banded(left).alias("l")
             rx = self._banded(right).alias("r")
-        pairs = lx.join(
-            rx,
-            (F.col("l.__band") == F.col("r.__band"))
-            & (F.col("l.__key") == F.col("r.__key")),
-            "inner",
-        ).select(
-            F.col("l.record_id").alias(ID_L), F.col("r.record_id").alias(ID_R)
-        )
-        if task == "dedupe":
-            pairs = pairs.filter(F.col(ID_L) < F.col(ID_R))
+            pairs = lx.join(
+                rx,
+                (F.col("l.__band") == F.col("r.__band"))
+                & (F.col("l.__key") == F.col("r.__key")),
+                "inner",
+            ).select(
+                F.col("l.record_id").alias(ID_L), F.col("r.record_id").alias(ID_R)
+            )
         links = pairs.dropDuplicates([ID_L, ID_R])
         return Linkage(left=left, right=right, links=links)
 
