@@ -885,6 +885,115 @@ def q_crawl_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_unnest_linker(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UnnestLinker: block where ANY array element matches
+    (mismo/linker/_unnest.py:12-99).  Tokens ≥ 7 chars keep keys rare —
+    the idf-style filtering token blocking wants at scale."""
+    from mismo_spark.linker.unnest import UnnestLinker
+    from mismo_spark.text.features import tokenize
+
+    docs = _docs(spark, sf_dir).select(
+        "record_id",
+        F.filter(
+            F.array_distinct(tokenize(F.lower(F.col("text")))),
+            lambda t: F.length(t) >= 7,
+        ).alias("tokens"),
+    )
+    return UnnestLinker("tokens", task="dedupe")(docs).links
+
+
+def q_join_linker(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JoinLinker: arbitrary condition incl. a non-equi band, with the
+    slow-join plan guard active (mismo/linker/_join_linker.py:13-68 +
+    mismo/joins/_analyze.py:13-153).  Equi on o_custkey keeps Catalyst
+    on a hash join; the price band is a post-join filter."""
+    from mismo_spark.linker.join import JoinLinker
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_orderkey").alias("record_id"), "o_custkey", "o_totalprice"
+    )
+
+    def cond(l: DataFrame, r: DataFrame):
+        return (l["o_custkey"] == r["o_custkey"]) & (
+            F.abs(l["o_totalprice"] - r["o_totalprice"]) < 1000
+        )
+
+    return JoinLinker(cond, task="dedupe")(orders).links
+
+
+def q_id_linker(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDLinker: shared-identifier linkage, nulls never match
+    (mismo/linker/_id_linker.py:13-127).  Synthetic id: doc_id % 97,
+    null for one source to exercise the null policy."""
+    from mismo_spark.linker.id import IDLinker
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "ssn",
+        F.when(F.col("source") != "web", F.col("doc_id") % 97),
+    )
+    return IDLinker("ssn", task="dedupe")(docs).links
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-trigram-set Jaccard near-dup with a blocking key
+    (mismo-adjacent; SURVEY §2.13 n-gram Jaccard dedup)."""
+    from mismo_spark.dedupe import ngram_jaccard_pairs
+
+    docs = _docs(spark, sf_dir)
+    return ngram_jaccard_pairs(
+        docs, "text", n=3, blocking_key="source", min_jaccard=0.35
+    ).withColumn("jaccard_sim", F.round("jaccard_sim", 6))
+
+
+def q_re_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named-group regex → struct extraction
+    (mismo/text/_re_extract.py:14-72), flattened for comparison."""
+    from mismo_spark.text.re_extract import re_extract_struct
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    ex = re_extract_struct(
+        F.col("o_orderpriority"), r"(?P<rank>\d+)-(?P<label>[A-Z ]+)"
+    )
+    return orders.select(
+        "o_orderkey", ex.alias("__ex")
+    ).select(
+        "o_orderkey",
+        F.col("__ex.rank").alias("rank"),
+        F.col("__ex.label").alias("label"),
+    )
+
+
+def q_name_blocker(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NameBlocker: 6×6 cross of name-part equi-joins, catches swapped
+    given↔surname (mismo/lib/name/_blocker.py:12-104).  Names are made
+    rare with a per-customer numeric suffix so no key explodes; ~1 in 7
+    right-side names swaps given/surname."""
+    from mismo_spark.lib.name_blocker import NameBlocker
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    k = F.col("c_custkey")
+    giv = F.concat(
+        F.element_at(F.array(*[F.lit(g) for g in _GIVENS]), (k % 9 + 1).cast("int")),
+        (k % 53).cast("string"),
+    )
+    sur = F.concat(
+        F.element_at(F.array(*[F.lit(s) for s in _SURNAMES]), (k % 7 + 1).cast("int")),
+        ((k + 3) % 53).cast("string"),
+    )
+    swapped = (k % 7) == 0
+    empty = F.lit("")
+    name = F.struct(
+        empty.alias("prefix"),
+        F.when(swapped, sur).otherwise(giv).alias("given"),
+        empty.alias("middle"),
+        F.when(swapped, giv).otherwise(sur).alias("surname"),
+        empty.alias("suffix"),
+        empty.alias("nickname"),
+    )
+    recs = cust.select(F.col("c_custkey").alias("record_id"), name.alias("name"))
+    return NameBlocker(column="name", max_pairs=None, task="dedupe")(recs).links
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "key_counts": q_key_counts,
@@ -923,6 +1032,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "lsh_topk": q_lsh_topk,
         "crawl_stats": q_crawl_stats,
+        "unnest_linker": q_unnest_linker,
+        "join_linker": q_join_linker,
+        "id_linker": q_id_linker,
+        "ngram_jaccard": q_ngram_jaccard,
+        "re_extract": q_re_extract,
+        "name_blocker": q_name_blocker,
     }
 
 
@@ -1637,6 +1752,87 @@ def oracle_sql() -> dict[str, str]:
                    round(1 - count(DISTINCT text)::DOUBLE / count(*), 6)
                      AS dup_rate
             FROM p GROUP BY day, domain
+        """,
+        "unnest_linker": f"""
+            WITH d AS (
+              SELECT doc_id,
+                     list_filter({_TOKENS}, t -> length(t) >= 7) AS toks
+              FROM documents
+            ),
+            e AS (SELECT doc_id, unnest(toks) AS tok FROM d)
+            SELECT DISTINCT a.doc_id AS record_id_l, b.doc_id AS record_id_r
+            FROM e a JOIN e b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        """,
+        "join_linker": """
+            SELECT a.o_orderkey AS record_id_l, b.o_orderkey AS record_id_r
+            FROM orders a JOIN orders b
+              ON a.o_custkey = b.o_custkey
+             AND abs(a.o_totalprice - b.o_totalprice) < 1000
+             AND a.o_orderkey < b.o_orderkey
+        """,
+        "id_linker": """
+            WITH d AS (
+              SELECT doc_id,
+                     CASE WHEN source <> 'web' THEN doc_id % 97 END AS ssn
+              FROM documents
+            )
+            SELECT a.doc_id AS record_id_l, b.doc_id AS record_id_r
+            FROM d a JOIN d b ON a.ssn = b.ssn AND a.doc_id < b.doc_id
+        """,
+        "ngram_jaccard": """
+            WITH d AS (
+              SELECT doc_id, source,
+                     list_distinct(
+                       list_transform(
+                         generate_series(1, greatest(length(lower(text)) - 2, 0)),
+                         i -> substring(lower(text), i, 3))) AS grams
+              FROM documents
+            ),
+            pairs AS (
+              SELECT a.doc_id AS record_id_l, b.doc_id AS record_id_r,
+                     CASE WHEN len(list_intersect(a.grams, b.grams)) = 0 THEN 0.0
+                          ELSE len(list_intersect(a.grams, b.grams))::DOUBLE
+                               / len(list_distinct(list_concat(a.grams, b.grams)))
+                     END AS j
+              FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
+            )
+            SELECT record_id_l, record_id_r, round(j, 6) AS jaccard_sim
+            FROM pairs WHERE j >= 0.35
+        """,
+        "re_extract": """
+            SELECT o_orderkey,
+                   regexp_extract(o_orderpriority, '(\\d+)-([A-Z ]+)', 1) AS rank,
+                   regexp_extract(o_orderpriority, '(\\d+)-([A-Z ]+)', 2) AS label
+            FROM orders
+        """,
+        "name_blocker": """
+            WITH c AS (
+              SELECT c_custkey AS id,
+                     (['WILLIAM','ROBERT','RICHARD','MARGARET','ELIZABETH',
+                       'JAMES','JOHN','KATHERINE','MICHAEL'])[
+                       (c_custkey % 9 + 1)::INT]
+                       || (c_custkey % 53)::VARCHAR AS giv,
+                     (['SMITH','JOHNSON','WILLIAMS','BROWN','JONES','GARCIA',
+                       'MILLER'])[(c_custkey % 7 + 1)::INT]
+                       || ((c_custkey + 3) % 53)::VARCHAR AS sur,
+                     c_custkey % 7 = 0 AS swapped
+              FROM customer
+            ),
+            n AS (
+              SELECT id,
+                     CASE WHEN swapped THEN sur ELSE giv END AS given,
+                     CASE WHEN swapped THEN giv ELSE sur END AS surname
+              FROM c
+            ),
+            p AS (
+              SELECT id, given AS val FROM n
+                WHERE given IS NOT NULL AND given <> ''
+              UNION ALL
+              SELECT id, surname AS val FROM n
+                WHERE surname IS NOT NULL AND surname <> ''
+            )
+            SELECT DISTINCT a.id AS record_id_l, b.id AS record_id_r
+            FROM p a JOIN p b ON a.val = b.val AND a.id < b.id
         """,
         "minhash_lsh_block": _minhash_oracle_sql(
             shingle_size=2, band_size=2, n_bands=8, seed=42, min_jaccard=0.2

@@ -56,14 +56,36 @@ def make_linkage(
     task = infer_task(left, right, task)
     l = left.alias("__mismo_l")
     r = right.alias("__mismo_r")
-    cond = condition_builder(l, r)
+    # The builder gets alias-qualified resolvers, NOT the DataFrames:
+    # df.alias(x)["col"] binds to the ORIGINAL attribute id, which is
+    # ambiguous when left and right share a plan (self-join dedupe).
+    # F.col("alias.col") resolves through the SubqueryAlias instead.
+    cond = condition_builder(_Side(l, "__mismo_l"), _Side(r, "__mismo_r"))
     if task == "dedupe":
         # halve the self-join: record_id_l < record_id_r
         # (mismo/linker/_key_linker.py:192)
-        cond = cond & (l["record_id"] < r["record_id"])
+        cond = cond & (F.col("__mismo_l.record_id") < F.col("__mismo_r.record_id"))
     links = l.join(r, cond, how).select(
-        l["record_id"].alias(ID_L),
-        r["record_id"].alias(ID_R),
+        F.col("__mismo_l.record_id").alias(ID_L),
+        F.col("__mismo_r.record_id").alias(ID_R),
         *(extra_link_cols or []),
     )
     return Linkage(left=left, right=right, links=links)
+
+
+class _Side:
+    """One side of a blocking join: ``side["col"]`` / ``side.col`` give
+    alias-qualified columns that stay unambiguous in self-joins; other
+    DataFrame attributes (``columns``, ``schema``, …) pass through."""
+
+    def __init__(self, df: DataFrame, alias: str) -> None:
+        self._df = df
+        self._alias = alias
+
+    def __getitem__(self, name: str) -> Column:
+        return F.col(f"{self._alias}.{name}")
+
+    def __getattr__(self, name: str):
+        if name in self._df.columns:
+            return F.col(f"{self._alias}.{name}")
+        return getattr(self._df, name)

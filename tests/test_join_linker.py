@@ -53,3 +53,19 @@ def test_check_join_plan_direct(t1, t2):
     with pytest.raises(SlowJoinError):
         check_join_plan(cross, "error")
     check_join_plan(cross, "ignore")  # no-op
+
+
+def test_self_join_dedupe_same_dataframe(t1):
+    # df.alias(x)["col"] binds the original attribute id, which Spark
+    # rejects as ambiguous when both sides share the plan; the _Side
+    # resolver must keep self-join dedupe working on the SAME DataFrame.
+    lk = JoinLinker(lambda l, r: l["int"] == r["int"] - 1, task="dedupe",
+                    on_slow="ignore")(t1, t1)
+    got = {(r["record_id_l"], r["record_id_r"]) for r in lk.links.collect()}
+    assert got == {(0, 1), (1, 2)}
+
+
+def test_condition_attribute_access(t1, t2):
+    lk = JoinLinker(lambda l, r: l.letter == r.letter, on_slow="error")(t1, t2)
+    got = {(r["record_id_l"], r["record_id_r"]) for r in lk.links.collect()}
+    assert got == {(1, 90), (2, 91)}
