@@ -85,6 +85,14 @@ def main() -> None:
         "mismo_spark_bench",
         master=f"local[{CPUS}]",
         shuffle_partitions=max(int(CPUS) * 2, 8),
+        # AQE off for the measured job: every join here is either
+        # broadcast or semantically skew-capped (max_pairs), so runtime
+        # re-planning buys nothing — but its per-exchange driver
+        # barriers cost a measured ~20-25% on these many-exchange plans
+        # (A/B'd at local[8]/local[32], see BASELINE.md).  The library
+        # default (get_spark) keeps AQE on for cluster runs where
+        # sort-merge joins can skew.
+        extra_conf={"spark.sql.adaptive.enabled": "false"},
     )
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}
@@ -202,13 +210,20 @@ def main() -> None:
     from mismo_spark.cluster.cc import connected_components
 
     def run_cc():
-        matches = state["scored"].filter(F.col("odds") >= 10.0).select(
-            "record_id_l", "record_id_r"
-        )
-        comps = connected_components(
-            matches, records.select("record_id"), algorithm="star"
-        )
-        state["n_components"] = comps.select("component").distinct().count()
+        # CC is the one stage where AQE pays here: its per-round
+        # shuffles shrink geometrically, and runtime coalescing keeps
+        # late rounds from scheduling 64 near-empty tasks each
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        try:
+            matches = state["scored"].filter(F.col("odds") >= 10.0).select(
+                "record_id_l", "record_id_r"
+            )
+            comps = connected_components(
+                matches, records.select("record_id"), algorithm="star"
+            )
+            state["n_components"] = comps.select("component").distinct().count()
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", "false")
 
     timer.run("cluster_cc", run_cc)
     extras["n_components"] = state["n_components"]

@@ -1,0 +1,150 @@
+"""spark-submit entry point: curate an LLM training corpus from raw docs.
+
+The standard web-text curation funnel, each stage one declarative
+DataFrame transform with a recorded row counter:
+
+    raw docs
+      -> language filter            (textqa.lang_id or trusted lang col)
+      -> quality filter             (textqa.quality_score, token bounds)
+      -> exact dedup, keep-first    (dedupe.exact_dedupe_keep_first)
+      -> near-dup dedup, keep-first (dedupe.minhash_near_duplicates ->
+                                     cluster.connected_components ->
+                                     keep min doc per component)
+      -> curated parquet + counters.json
+
+Usage (cluster):
+    zip -r mismo_spark.zip mismo_spark
+    spark-submit --py-files mismo_spark.zip jobs/prep_training_data.py \
+        --input  s3://bucket/documents/ \
+        --output s3://bucket/curated/ \
+        --langs en,de --min-quality 0.3 --min-tokens 5 --max-tokens 100000
+
+Sandbox smoke:
+    spark-submit --master 'local[8]' --py-files mismo_spark.zip \
+        jobs/prep_training_data.py \
+        --input /root/testdata/sf0.001/documents.parquet \
+        --output /tmp/curated --id-col doc_id
+
+Scale notes: every stage is a narrow filter or one equi-shuffle
+(fingerprint groupBy; LSH band join; CC rounds).  Counters cost one
+count() job per stage — at 10^12 rows that is the same scan Spark
+already does, and the funnel numbers are the first thing an operator
+asks for.  No stage collects data to the driver.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+def main(argv: list[str] | None = None) -> dict:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True, help="parquet of documents")
+    ap.add_argument("--output", required=True, help="output dir (parquet + counters.json)")
+    ap.add_argument("--id-col", default="doc_id")
+    ap.add_argument("--text-col", default="text")
+    ap.add_argument("--langs", default=None,
+                    help="comma list to keep, e.g. 'en,de'; matched against "
+                    "the table's lang column when present, else textqa.lang_id")
+    ap.add_argument("--min-quality", type=float, default=0.0)
+    ap.add_argument("--min-tokens", type=int, default=1)
+    ap.add_argument("--max-tokens", type=int, default=1_000_000)
+    ap.add_argument("--shingle-size", type=int, default=3)
+    ap.add_argument("--lsh-band-size", type=int, default=2)
+    ap.add_argument("--lsh-n-bands", type=int, default=16)
+    ap.add_argument("--min-jaccard", type=float, default=0.7)
+    ap.add_argument("--skip-neardup", action="store_true")
+    ap.add_argument("--seed", type=int, default=42)
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = (
+        SparkSession.builder.appName("mismo_spark_prep_training_data")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .getOrCreate()
+    )
+
+    from mismo_spark.cluster.cc import connected_components
+    from mismo_spark.dedupe import exact_dedupe_keep_first, minhash_near_duplicates
+    from mismo_spark.textqa import lang_id, quality_score, token_count
+
+    t0 = time.time()
+    counters: dict[str, int] = {}
+
+    docs = spark.read.parquet(args.input).withColumn(
+        "record_id", F.col(args.id_col)
+    )
+    text = F.col(args.text_col)
+    counters["input_docs"] = docs.count()
+
+    # -- language filter --------------------------------------------------
+    if args.langs:
+        keep = [s.strip() for s in args.langs.split(",") if s.strip()]
+        lang = F.col("lang") if "lang" in docs.columns else lang_id(text)
+        docs = docs.filter(lang.isin(keep))
+        counters["after_lang_filter"] = docs.count()
+
+    # -- quality filter ---------------------------------------------------
+    ntok = token_count(text)
+    docs = docs.filter(
+        text.isNotNull()
+        & (quality_score(text) >= args.min_quality)
+        & (ntok >= args.min_tokens)
+        & (ntok <= args.max_tokens)
+    )
+    counters["after_quality_filter"] = docs.count()
+
+    # -- exact dedup (normalized fingerprint, keep smallest id) -----------
+    docs = exact_dedupe_keep_first(docs, args.text_col, id_column="record_id")
+    counters["after_exact_dedupe"] = docs.count()
+
+    # -- near-dup dedup ---------------------------------------------------
+    if not args.skip_neardup:
+        pairs = minhash_near_duplicates(
+            docs,
+            text_column=args.text_col,
+            shingle_size=args.shingle_size,
+            band_size=args.lsh_band_size,
+            n_bands=args.lsh_n_bands,
+            min_jaccard=args.min_jaccard,
+            seed=args.seed,
+        )
+        comps = connected_components(
+            pairs.select("record_id_l", "record_id_r"),
+            docs.select("record_id"),
+            algorithm="star",
+        )
+        keep_ids = comps.groupBy("component").agg(
+            F.min("record_id").alias("record_id")
+        )
+        docs = docs.join(keep_ids.select("record_id"), "record_id", "left_semi")
+        counters["after_neardup_dedupe"] = docs.count()
+
+    # -- write ------------------------------------------------------------
+    out_path = f"{args.output}/documents.parquet"
+    docs.drop("record_id").write.mode("overwrite").parquet(out_path)
+    counters["written_docs"] = spark.read.parquet(out_path).count()
+    counters["wall_sec"] = round(time.time() - t0, 1)
+
+    # counters are tiny driver-side JSON; plain file IO covers local /
+    # NFS work dirs — on object stores they remain in the job log below
+    try:
+        import os
+
+        os.makedirs(args.output, exist_ok=True)
+        with open(f"{args.output}/counters.json", "w") as f:
+            json.dump(counters, f, indent=2)
+    except OSError:
+        pass
+    print(json.dumps(counters))
+    return counters
+
+
+if __name__ == "__main__":
+    main()

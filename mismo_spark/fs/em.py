@@ -26,7 +26,6 @@ from pyspark.storagelevel import StorageLevel
 from mismo_spark.compare.enum import EnumComparer, compare
 from mismo_spark.fs.train import (
     _with_both,
-    level_proportions,
     make_weights,
     sample_all_links,
 )
@@ -70,12 +69,28 @@ def _initial_weights(
     comparers: Sequence[EnumComparer], compared: DataFrame
 ) -> Weights:
     """m uniform 1/K; u = observed label proportions
-    (mismo/fs/_train_em.py:60-70)."""
+    (mismo/fs/_train_em.py:60-70).
+
+    One joint ``groupBy(dims)`` histogram job marginalized driver-side
+    per dimension — not one ``level_proportions`` job per comparer; the
+    joint table is ≤ ∏K rows (tiny), the per-dimension smoothing is
+    identical to ``level_proportions`` (add-1 for unseen levels)."""
+    dims = [c.name for c in comparers]
+    hist = compared.groupBy(*dims).agg(F.count(F.lit(1)).alias("n")).collect()
     out = []
     for c in comparers:
         n_levels = len(c.level_names)
+        counts = {lev: 0 for lev in range(n_levels)}
+        for row in hist:
+            lev = row[c.name]
+            if lev in counts:
+                counts[lev] += row["n"]
+        for lev in range(n_levels):
+            if counts[lev] == 0:
+                counts[lev] = 1
+        total = sum(counts.values())
         ms = [1.0 / n_levels] * n_levels
-        us = level_proportions(compared, c)
+        us = [counts[lev] / total for lev in range(n_levels)]
         out.append(make_weights(c, ms, us))
     return Weights(out)
 

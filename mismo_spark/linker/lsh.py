@@ -160,7 +160,11 @@ class MinhashLshLinker:
             "record_id", F.posexplode(F.array(*bands)).alias("__band", "__key")
         )
 
-    def __call__(self, left: DataFrame, right: DataFrame | None = None) -> Linkage:
+    def raw_pairs(self, left: DataFrame, right: DataFrame | None = None) -> DataFrame:
+        """Candidate pairs BEFORE the final distinct — a pair appears
+        once per matching band.  Composition hook for OrLinker: it
+        dedupes the union of all its rules anyway, so deduping here too
+        would shuffle the full pair set twice back-to-back."""
         if right is None:
             right = left
         task = infer_task(left, right, self.task)
@@ -214,7 +218,12 @@ class MinhashLshLinker:
             ).select(
                 F.col("l.record_id").alias(ID_L), F.col("r.record_id").alias(ID_R)
             )
-        links = pairs.dropDuplicates([ID_L, ID_R])
+        return pairs
+
+    def __call__(self, left: DataFrame, right: DataFrame | None = None) -> Linkage:
+        if right is None:
+            right = left
+        links = self.raw_pairs(left, right).dropDuplicates([ID_L, ID_R])
         return Linkage(left=left, right=right, links=links)
 
 

@@ -48,8 +48,15 @@ class OrLinker:
             right = left
         parts = []
         for name, linker in self.linkers.items():
-            lk = linker(left, right)
-            part = lk.links.select(ID_L, ID_R)
+            raw = getattr(linker, "raw_pairs", None)
+            if raw is not None and not self.track_rules:
+                # rule's pairs may repeat (e.g. one LSH pair per matching
+                # band) — our final dropDuplicates covers it, so skip the
+                # rule's internal distinct: one full-pair-set shuffle
+                # instead of two back-to-back
+                part = raw(left, right).select(ID_L, ID_R)
+            else:
+                part = linker(left, right).links.select(ID_L, ID_R)
             if self.track_rules:
                 part = part.withColumn("rule", F.lit(name))
             parts.append(part)

@@ -1,0 +1,64 @@
+"""spark-submit job entry points run in-process (the driver's
+`--py-files` path is exercised by importing the job module and calling
+``main`` with local paths, sharing the test SparkSession via
+``getOrCreate``)."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from jobs.prep_training_data import main as prep_main
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_prep_training_data_funnel(spark, tmp_path):
+    out = str(tmp_path / "curated")
+    counters = prep_main([
+        "--input", f"{SF_DIR}/documents.parquet",
+        "--output", out,
+        "--id-col", "doc_id",
+        "--langs", "en,de,es,fr",
+        "--min-tokens", "1",
+        "--min-jaccard", "0.5",
+    ])
+    # funnel counters must be monotonically non-increasing
+    order = [
+        "input_docs", "after_lang_filter", "after_quality_filter",
+        "after_exact_dedupe", "after_neardup_dedupe", "written_docs",
+    ]
+    vals = [counters[k] for k in order if k in counters]
+    assert vals == sorted(vals, reverse=True) or all(
+        a >= b for a, b in zip(vals, vals[1:])
+    )
+    assert counters["written_docs"] > 0
+    # counters.json written next to the parquet
+    with open(f"{out}/counters.json") as f:
+        assert json.load(f)["written_docs"] == counters["written_docs"]
+    # curated output is readable and id-unique
+    got = spark.read.parquet(f"{out}/documents.parquet")
+    assert got.count() == counters["written_docs"]
+    assert got.select("doc_id").distinct().count() == counters["written_docs"]
+
+
+def test_prep_training_data_deterministic(spark, tmp_path):
+    outs = []
+    for name in ("a", "b"):
+        out = str(tmp_path / name)
+        prep_main([
+            "--input", f"{SF_DIR}/documents.parquet",
+            "--output", out,
+            "--id-col", "doc_id",
+            "--skip-neardup",
+        ])
+        ids = {
+            r["doc_id"]
+            for r in spark.read.parquet(f"{out}/documents.parquet")
+            .select("doc_id").collect()
+        }
+        outs.append(ids)
+    assert outs[0] == outs[1]
