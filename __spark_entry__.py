@@ -1643,7 +1643,7 @@ def oracle_sql() -> dict[str, str]:
                         ELSE ten END AS phone
             FROM digits
         """,
-        "email_match_level": """
+        "email_match_level": r"""
             WITH emails AS (
               SELECT c_custkey,
                      lower(replace(c_name, '#', '')) || '@example.com' AS e1,

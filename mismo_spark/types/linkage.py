@@ -142,3 +142,64 @@ class Linkage:
             right=spark.read.parquet(os.path.join(directory, "right.parquet")),
             links=spark.read.parquet(os.path.join(directory, "links.parquet")),
         )
+
+    # -- bucketed persistence (the 100 TB co-partition path) --------------
+
+    def to_bucketed_tables(
+        self,
+        name: str,
+        *,
+        n_buckets: int = 64,
+        path: str | None = None,
+        overwrite: bool = False,
+    ) -> None:
+        """Persist as bucketed tables co-partitioned on the join keys.
+
+        This is the scale regime ``links_with_both`` documents for when
+        the record-feature table outgrows broadcast: ``left``/``right``
+        are bucketed (and per-bucket sorted) on ``record_id``, ``links``
+        on ``record_id_l``, all with the same bucket count.  A scan of a
+        bucketed table reports ``HashPartitioning(key, n_buckets)``, and
+        the ``_l``-suffix rename is alias-aware, so the subsequent
+        ``links_with_left`` sort-merge join needs ZERO exchanges — and
+        ``links_with_both`` exactly one (the pairs intermediate
+        re-keyed on ``record_id_r``; the bucketed right side still scans
+        shuffle-free).  The shuffle is paid once at write time and
+        amortized over every run that reads the linkage — incremental
+        dedupe re-joins the same corpus every batch (``streaming/
+        incremental.py``), so at 100 TB this converts a per-run
+        ~O(corpus) exchange into a one-time layout cost.
+
+        ``path`` makes the tables external (parquet at ``path/<table>``);
+        without it they land in the session warehouse.  In production
+        point the catalog at a real metastore (or use Iceberg's bucket
+        partition transform); the sandbox uses Spark's in-memory catalog.
+        """
+        spark = self.links.sparkSession
+        mode = "overwrite" if overwrite else "errorifexists"
+        parts = {"left": self.left, "right": self.right, "links": self.links}
+        keys = {"left": "record_id", "right": "record_id", "links": ID_L}
+        for part, df in parts.items():
+            table = f"{name}_{part}"
+            if overwrite:
+                spark.sql(f"DROP TABLE IF EXISTS {table}")
+            writer = (
+                df.write.mode(mode)
+                .format("parquet")
+                .bucketBy(n_buckets, keys[part])
+                .sortBy(keys[part])
+            )
+            if path is not None:
+                writer = writer.option("path", os.path.join(path, table))
+            writer.saveAsTable(table)
+
+    @staticmethod
+    def from_bucketed_tables(spark: SparkSession, name: str) -> "Linkage":
+        """Reload a ``to_bucketed_tables`` linkage; joins through
+        ``links_with_left``/``links_with_both`` then plan without
+        re-shuffling the bucketed sides."""
+        return Linkage(
+            left=spark.table(f"{name}_left"),
+            right=spark.table(f"{name}_right"),
+            links=spark.table(f"{name}_links"),
+        )
