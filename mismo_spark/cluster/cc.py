@@ -72,7 +72,44 @@ def connected_components(
     components for unlinked records
     (mismo/cluster/_connected_components.py:305-314).
     """
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
     edges = links.select(F.col(ID_L).alias(_U), F.col(ID_R).alias(_V))
+
+    def _run(int_edges: DataFrame) -> DataFrame:
+        if algorithm == "star":
+            return _cc_star(int_edges, max_iter, checkpoint_dir)
+        if algorithm == "naive":
+            return _cc_naive(int_edges, max_iter, checkpoint_dir)
+        raise ValueError(f"unknown algorithm {algorithm!r}")
+
+    integral = (ByteType, ShortType, IntegerType, LongType)
+    id_types = [links.schema[ID_L].dataType, links.schema[ID_R].dataType]
+    if records is not None:
+        id_types.append(records.schema["record_id"].dataType)
+    if all(isinstance(t, integral) for t in id_types):
+        # -- fast path: ids are already integral ------------------------
+        # Both algorithms converge with every node labelled by the
+        # MINIMUM id of its component, which for integral ids is exactly
+        # mismo's canonical representative — so the factorize/decode/
+        # relabel machinery below (~6 extra shuffles, two of them O(V)
+        # joins) is pure overhead and skipped.  This is the hot path:
+        # the pipeline's record_id is int64.
+        labels = _run(edges.filter(F.col(_U) != F.col(_V)).distinct())
+        out = labels.withColumnRenamed("id", "record_id")
+        base = (
+            records.select("record_id")
+            if records is not None
+            # no records table: emit every edge endpoint (star labels
+            # omit roots — see _cc_star — so completion is still needed)
+            else edges.select(F.col(_U).alias("record_id"))
+            .unionByName(edges.select(F.col(_V).alias("record_id")))
+            .distinct()
+        )
+        return base.join(out, "record_id", "left").select(
+            "record_id",
+            F.coalesce(F.col("component"), F.col("record_id")).alias("component"),
+        )
 
     # -- factorize arbitrary ids → int64 (no global sort) ----------------
     ids = edges.select(F.col(_U).alias("record_id")).unionByName(
@@ -94,12 +131,7 @@ def connected_components(
         .distinct()
     )
 
-    if algorithm == "star":
-        labels = _cc_star(int_edges, max_iter, checkpoint_dir)
-    elif algorithm == "naive":
-        labels = _cc_naive(int_edges, max_iter, checkpoint_dir)
-    else:
-        raise ValueError(f"unknown algorithm {algorithm!r}")
+    labels = _run(int_edges)
 
     # -- decode + canonical relabel + singletons --------------------------
     out = mapping.join(labels, mapping["__code"] == labels["id"], "left").select(
@@ -110,6 +142,9 @@ def connected_components(
     # representative choice, mismo/cluster/_connected_components.py:253-263)
     # — engine-independent, so results compare across systems.  The
     # relabel is one groupBy-min (small: one row per component) + join.
+    # (Unnecessary when ids are integral — see the fast path above —
+    # because codes from monotonically_increasing_id don't preserve
+    # record-id order.)
     canon = out.groupBy("__comp_code").agg(F.min("record_id").alias("component"))
     out = out.join(canon, "__comp_code").select("record_id", "component")
     if records is None:
@@ -153,7 +188,15 @@ def _cc_naive(edges: DataFrame, max_iter: int, checkpoint_dir: str | None) -> Da
 def _large_star(edges: DataFrame) -> DataFrame:
     """For each node u: connect every strictly-larger neighbour to
     min(Γ(u) ∪ {u}).  Halves long chains; never gathers a hub's
-    neighbourhood beyond a groupBy-min."""
+    neighbourhood beyond a groupBy-min.
+
+    Two shuffles: the groupBy-min (map-side partial — this, not a
+    window-min, is what keeps a hub's neighbourhood off a single
+    task) and the neighbours side of the join; the mins side reuses
+    the aggregation's partitioning.  No trailing distinct — min() is
+    duplicate-insensitive and the round's closing distinct in
+    ``_small_star`` dedups the union anyway, so a dedup shuffle
+    mid-round would be pure overhead."""
     nbrs = edges.unionByName(
         edges.select(F.col(_V).alias(_U), F.col(_U).alias(_V))
     )
@@ -167,13 +210,16 @@ def _large_star(edges: DataFrame) -> DataFrame:
         .filter(F.col(_V) > F.col(_U))
         .select(F.col(_V).alias(_U), F.col("m").alias(_V))
         .filter(F.col(_U) != F.col(_V))
-        .distinct()
     )
 
 
 def _small_star(edges: DataFrame) -> DataFrame:
     """For each node u and its smaller neighbours N: connect N ∪ {u}
-    to min(N)."""
+    to min(N).
+
+    Shuffles: the skew-safe groupBy-min, the oriented side of the
+    join, and the closing distinct that canonicalizes the round's
+    edge set (also what the convergence fingerprint hashes)."""
     oriented = edges.select(
         F.greatest(_U, _V).alias(_U), F.least(_U, _V).alias(_V)
     ).filter(F.col(_U) != F.col(_V)).distinct()
@@ -191,10 +237,14 @@ def _small_star(edges: DataFrame) -> DataFrame:
 
 
 def _cc_star(edges: DataFrame, max_iter: int, checkpoint_dir: str | None) -> DataFrame:
-    """Alternating large-star/small-star to fixed point; O(log n) rounds."""
-    nodes = edges.select(F.col(_U).alias("id")).unionByName(
-        edges.select(F.col(_V).alias("id"))
-    ).distinct().localCheckpoint(eager=True)
+    """Alternating large-star/small-star to fixed point; O(log n) rounds.
+
+    Returns PARENT labels only — (id, component) for every non-root
+    node; roots (= component minima) are absent and must be
+    self-labelled by the caller's coalesce.  Callers always finish
+    with a left-join + coalesce against records/mapping/nodes anyway,
+    so emitting root rows here would cost an extra O(V) distinct +
+    join for nothing."""
     cur = _chk(edges, checkpoint_dir, "star_0")
     prev_fp = _set_fingerprint(cur, [_U, _V])
     for i in range(max_iter):
@@ -203,10 +253,5 @@ def _cc_star(edges: DataFrame, max_iter: int, checkpoint_dir: str | None) -> Dat
         if fp == prev_fp:
             break
         prev_fp = fp
-    # fixed point: every edge is (child, root-min).  A node may appear
-    # only as a root; roots label themselves.
-    parents = cur.groupBy(F.col(_U).alias("id")).agg(F.min(_V).alias("component"))
-    return (
-        nodes.join(parents, "id", "left")
-        .select("id", F.coalesce("component", "id").alias("component"))
-    )
+    # fixed point: every edge is (child, root-min)
+    return cur.groupBy(F.col(_U).alias("id")).agg(F.min(_V).alias("component"))
