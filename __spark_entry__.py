@@ -994,6 +994,31 @@ def q_name_blocker(spark: SparkSession, sf_dir: str) -> DataFrame:
     return NameBlocker(column="name", max_pairs=None, task="dedupe")(recs).links
 
 
+def q_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3/PaLM-style): per-document word
+    n-gram overlap with an eval set — here a deterministic slice of the
+    documents table (doc_id % 97 == 0) stands in for the benchmark.
+    n=3 instead of the production 13 so the short synthetic docs
+    produce nonzero overlap.  The benchmark n-gram hashes are
+    broadcast; the one shuffle is the per-doc count."""
+    from mismo_spark.textqa.contamination import ngram_contamination
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 97 == 0).select("text")
+    return ngram_contamination(docs, bench, n=3, id_col="record_id")
+
+
+def q_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate signal: fraction of each doc's distinct 3-grams that
+    occur in ≥2 documents (explode → df-count → join-back → per-doc
+    aggregate, all on 8-byte n-gram hashes)."""
+    from mismo_spark.textqa.contamination import duplicated_ngram_fraction
+
+    return duplicated_ngram_fraction(
+        _docs(spark, sf_dir), n=3, min_df=2, id_col="record_id"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "key_counts": q_key_counts,
@@ -1038,6 +1063,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "re_extract": q_re_extract,
         "name_blocker": q_name_blocker,
+        "ngram_contamination": q_ngram_contamination,
+        "dup_ngram_fraction": q_dup_ngram_fraction,
     }
 
 
@@ -1833,6 +1860,60 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT DISTINCT a.id AS record_id_l, b.id AS record_id_r
             FROM p a JOIN p b ON a.val = b.val AND a.id < b.id
+        """,
+        "ngram_contamination": r"""
+            WITH d AS (
+              SELECT doc_id,
+                     string_split_regex(lower(trim(text)), '\s+') AS toks
+              FROM documents
+            ),
+            grams AS (
+              SELECT doc_id,
+                     unnest(list_distinct(
+                       CASE WHEN len(toks) < 3
+                            THEN [array_to_string(toks, ' ')]
+                            ELSE list_transform(
+                                   range(1, len(toks) - 3 + 2),
+                                   i -> array_to_string(toks[i:i + 2], ' '))
+                       END)) AS g
+              FROM d
+            ),
+            bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0)
+            SELECT grams.doc_id AS record_id,
+                   count(*)::BIGINT AS n_ngrams,
+                   sum(CASE WHEN bench.g IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+                     AS n_contaminated,
+                   sum(CASE WHEN bench.g IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+                     / count(*) AS contamination_frac
+            FROM grams LEFT JOIN bench ON grams.g = bench.g
+            GROUP BY grams.doc_id
+        """,
+        "dup_ngram_fraction": r"""
+            WITH d AS (
+              SELECT doc_id,
+                     string_split_regex(lower(trim(text)), '\s+') AS toks
+              FROM documents
+            ),
+            grams AS (
+              SELECT doc_id,
+                     unnest(list_distinct(
+                       CASE WHEN len(toks) < 3
+                            THEN [array_to_string(toks, ' ')]
+                            ELSE list_transform(
+                                   range(1, len(toks) - 3 + 2),
+                                   i -> array_to_string(toks[i:i + 2], ' '))
+                       END)) AS g
+              FROM d
+            ),
+            dfc AS (SELECT g, count(*) AS df FROM grams GROUP BY g)
+            SELECT doc_id AS record_id,
+                   count(*)::BIGINT AS n_ngrams,
+                   sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END)::BIGINT
+                     AS n_duplicated,
+                   sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END)::DOUBLE
+                     / count(*) AS duplicated_frac
+            FROM grams JOIN dfc ON grams.g = dfc.g
+            GROUP BY doc_id
         """,
         "minhash_lsh_block": _minhash_oracle_sql(
             shingle_size=2, band_size=2, n_bands=8, seed=42, min_jaccard=0.2
