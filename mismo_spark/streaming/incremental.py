@@ -65,8 +65,19 @@ def incremental_link_stream(
         n_bands=pipe.lsh_n_bands,
         seed=pipe.seed,
     )
-    static_keyed = lsh._banded(static_records).join(
-        static_records.select("record_id", "component"), "record_id"
+    # The static side's plan re-executes on EVERY micro-batch of a
+    # stream-static join, so the corpus featurization + band derivation
+    # is pinned once here.  At 100 TB, persist the banded corpus to
+    # storage instead — bucketed on the band key
+    # (Linkage.to_bucketed_tables pattern) — so each micro-batch's
+    # equi-join scans only matching buckets rather than re-deriving
+    # ~corpus-sized state.
+    from pyspark.storagelevel import StorageLevel
+
+    static_keyed = (
+        lsh._banded(static_records)
+        .join(static_records.select("record_id", "component"), "record_id")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     stream_keyed = new_records.select(
         F.col("record_id"),
