@@ -5,23 +5,24 @@ compare once and cache, init m uniform / u observed, then 5 fixed
 iterations of {score with current weights → split at odds ≥ 10 →
 re-estimate m from "matches", u from "non-matches"}.
 
-Spark shape: the compared sample is persisted once (it's the only big
-thing).  Each iteration is ONE job: a single
-``groupBy(is_match, dim1, ..., dimK).count()`` over the cached sample —
-the agreement-pattern histogram — collected to the driver (rows ≤
-2·∏levels, small), from which all per-dimension m/u marginals are
-computed in Python.  This replaces the reference's 2·K separate
-groupBys per iteration with one, and weights re-enter the plan as
-literals, not joins.
+Spark shape: ONE cluster job total.  Pairs with equal agreement
+patterns score identically under any weights, so the per-iteration
+(is_match, labels...) histogram is the iteration-INVARIANT joint
+pattern histogram split by current per-pattern odds — aggregate the
+joint once (``groupBy(dim1, ..., dimK).count()``, ≤ ∏levels rows,
+map-side combined) and run init + every EM iteration driver-side (see
+``em_from_sample``).  This replaces the reference's 2·K separate
+groupBys per iteration with a single job for the whole loop, and
+weights re-enter downstream plans as literals, not joins.
 """
 
 from __future__ import annotations
 
+import math
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
 
 from mismo_spark.compare.enum import EnumComparer, compare
 from mismo_spark.fs.train import (
@@ -47,36 +48,67 @@ def train_using_em(
     compared = compare(_with_both(left, right, links), comparers).select(
         *[c.name for c in comparers]
     )
-    compared = compared.persist(StorageLevel.MEMORY_AND_DISK)
-    try:
-        weights = _initial_weights(comparers, compared)
-        dims = [c.name for c in comparers]
-        for _ in range(EM_ITERATIONS):
-            scored = weights.score_compared(compared)
-            hist = (
-                scored.withColumn("__is_match", F.col("odds") >= MATCH_ODDS_THRESHOLD)
-                .groupBy("__is_match", *dims)
-                .agg(F.count(F.lit(1)).alias("n"))
-                .collect()
-            )
-            weights = _weights_from_histogram(comparers, hist)
-        return weights
-    finally:
-        compared.unpersist()
+    return em_from_sample(comparers, compared)
+
+
+def em_from_sample(
+    comparers: Sequence[EnumComparer], compared: DataFrame
+) -> Weights:
+    """ONE cluster job, then EM entirely driver-side.
+
+    Every pair with the same agreement pattern gets the same odds under
+    any weights, so each iteration's (is_match, labels...) histogram is
+    just the joint pattern histogram split by the current per-pattern
+    odds — and the joint histogram is iteration-INVARIANT.  Aggregate
+    it once (≤ ∏levels rows) and run init + all iterations on the
+    driver: the cluster cost of EM is a single map-side-combined
+    groupBy over the sample, independent of iteration count.  The odds
+    product is evaluated in the same order with the same IEEE doubles
+    as ``score_compared``'s column product, so the resulting weights
+    are bit-identical to the per-iteration-job formulation."""
+    dims = [c.name for c in comparers]
+    joint = [
+        dict(r.asDict())
+        for r in compared.groupBy(*dims).agg(F.count(F.lit(1)).alias("n")).collect()
+    ]
+    weights = _initial_weights_from_joint(comparers, joint)
+    for _ in range(EM_ITERATIONS):
+        hist = []
+        for row in joint:
+            odds = 1.0
+            for c in comparers:
+                lev = row[c.name]
+                n_levels = len(c.level_names)
+                odds *= (
+                    weights[c.name].odds(lev)
+                    if lev is not None and 0 <= lev < n_levels
+                    else float("nan")
+                )
+            # Spark semantics: NaN compares greater than any number, so
+            # a NaN-odds pattern lands on the match side there too
+            is_match = bool(odds >= MATCH_ODDS_THRESHOLD) or math.isnan(odds)
+            hist.append({**row, "__is_match": is_match})
+        weights = _weights_from_histogram(comparers, hist)
+    return weights
 
 
 def _initial_weights(
     comparers: Sequence[EnumComparer], compared: DataFrame
 ) -> Weights:
     """m uniform 1/K; u = observed label proportions
-    (mismo/fs/_train_em.py:60-70).
-
-    One joint ``groupBy(dims)`` histogram job marginalized driver-side
-    per dimension — not one ``level_proportions`` job per comparer; the
-    joint table is ≤ ∏K rows (tiny), the per-dimension smoothing is
-    identical to ``level_proportions`` (add-1 for unseen levels)."""
+    (mismo/fs/_train_em.py:60-70) — from one joint histogram job."""
     dims = [c.name for c in comparers]
     hist = compared.groupBy(*dims).agg(F.count(F.lit(1)).alias("n")).collect()
+    return _initial_weights_from_joint(comparers, hist)
+
+
+def _initial_weights_from_joint(comparers: Sequence[EnumComparer], hist) -> Weights:
+    """m uniform 1/K; u = observed label proportions, from an
+    already-collected joint ``(dims..., n)`` histogram — marginalized
+    driver-side per dimension, not one ``level_proportions`` job per
+    comparer; the joint table is ≤ ∏K rows (tiny), the per-dimension
+    smoothing is identical to ``level_proportions`` (add-1 for unseen
+    levels)."""
     out = []
     for c in comparers:
         n_levels = len(c.level_names)

@@ -412,36 +412,19 @@ class DedupePipeline:
         observed label proportions and m uniform, then run the same
         5-iteration loop (mismo/fs/_train_em.py:43-57).
         """
-        from pyspark.storagelevel import StorageLevel
-
         from mismo_spark._util import sample_table
-        from mismo_spark.fs.em import _initial_weights, _weights_from_histogram
+        from mismo_spark.fs.em import em_from_sample
 
         dims = [c.name for c in self.comparers]
-        # EM converges on a bounded sample; 5 full passes over the whole
+        # EM converges on a bounded sample; full passes over the whole
         # pair table would scale with corpus size for no accuracy gain
         # (the reference's guidance: 1e7 pairs "often adequate",
         # mismo/fs/_train.py:60-71).  Sample BEFORE projecting to dims so
         # the hash includes the pair ids → deterministic despite the
-        # dim columns' massive value ties.
-        sample = (
-            sample_table(
-                compared, self.em_max_pairs, seed=self.seed, method="hash_filter"
-            )
-            .select(*dims)
-            .persist(StorageLevel.MEMORY_AND_DISK)
-        )
-        try:
-            weights = _initial_weights(self.comparers, sample)
-            for _ in range(5):
-                scored = weights.score_compared(sample)
-                hist = (
-                    scored.withColumn("__is_match", F.col("odds") >= 10.0)
-                    .groupBy("__is_match", *dims)
-                    .agg(F.count(F.lit(1)).alias("n"))
-                    .collect()
-                )
-                weights = _weights_from_histogram(self.comparers, hist)
-            return weights
-        finally:
-            sample.unpersist()
+        # dim columns' massive value ties.  em_from_sample then runs ONE
+        # joint-histogram job and iterates driver-side — no persist, no
+        # per-iteration cluster passes.
+        sample = sample_table(
+            compared, self.em_max_pairs, seed=self.seed, method="hash_filter"
+        ).select(*dims)
+        return em_from_sample(self.comparers, sample)
