@@ -88,3 +88,46 @@ def test_sample_all_links_bounded_and_deterministic(persons):
     assert s1.count() <= 500
     assert s1.count() > 100
     assert s1.exceptAll(s2).count() == 0
+
+
+def test_em_from_sample_matches_per_iteration_jobs(spark):
+    """The driver-side joint-histogram EM must be bit-identical to the
+    original formulation that re-scored the sample on the cluster each
+    iteration (the old loop is inlined here as the oracle)."""
+    from mismo_spark.compare.enum import EnumComparer
+    from mismo_spark.fs.em import (
+        EM_ITERATIONS,
+        MATCH_ODDS_THRESHOLD,
+        _initial_weights,
+        _weights_from_histogram,
+        em_from_sample,
+    )
+
+    cmps = [
+        EnumComparer("a_cmp", [("exact", lambda df: df["a"] == 0)]),
+        EnumComparer("b_cmp", [("exact", lambda df: df["b"] == 0)]),
+    ]
+    rows = [(i % 3, (i * 7) % 5) for i in range(200)]
+    pairs = spark.createDataFrame(rows, "a long, b long")
+    from mismo_spark.compare.enum import compare
+
+    compared = compare(pairs, cmps).select("a_cmp", "b_cmp")
+
+    # oracle: the per-iteration cluster formulation
+    dims = ["a_cmp", "b_cmp"]
+    w_old = _initial_weights(cmps, compared)
+    for _ in range(EM_ITERATIONS):
+        scored = w_old.score_compared(compared)
+        hist = (
+            scored.withColumn("__is_match", F.col("odds") >= MATCH_ODDS_THRESHOLD)
+            .groupBy("__is_match", *dims)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        w_old = _weights_from_histogram(cmps, hist)
+
+    w_new = em_from_sample(cmps, compared)
+    for c in cmps:
+        for lev in range(len(c.level_names)):
+            assert w_new[c.name][lev].m == w_old[c.name][lev].m
+            assert w_new[c.name][lev].u == w_old[c.name][lev].u
