@@ -10,6 +10,10 @@ DataFrame transform with a recorded row counter:
       -> near-dup dedup, keep-first (dedupe.minhash_near_duplicates ->
                                      cluster.connected_components ->
                                      keep min doc per component)
+      -> boilerplate filter          (textqa.duplicated_ngram_fraction,
+                                      opt-in via --max-boilerplate-frac)
+      -> benchmark decontamination   (textqa.ngram_contamination against
+                                      --benchmark, broadcast eval n-grams)
       -> curated parquet + counters.json
 
 Usage (cluster):
@@ -56,6 +60,22 @@ def main(argv: list[str] | None = None) -> dict:
     ap.add_argument("--lsh-n-bands", type=int, default=16)
     ap.add_argument("--min-jaccard", type=float, default=0.7)
     ap.add_argument("--skip-neardup", action="store_true")
+    ap.add_argument("--benchmark", default=None,
+                    help="parquet of eval/benchmark docs to decontaminate "
+                    "against (column --benchmark-text-col)")
+    ap.add_argument("--benchmark-text-col", default=None,
+                    help="text column in --benchmark (default: --text-col)")
+    ap.add_argument("--decontaminate-ngram", type=int, default=13,
+                    help="n-gram size for the contamination check")
+    ap.add_argument("--max-contaminated-ngrams", type=int, default=0,
+                    help="drop docs sharing more than this many n-grams "
+                    "with the benchmark (0 = the strict GPT-3 rule)")
+    ap.add_argument("--max-boilerplate-frac", type=float, default=None,
+                    help="drop docs whose duplicated-ngram fraction "
+                    "(--boilerplate-ngram grams in >= --boilerplate-min-df "
+                    "docs) exceeds this")
+    ap.add_argument("--boilerplate-ngram", type=int, default=5)
+    ap.add_argument("--boilerplate-min-df", type=int, default=2)
     ap.add_argument("--seed", type=int, default=42)
     args = ap.parse_args(argv)
 
@@ -125,6 +145,38 @@ def main(argv: list[str] | None = None) -> dict:
         )
         docs = docs.join(keep_ids.select("record_id"), "record_id", "left_semi")
         counters["after_neardup_dedupe"] = docs.count()
+
+    # -- boilerplate filter (duplicated-ngram fraction) --------------------
+    if args.max_boilerplate_frac is not None:
+        from mismo_spark.textqa.contamination import duplicated_ngram_fraction
+
+        bp = duplicated_ngram_fraction(
+            docs,
+            n=args.boilerplate_ngram,
+            min_df=args.boilerplate_min_df,
+            id_col="record_id",
+            text_col=args.text_col,
+        ).filter(F.col("duplicated_frac") > args.max_boilerplate_frac)
+        docs = docs.join(bp.select("record_id"), "record_id", "left_anti")
+        counters["after_boilerplate_filter"] = docs.count()
+
+    # -- benchmark decontamination ----------------------------------------
+    if args.benchmark:
+        from mismo_spark.textqa.contamination import ngram_contamination
+
+        bench = spark.read.parquet(args.benchmark)
+        contaminated = ngram_contamination(
+            docs,
+            bench,
+            n=args.decontaminate_ngram,
+            id_col="record_id",
+            text_col=args.text_col,
+            bench_text_col=args.benchmark_text_col,
+        ).filter(F.col("n_contaminated") > args.max_contaminated_ngrams)
+        docs = docs.join(
+            contaminated.select("record_id"), "record_id", "left_anti"
+        )
+        counters["after_decontamination"] = docs.count()
 
     # -- write ------------------------------------------------------------
     out_path = f"{args.output}/documents.parquet"

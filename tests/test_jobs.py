@@ -9,6 +9,8 @@ import json
 import os
 import sys
 
+from pyspark.sql import functions as F
+
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 from jobs.prep_training_data import main as prep_main
@@ -62,3 +64,32 @@ def test_prep_training_data_deterministic(spark, tmp_path):
         }
         outs.append(ids)
     assert outs[0] == outs[1]
+
+
+def test_prep_training_data_decontaminate_and_boilerplate(spark, tmp_path):
+    # benchmark = a deterministic slice of the same docs -> those docs
+    # (and any doc sharing a 3-gram with them) must be dropped
+    bench_path = str(tmp_path / "bench.parquet")
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    docs.filter(F.col("doc_id") % 11 == 0).select("text").write.parquet(bench_path)
+
+    out = str(tmp_path / "curated")
+    counters = prep_main([
+        "--input", f"{SF_DIR}/documents.parquet",
+        "--output", out,
+        "--id-col", "doc_id",
+        "--skip-neardup",
+        "--benchmark", bench_path,
+        "--decontaminate-ngram", "3",
+        "--max-boilerplate-frac", "0.99",
+        "--boilerplate-ngram", "3",
+    ])
+    assert "after_decontamination" in counters
+    assert "after_boilerplate_filter" in counters
+    assert counters["after_decontamination"] <= counters["after_boilerplate_filter"]
+    assert counters["written_docs"] == counters["after_decontamination"]
+    # every benchmark doc's text is gone from the curated output
+    got = spark.read.parquet(f"{out}/documents.parquet")
+    bench_texts = {r["text"] for r in spark.read.parquet(bench_path).collect()}
+    kept_texts = {r["text"] for r in got.select("text").collect()}
+    assert not (bench_texts & kept_texts)
