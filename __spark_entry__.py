@@ -82,6 +82,18 @@ def q_key_linker_block(spark: SparkSession, sf_dir: str) -> DataFrame:
     return KeyLinker(["lang", "source"], task="dedupe")(_docs(spark, sf_dir)).links
 
 
+def q_key_linker_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted hot-key blocking ("explicit skew splitting"): keys whose
+    pair count exceeds the per-task budget are triangle-tiled across
+    tasks.  The oracle is the PLAIN equi-join — hash parity proves the
+    salted physical plan is row-identical to the logical join."""
+    from mismo_spark.linker.key import KeyLinker
+
+    return KeyLinker(["lang"], task="dedupe", skew_split=2000)(
+        _docs(spark, sf_dir)
+    ).links
+
+
 def q_or_linker(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OrLinker: union of two rules with provenance (mismo/linker/_or_linker.py:20-77)."""
     from mismo_spark.linker.key import KeyLinker
@@ -1024,6 +1036,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "key_counts": q_key_counts,
         "pair_counts_dedupe": q_pair_counts_dedupe,
         "key_linker_block": q_key_linker_block,
+        "key_linker_skew": q_key_linker_skew,
         "or_linker": q_or_linker,
         "with_n_links": q_with_n_links,
         "link_counts": q_link_counts,
@@ -1392,6 +1405,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "key_linker_block": f"""
             SELECT record_id_l, record_id_r FROM ({pair_block})
+        """,
+        "key_linker_skew": """
+            SELECT a.doc_id AS record_id_l, b.doc_id AS record_id_r
+            FROM documents a JOIN documents b
+              ON a.lang = b.lang AND a.doc_id < b.doc_id
         """,
         "or_linker": """
             WITH d AS (

@@ -6,7 +6,13 @@ Semantics of mismo/linker/_key_linker.py:16-445 —
 * ``task='dedupe'`` halves the self-join with ``record_id_l < record_id_r``,
 * ``max_pairs`` removes keys whose pair count would exceed the budget
   (the *semantic* skew cap — mega-blocks like a hot domain are dropped,
-  matching mismo/linker/_key_linker.py:195-222), and
+  matching mismo/linker/_key_linker.py:195-222),
+* ``skew_split`` salts the surviving hot keys instead of dropping them:
+  a key whose estimated pair count exceeds the per-task budget is tiled
+  across many tasks (triangle tiling for dedupe, 1-D salting for link)
+  so no single task materializes the whole quadratic block — the
+  output is IDENTICAL to the plain equi-join, only the physical
+  distribution changes, and
 * AQE skew-join handles residual imbalance (the *physical* half).
 
 Spark plan shape: both sides are projected to (record_id, key...) before
@@ -45,6 +51,7 @@ class KeyLinker:
         keys: Sequence,
         *,
         max_pairs: int | None = None,
+        skew_split: int | None = None,
         task: str | None = None,
         name: str | None = None,
     ) -> None:
@@ -57,6 +64,7 @@ class KeyLinker:
         ):
             self.keys = [keys]
         self.max_pairs = max_pairs
+        self.skew_split = skew_split
         self.task = task
         self.name = name
 
@@ -99,6 +107,10 @@ class KeyLinker:
             lk = lk.join(F.broadcast(too_common), key_cols, "left_anti")
             rk = rk.join(F.broadcast(too_common), key_cols, "left_anti")
 
+        if self.skew_split is not None:
+            links = self._skew_split_links(lk, rk, key_cols, task)
+            return Linkage(left=left, right=right, links=links)
+
         pairs = lk.select(F.col("record_id").alias(ID_L), *key_cols).join(
             rk.select(F.col("record_id").alias(ID_R), *key_cols), key_cols, "inner"
         )
@@ -106,6 +118,125 @@ class KeyLinker:
             pairs = pairs.filter(F.col(ID_L) < F.col(ID_R))
         links = pairs.select(ID_L, ID_R)
         return Linkage(left=left, right=right, links=links)
+
+    def _skew_split_links(
+        self, lk: DataFrame, rk: DataFrame, key_cols: list[str], task: str
+    ) -> DataFrame:
+        """Salted pair generation for hot keys ("explicit skew splitting").
+
+        Keys whose estimated pair count exceeds ``skew_split`` pairs are
+        tiled so each join task handles at most ~``skew_split`` of the
+        key's pairs; cold keys take the plain equi-join path.  The union
+        of the two paths is row-identical to the unsalted join — only
+        the physical task distribution changes (verified by the
+        key_linker_skew oracle row: same SQL, hash-equal results).
+
+        * dedupe — triangle tiling: each record gets a deterministic
+          salt ``g = pmod(xxhash64(record_id), s)``; the left role
+          replicates a record into tiles ``(g, b)`` for ``b ∈ [g, s)``
+          and the right role into tiles ``(a, g)`` for ``a ∈ [0, g]``,
+          so an unordered cross-group pair lands in exactly one tile
+          (min-salt side left) and same-group pairs hit the diagonal
+          tile once per ordering (dedup'd by ``id_l < id_r``).  Salt
+          count ``s = ceil(n / sqrt(budget))`` bounds every tile at
+          ~``budget`` pairs; replication cost is ≤ s+1 copies of each
+          hot-key row, and only hot keys pay it.
+        * link — 1-D salting: the left side keeps one row with its salt,
+          the right side replicates into all ``s`` salt groups, and the
+          join adds the salt to the key — the classic salted join, with
+          ``s = ceil(n_l·n_r / budget)`` so each (key, salt) group
+          contributes ≤ ~``budget`` pairs.
+
+        The hot-key table (keys + salt counts) is the skew tail —
+        broadcast to both sides; the driver never sees record rows.
+        """
+        budget = float(self.skew_split)
+        lc = lk.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("__nl"))
+        if task == "dedupe":
+            est = lc.withColumn(
+                "__npairs", F.col("__nl").cast("double") * (F.col("__nl") - 1) / 2.0
+            )
+            hot = est.filter(F.col("__npairs") > budget).select(
+                *key_cols,
+                F.greatest(
+                    F.lit(2),
+                    F.ceil(F.col("__nl") / F.sqrt(F.lit(budget))).cast("int"),
+                ).alias("__s"),
+            )
+        else:
+            rc = rk.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("__nr"))
+            est = lc.join(rc, key_cols, "inner").withColumn(
+                "__npairs", F.col("__nl").cast("double") * F.col("__nr")
+            )
+            hot = est.filter(F.col("__npairs") > budget).select(
+                *key_cols,
+                F.least(
+                    F.col("__nl"),
+                    F.greatest(
+                        F.lit(2), F.ceil(F.col("__npairs") / budget).cast("int")
+                    ).cast("long"),
+                ).cast("int").alias("__s"),
+            )
+        hot = F.broadcast(hot)
+
+        l_ids = lk.select(F.col("record_id").alias(ID_L), *key_cols)
+        r_ids = rk.select(F.col("record_id").alias(ID_R), *key_cols)
+
+        # cold path: plain equi-join, exactly the unsalted plan
+        cold = l_ids.join(hot.select(*key_cols), key_cols, "left_anti").join(
+            r_ids.join(hot.select(*key_cols), key_cols, "left_anti"),
+            key_cols,
+            "inner",
+        )
+        if task == "dedupe":
+            cold = cold.filter(F.col(ID_L) < F.col(ID_R))
+        cold = cold.select(ID_L, ID_R)
+
+        if task == "dedupe":
+            lg = l_ids.join(hot, key_cols, "inner").withColumn(
+                "__g", F.pmod(F.xxhash64(F.col(ID_L)), F.col("__s")).cast("int")
+            )
+            # left role: tiles (g, b) for b in [g, s)
+            lt = lg.select(
+                ID_L,
+                *key_cols,
+                F.col("__g").alias("__a"),
+                F.explode(F.sequence(F.col("__g"), F.col("__s") - 1)).alias("__b"),
+            )
+            rg = r_ids.join(hot, key_cols, "inner").withColumn(
+                "__g", F.pmod(F.xxhash64(F.col(ID_R)), F.col("__s")).cast("int")
+            )
+            # right role: tiles (a, g) for a in [0, g]
+            rt = rg.select(
+                ID_R,
+                *key_cols,
+                F.explode(F.sequence(F.lit(0), F.col("__g"))).alias("__a"),
+                F.col("__g").alias("__b"),
+            )
+            hot_pairs = (
+                lt.join(rt, [*key_cols, "__a", "__b"], "inner")
+                # diagonal tiles see both orderings — keep one; off-diagonal
+                # tiles see each unordered pair once, in salt order
+                .filter((F.col("__a") < F.col("__b")) | (F.col(ID_L) < F.col(ID_R)))
+                .select(
+                    F.least(F.col(ID_L), F.col(ID_R)).alias(ID_L),
+                    F.greatest(F.col(ID_L), F.col(ID_R)).alias(ID_R),
+                )
+            )
+        else:
+            lg = l_ids.join(hot, key_cols, "inner").select(
+                ID_L,
+                *key_cols,
+                F.pmod(F.xxhash64(F.col(ID_L)), F.col("__s")).cast("int").alias("__g"),
+            )
+            rg = r_ids.join(hot, key_cols, "inner").select(
+                ID_R,
+                *key_cols,
+                F.explode(F.sequence(F.lit(0), F.col("__s") - 1)).alias("__g"),
+            )
+            hot_pairs = lg.join(rg, [*key_cols, "__g"], "inner").select(ID_L, ID_R)
+
+        return cold.unionByName(hot_pairs)
 
     def _too_common_keys(
         self, lk: DataFrame, rk: DataFrame, key_cols: list[str], task: str

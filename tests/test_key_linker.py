@@ -105,3 +105,64 @@ def test_pair_counts_two_keys(counts_records):
     assert_df_equal(dd, [("c", 3, 3), ("b", 1, 1), ("a", 1, 0), ("b", 2, 0)])
     ln = lk.pair_counts(counts_records, counts_records, task="link")
     assert_df_equal(ln, [("c", 3, 9), ("b", 1, 4), ("a", 1, 1), ("b", 2, 1)])
+
+
+# ---- skew_split: salted hot-key tiling must be row-identical ----------
+
+
+def _skewed_records(spark, n_hot=120, n_cold=40):
+    """One hot key ('hot') with n_hot rows + scattered cold keys."""
+    rows = [(i, "hot") for i in range(n_hot)]
+    rows += [(1000 + i, f"cold{i % 13}") for i in range(n_cold)]
+    return spark.createDataFrame(rows, "record_id long, letter string")
+
+
+def test_skew_split_dedupe_identical(spark):
+    recs = _skewed_records(spark)
+    plain = KeyLinker(["letter"], task="dedupe")(recs)
+    salted = KeyLinker(["letter"], task="dedupe", skew_split=100)(recs)
+    assert links_set(salted) == links_set(plain)
+    # hot key alone contributes 120*119/2 = 7140 pairs
+    assert len(links_set(salted)) > 7000
+
+
+def test_skew_split_link_identical(spark):
+    left = _skewed_records(spark, n_hot=80, n_cold=30)
+    right = _skewed_records(spark, n_hot=50, n_cold=20).withColumn(
+        "record_id", F.col("record_id") + 100000
+    )
+    plain = KeyLinker(["letter"], task="link")(left, right)
+    salted = KeyLinker(["letter"], task="link", skew_split=200)(left, right)
+    assert links_set(salted) == links_set(plain)
+    assert len(links_set(salted)) >= 80 * 50
+
+
+def test_skew_split_no_hot_keys_is_plain(spark):
+    """Budget above every key's pair count -> pure cold path, identical."""
+    recs = _skewed_records(spark, n_hot=10, n_cold=40)
+    plain = KeyLinker(["letter"], task="dedupe")(recs)
+    salted = KeyLinker(["letter"], task="dedupe", skew_split=10_000_000)(recs)
+    assert links_set(salted) == links_set(plain)
+
+
+def test_skew_split_composes_with_max_pairs(spark):
+    """max_pairs drops the mega-key first; skew_split tiles the rest."""
+    rows = [(i, "mega") for i in range(200)]          # 19900 pairs: dropped
+    rows += [(10_000 + i, "hot") for i in range(60)]  # 1770 pairs: tiled
+    rows += [(20_000 + i, f"c{i}") for i in range(10)]
+    recs = spark.createDataFrame(rows, "record_id long, letter string")
+    got = KeyLinker(
+        ["letter"], task="dedupe", max_pairs=10_000, skew_split=500
+    )(recs)
+    expect = KeyLinker(["letter"], task="dedupe", max_pairs=10_000)(recs)
+    assert links_set(got) == links_set(expect)
+    assert len(links_set(got)) == 60 * 59 // 2
+
+
+def test_skew_split_no_duplicate_pairs(spark):
+    """Tiling must emit each unordered pair exactly once (count == set)."""
+    recs = _skewed_records(spark, n_hot=90, n_cold=25)
+    links = KeyLinker(["letter"], task="dedupe", skew_split=50)(recs).links
+    assert links.count() == links.distinct().count()
+    ordered = links.filter(F.col("record_id_l") >= F.col("record_id_r"))
+    assert ordered.count() == 0
