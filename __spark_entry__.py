@@ -441,6 +441,86 @@ def q_clean_phone(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _synth_url(k) -> F.Column:
+    """Deterministic messy URL per customer key — case noise, default
+    and non-default ports, tracking params, unsorted query, fragments.
+    The oracle rebuilds the identical string in SQL."""
+    return F.concat(
+        F.when(k % 2 == 0, F.lit("HTTPS://")).otherwise(F.lit("http://")),
+        F.when(k % 5 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.lit("shop"),
+        (k % 7).cast("string"),
+        F.lit(".Example"),
+        (k % 3).cast("string"),
+        F.lit(".COM"),
+        F.when((k % 4 == 0) & (k % 2 == 0), F.lit(":443"))
+        .when(k % 4 == 1, F.lit(":8080"))
+        .otherwise(F.lit("")),
+        F.lit("/p/"),
+        (k % 97).cast("string"),
+        F.lit("?utm_source=x&b="),
+        (k % 13).cast("string"),
+        F.lit("&a="),
+        (k % 11).cast("string"),
+        F.when(k % 6 == 0, F.lit("&ref=feed")).otherwise(F.lit("")),
+        F.when(k % 8 == 0, F.lit("#s")).otherwise(F.lit("")),
+    )
+
+
+def q_clean_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lib/url.clean_url + registrable_domain (web-native
+    canonicalization; no mismo counterpart) on synthesized messy URLs."""
+    from mismo_spark.lib.url import clean_url, registrable_domain
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    raw = _synth_url(F.col("c_custkey"))
+    return cust.select(
+        "c_custkey",
+        clean_url(raw).alias("url_clean"),
+        registrable_domain(raw).alias("domain"),
+    )
+
+
+def q_url_match_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lib/url.match_level: EXACT / SAME_PATH / SAME_DOMAIN / ELSE over
+    synthesized URL pairs covering all four levels."""
+    from mismo_spark.lib.url import match_level
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    k = F.col("c_custkey")
+    sub = (k % 5).cast("string")
+    page = (k % 17).cast("string")
+    qv = (k % 7).cast("string")
+    u1 = F.concat(
+        F.lit("https://a.example"), sub, F.lit(".com/p/"), page,
+        F.lit("?q="), qv, F.lit("&utm_x=1"),
+    )
+    u2 = (
+        F.when(
+            k % 4 == 0,
+            F.concat(
+                F.lit("HTTPS://A.example"), sub, F.lit(".COM/p/"), page,
+                F.lit("?q="), qv,
+            ),
+        )
+        .when(
+            k % 4 == 1,
+            F.concat(
+                F.lit("https://a.example"), sub, F.lit(".com/p/"), page,
+                F.lit("?q="), ((k % 7) + 1).cast("string"),
+            ),
+        )
+        .when(
+            k % 4 == 2,
+            F.concat(F.lit("https://b.example"), sub, F.lit(".com/z/"), page),
+        )
+        .otherwise(
+            F.concat(F.lit("https://a.example"), sub, F.lit(".net/p/"), page)
+        )
+    )
+    return cust.select("c_custkey", match_level(u1, u2).alias("lvl"))
+
+
 def q_email_match_level(spark: SparkSession, sf_dir: str) -> DataFrame:
     """email match_level (mismo/lib/email/_core.py:93-133): customer
     emails vs a deterministic mutation."""
@@ -1059,6 +1139,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_block": q_minhash_lsh_block,
         "simhash_pairs": q_simhash_pairs,
         "clean_phone": q_clean_phone,
+        "clean_url": q_clean_url,
+        "url_match_level": q_url_match_level,
         "name_match_level": q_name_match_level,
         "email_match_level": q_email_match_level,
         "haversine": q_haversine,
@@ -1666,6 +1748,141 @@ def oracle_sql() -> dict[str, str]:
                    round(sqrt(list_sum(list_transform(embedding::DOUBLE[],
                                                       x -> x * x))), 6) AS l2_norm
             FROM embeddings
+        """,
+        "clean_url": r"""
+            WITH raw AS (
+              SELECT c_custkey,
+                (CASE WHEN c_custkey % 2 = 0 THEN 'HTTPS://' ELSE 'http://' END)
+                || (CASE WHEN c_custkey % 5 = 0 THEN 'WWW.' ELSE '' END)
+                || 'shop' || (c_custkey % 7)::VARCHAR
+                || '.Example' || (c_custkey % 3)::VARCHAR || '.COM'
+                || (CASE WHEN c_custkey % 4 = 0 AND c_custkey % 2 = 0 THEN ':443'
+                         WHEN c_custkey % 4 = 1 THEN ':8080' ELSE '' END)
+                || '/p/' || (c_custkey % 97)::VARCHAR
+                || '?utm_source=x&b=' || (c_custkey % 13)::VARCHAR
+                || '&a=' || (c_custkey % 11)::VARCHAR
+                || (CASE WHEN c_custkey % 6 = 0 THEN '&ref=feed' ELSE '' END)
+                || (CASE WHEN c_custkey % 8 = 0 THEN '#s' ELSE '' END) AS url
+              FROM customer
+            ),
+            p AS (
+              SELECT c_custkey,
+                lower(coalesce(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.\-]*)://', 1), '')) AS scheme,
+                coalesce(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\-]*://(.*)$', 1), '') AS rest
+              FROM raw
+            ),
+            q AS (
+              SELECT c_custkey, scheme,
+                lower(coalesce(regexp_extract(rest, '^([^/?#]*)', 1), '')) AS hostport,
+                coalesce(regexp_extract(rest, '^[^/?#]*([^?#]*)', 1), '') AS path0,
+                coalesce(regexp_extract(rest, '\?([^#]*)', 1), '') AS query0
+              FROM p
+            ),
+            r AS (
+              SELECT c_custkey, scheme,
+                coalesce(regexp_extract(hostport, '^([^:]*)', 1), '') AS host,
+                nullif(coalesce(regexp_extract(hostport, ':(\d+)$', 1), ''), '') AS port,
+                CASE WHEN path0 = '' THEN '/' ELSE path0 END AS path,
+                coalesce(array_to_string(
+                  list_sort(list_filter(string_split(query0, '&'),
+                    x -> x <> '' AND NOT regexp_matches(x, '^(utm_[^=]*|fbclid|gclid|msclkid|ref)='))),
+                  '&'), '') AS canq
+              FROM q
+            )
+            SELECT c_custkey,
+              scheme || '://'
+              || (CASE WHEN port IS NULL
+                        OR (scheme = 'http' AND port = '80')
+                        OR (scheme = 'https' AND port = '443')
+                  THEN host ELSE host || ':' || port END)
+              || path
+              || (CASE WHEN canq = '' THEN '' ELSE '?' || canq END) AS url_clean,
+              nullif(coalesce(regexp_extract(regexp_replace(host, '^www\.', ''),
+                                             '([^.]+\.[^.]+)$', 1), ''), '') AS domain
+            FROM r
+        """,
+        "url_match_level": r"""
+            WITH pairs AS (
+              SELECT c_custkey,
+                'https://a.example' || (c_custkey % 5)::VARCHAR || '.com/p/'
+                  || (c_custkey % 17)::VARCHAR || '?q=' || (c_custkey % 7)::VARCHAR
+                  || '&utm_x=1' AS u1,
+                CASE
+                  WHEN c_custkey % 4 = 0 THEN
+                    'HTTPS://A.example' || (c_custkey % 5)::VARCHAR || '.COM/p/'
+                    || (c_custkey % 17)::VARCHAR || '?q=' || (c_custkey % 7)::VARCHAR
+                  WHEN c_custkey % 4 = 1 THEN
+                    'https://a.example' || (c_custkey % 5)::VARCHAR || '.com/p/'
+                    || (c_custkey % 17)::VARCHAR || '?q=' || ((c_custkey % 7) + 1)::VARCHAR
+                  WHEN c_custkey % 4 = 2 THEN
+                    'https://b.example' || (c_custkey % 5)::VARCHAR || '.com/z/'
+                    || (c_custkey % 17)::VARCHAR
+                  ELSE
+                    'https://a.example' || (c_custkey % 5)::VARCHAR || '.net/p/'
+                    || (c_custkey % 17)::VARCHAR
+                END AS u2
+              FROM customer
+            ),
+            long AS (
+              SELECT c_custkey, 'l' AS side, u1 AS url FROM pairs
+              UNION ALL
+              SELECT c_custkey, 'r', u2 FROM pairs
+            ),
+            p AS (
+              SELECT c_custkey, side,
+                lower(coalesce(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.\-]*)://', 1), '')) AS scheme,
+                coalesce(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\-]*://(.*)$', 1), '') AS rest
+              FROM long
+            ),
+            q AS (
+              SELECT c_custkey, side, scheme,
+                lower(coalesce(regexp_extract(rest, '^([^/?#]*)', 1), '')) AS hostport,
+                coalesce(regexp_extract(rest, '^[^/?#]*([^?#]*)', 1), '') AS path0,
+                coalesce(regexp_extract(rest, '\?([^#]*)', 1), '') AS query0
+              FROM p
+            ),
+            r AS (
+              SELECT c_custkey, side, scheme,
+                coalesce(regexp_extract(hostport, '^([^:]*)', 1), '') AS host,
+                nullif(coalesce(regexp_extract(hostport, ':(\d+)$', 1), ''), '') AS port,
+                CASE WHEN path0 = '' THEN '/' ELSE path0 END AS path,
+                coalesce(array_to_string(
+                  list_sort(list_filter(string_split(query0, '&'),
+                    x -> x <> '' AND NOT regexp_matches(x, '^(utm_[^=]*|fbclid|gclid|msclkid|ref)='))),
+                  '&'), '') AS canq
+              FROM q
+            ),
+            c AS (
+              SELECT c_custkey, side, host, path,
+                scheme || '://'
+                || (CASE WHEN port IS NULL
+                          OR (scheme = 'http' AND port = '80')
+                          OR (scheme = 'https' AND port = '443')
+                    THEN host ELSE host || ':' || port END)
+                || path
+                || (CASE WHEN canq = '' THEN '' ELSE '?' || canq END) AS clean,
+                coalesce(regexp_extract(regexp_replace(host, '^www\.', ''),
+                                        '([^.]+\.[^.]+)$', 1), '') AS dom
+              FROM r
+            ),
+            piv AS (
+              SELECT c_custkey,
+                max(CASE WHEN side = 'l' THEN clean END) AS clean_l,
+                max(CASE WHEN side = 'r' THEN clean END) AS clean_r,
+                max(CASE WHEN side = 'l' THEN host END) AS host_l,
+                max(CASE WHEN side = 'r' THEN host END) AS host_r,
+                max(CASE WHEN side = 'l' THEN path END) AS path_l,
+                max(CASE WHEN side = 'r' THEN path END) AS path_r,
+                max(CASE WHEN side = 'l' THEN dom END) AS dom_l,
+                max(CASE WHEN side = 'r' THEN dom END) AS dom_r
+              FROM c GROUP BY c_custkey
+            )
+            SELECT c_custkey,
+              (CASE WHEN clean_l = clean_r THEN 0
+                    WHEN host_l = host_r AND path_l = path_r THEN 1
+                    WHEN dom_l <> '' AND dom_l = dom_r THEN 2
+                    ELSE 3 END)::INT AS lvl
+            FROM piv
         """,
         "clean_phone": r"""
             WITH raw AS (

@@ -1,0 +1,103 @@
+"""lib/url.py: canonicalization, parts, domain key, match levels.
+
+Expected values are hand-derived from the module's documented rules and
+cross-checked against the DuckDB replay used by the clean_url /
+url_match_level oracle rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mismo_spark.lib.url import (
+    UrlMatchLevel,
+    clean_url,
+    match_level,
+    registrable_domain,
+    url_parts,
+)
+
+CASES = [
+    # (raw, clean, registrable_domain)
+    (
+        "HTTP://WWW.Example.COM:80/Path/page?b=2&utm_source=x&a=1#frag",
+        "http://www.example.com/Path/page?a=1&b=2",
+        "example.com",
+    ),
+    ("https://sub.example.com:443/", "https://sub.example.com/", "example.com"),
+    (
+        "https://sub.example.com:8443/x?gclid=1",
+        "https://sub.example.com:8443/x",
+        "example.com",
+    ),
+    (
+        "example.com/no-scheme?z=1&y=2",
+        "http://example.com/no-scheme?y=2&z=1",
+        "example.com",
+    ),
+    ("http://example.com", "http://example.com/", "example.com"),
+    (None, None, None),
+    ("ftp://files.example.org:21/a/b", "ftp://files.example.org:21/a/b", "example.org"),
+]
+
+
+def test_clean_url_and_domain(spark):
+    df = spark.createDataFrame([(c[0],) for c in CASES], "url string")
+    got = df.select(
+        clean_url(F.col("url")).alias("clean"),
+        registrable_domain(F.col("url")).alias("dom"),
+    ).collect()
+    for (raw, want_clean, want_dom), row in zip(CASES, got):
+        assert row["clean"] == want_clean, raw
+        assert row["dom"] == want_dom, raw
+
+
+def test_url_parts(spark):
+    df = spark.createDataFrame(
+        [("https://Host.Example.com:8443/a/b?x=1#frag",)], "url string"
+    )
+    p = df.select(url_parts(F.col("url")).alias("p")).select("p.*").collect()[0]
+    assert p["scheme"] == "https"
+    assert p["host"] == "host.example.com"
+    assert p["port"] == "8443"
+    assert p["path"] == "/a/b"
+    assert p["query"] == "x=1"
+    assert p["fragment"] == "frag"
+
+
+def test_match_levels(spark):
+    pairs = [
+        # EXACT: same canonical url, different tracking + case noise
+        ("https://A.example.com/x?b=2&a=1", "HTTPS://a.Example.com/x?a=1&b=2&utm_s=9"),
+        # SAME_PATH: query differs
+        ("https://a.example.com/x?a=1", "https://a.example.com/x?a=2"),
+        # SAME_DOMAIN: subdomain/path differ
+        ("https://a.example.com/x", "https://b.example.com/y"),
+        # ELSE
+        ("https://a.example.com/x", "https://a.other.org/x"),
+        # NULL side -> ELSE
+        (None, "https://a.example.com/x"),
+    ]
+    want = [
+        UrlMatchLevel.EXACT,
+        UrlMatchLevel.SAME_PATH,
+        UrlMatchLevel.SAME_DOMAIN,
+        UrlMatchLevel.ELSE,
+        UrlMatchLevel.ELSE,
+    ]
+    df = spark.createDataFrame(pairs, "u1 string, u2 string")
+    got = df.select(match_level(F.col("u1"), F.col("u2")).alias("lvl")).collect()
+    assert [r["lvl"] for r in got] == [int(w) for w in want]
+
+
+def test_match_level_symmetric(spark):
+    df = spark.createDataFrame(
+        [
+            ("https://a.example.com/x?a=1", "https://a.example.com/x?a=2"),
+            ("https://a.example.com/x", "https://b.other.org/y"),
+        ],
+        "u1 string, u2 string",
+    )
+    fwd = df.select(match_level(F.col("u1"), F.col("u2")).alias("l")).collect()
+    rev = df.select(match_level(F.col("u2"), F.col("u1")).alias("l")).collect()
+    assert [r["l"] for r in fwd] == [r["l"] for r in rev]
