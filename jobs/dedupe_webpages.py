@@ -31,6 +31,12 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--output", required=True, help="output parquet (record_id, component)")
     ap.add_argument("--threshold-odds", type=float, default=10.0)
     ap.add_argument("--max-pairs-per-key", type=int, default=100_000)
+    ap.add_argument(
+        "--skew-split-pairs", type=int, default=None,
+        help="salt domain keys above this per-task pair budget "
+        "(triangle tiling) instead of relying on AQE alone; "
+        "default off",
+    )
     ap.add_argument("--lsh-band-size", type=int, default=2)
     ap.add_argument("--lsh-n-bands", type=int, default=32)
     ap.add_argument("--seed", type=int, default=42)
@@ -69,6 +75,7 @@ def main(argv: list[str] | None = None) -> None:
         weights=weights,
         threshold_odds=args.threshold_odds,
         max_pairs_per_key=args.max_pairs_per_key,
+        skew_split_pairs=args.skew_split_pairs,
         lsh_band_size=args.lsh_band_size,
         lsh_n_bands=args.lsh_n_bands,
         seed=args.seed,

@@ -127,6 +127,11 @@ class DedupePipeline:
     # budget is dropped from the key join (mega-domains); recall inside
     # huge domains comes from the LSH rule instead
     max_pairs_per_key: int | None = 100_000
+    # explicit skew splitting: domain keys that survive the cap but
+    # still exceed this per-task pair budget are salted (triangle
+    # tiling, see KeyLinker.skew_split) instead of landing on one task;
+    # None = rely on AQE skew-join alone
+    skew_split_pairs: int | None = None
     em_max_pairs: int = 200_000
     # broadcast the narrow per-record feature table into the pair joins
     # while its ESTIMATED SIZE fits this many bytes (rows are the wrong
@@ -259,7 +264,10 @@ class DedupePipeline:
             track_rules=False,
             linkers={
                 "domain": KeyLinker(
-                    ["domain"], task="dedupe", max_pairs=self.max_pairs_per_key
+                    ["domain"],
+                    task="dedupe",
+                    max_pairs=self.max_pairs_per_key,
+                    skew_split=self.skew_split_pairs,
                 ),
                 # LSH over the PRE-HASHED shingles (array<long>): minhash
                 # hash functions then operate on fixed 8-byte longs
@@ -313,6 +321,7 @@ class DedupePipeline:
             self.lsh_n_bands,
             self.seed,
             self.max_pairs_per_key,
+            self.skew_split_pairs,
         )
         links = self._stage(
             spark,

@@ -82,3 +82,21 @@ def test_pipeline_resume_identical(spark, corpus, tmp_path):
         assert stage in manifest["stages"]
         assert manifest["stages"][stage]["rows"] > 0
         assert manifest["stages"][stage]["partition_counts"]
+
+
+def test_pipeline_skew_split_identical_clusters(spark, corpus, tmp_path):
+    """Explicit skew splitting is a physical-plan change only: the same
+    corpus clusters identically with domain-key salting forced on
+    (budget low enough that the skew_every=100 mega-domains tile)."""
+    plain = DedupePipeline(
+        work_dir=str(tmp_path / "plain"), seed=42, checkpoint=False
+    ).run(spark, corpus.drop("label_true"))
+    salted = DedupePipeline(
+        work_dir=str(tmp_path / "salted"),
+        seed=42,
+        checkpoint=False,
+        skew_split_pairs=50,
+    ).run(spark, corpus.drop("label_true"))
+    a = {(r["record_id"], r["component"]) for r in plain.collect()}
+    b = {(r["record_id"], r["component"]) for r in salted.collect()}
+    assert a == b
