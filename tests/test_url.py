@@ -101,3 +101,27 @@ def test_match_level_symmetric(spark):
     fwd = df.select(match_level(F.col("u1"), F.col("u2")).alias("l")).collect()
     rev = df.select(match_level(F.col("u2"), F.col("u1")).alias("l")).collect()
     assert [r["l"] for r in fwd] == [r["l"] for r in rev]
+
+
+def test_clean_url_idempotent(spark):
+    """clean(clean(u)) == clean(u) over a seeded messy-URL corpus —
+    canonical output must be a fixed point of the canonicalizer."""
+    import random
+
+    rng = random.Random(7)
+    schemes = ["http://", "HTTPS://", "", "ftp://"]
+    hosts = ["Example.COM", "www.shop.example.org", "A.B.example.net:8080",
+             "example.com:80", "example.com:443"]
+    paths = ["", "/", "/a/B", "/x%20y"]
+    queries = ["", "?b=2&a=1", "?utm_source=x&z=9&y=8", "?a=1&a=1&ref=r"]
+    frags = ["", "#f"]
+    urls = [
+        (rng.choice(schemes) + rng.choice(hosts) + rng.choice(paths)
+         + rng.choice(queries) + rng.choice(frags),)
+        for _ in range(200)
+    ]
+    df = spark.createDataFrame(urls, "url string")
+    once = clean_url(F.col("url"))
+    got = df.select(once.alias("c1"), clean_url(once).alias("c2")).collect()
+    for r in got:
+        assert r["c1"] == r["c2"], r
