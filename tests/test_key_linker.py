@@ -166,3 +166,17 @@ def test_skew_split_no_duplicate_pairs(spark):
     assert links.count() == links.distinct().count()
     ordered = links.filter(F.col("record_id_l") >= F.col("record_id_r"))
     assert ordered.count() == 0
+
+
+def test_skew_split_plan_shape(spark):
+    """The salted plan must (a) broadcast the hot-key table (never
+    shuffle record rows to find their salt), and (b) tile via explode —
+    the hot key's pairs are generated across many (key, tile) groups
+    instead of one hash partition."""
+    recs = _skewed_records(spark)
+    links = KeyLinker(["letter"], task="dedupe", skew_split=100)(recs).links
+    plan = links._jdf.queryExecution().executedPlan().toString()
+    assert "Generate explode" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    # cold path separation happens with broadcast anti-joins
+    assert "LeftAnti, BuildRight" in plan, plan
