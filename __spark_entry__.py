@@ -521,6 +521,31 @@ def q_url_match_level(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cust.select("c_custkey", match_level(u1, u2).alias("lvl"))
 
 
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (sessions.sessionize): per-user session
+    ordinal via lag + cumulative-sum windows, 2h gap."""
+    from mismo_spark.sessions import sessionize
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return sessionize(
+        ev, gap_seconds=7200, tiebreak_col="event_id"
+    ).select("event_id", "user_id", "session_id")
+
+
+def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-session aggregates via F.session_window (batch mode; the
+    same expression runs under Structured Streaming with a watermark).
+    Oracle replays session_window's strict-overlap merge rule."""
+    from mismo_spark.sessions import session_stats
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return session_stats(
+        ev,
+        gap="2 hours",
+        agg_exprs=[F.round(F.sum("value"), 6).alias("sum_value")],
+    )
+
+
 def q_email_match_level(spark: SparkSession, sf_dir: str) -> DataFrame:
     """email match_level (mismo/lib/email/_core.py:93-133): customer
     emails vs a deterministic mutation."""
@@ -1141,6 +1166,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clean_phone": q_clean_phone,
         "clean_url": q_clean_url,
         "url_match_level": q_url_match_level,
+        "sessionize": q_sessionize,
+        "session_stats": q_session_stats,
         "name_match_level": q_name_match_level,
         "email_match_level": q_email_match_level,
         "haversine": q_haversine,
@@ -1883,6 +1910,49 @@ def oracle_sql() -> dict[str, str]:
                     WHEN dom_l <> '' AND dom_l = dom_r THEN 2
                     ELSE 3 END)::INT AS lvl
             FROM piv
+        """,
+        "sessionize": """
+            SELECT event_id, user_id,
+              sum(CASE WHEN prev_ts IS NULL
+                        OR ts - prev_ts > INTERVAL 7200 SECONDS
+                   THEN 1 ELSE 0 END)
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS UNBOUNDED PRECEDING)::BIGINT AS session_id
+            FROM (
+              SELECT event_id, user_id, ts,
+                     lag(ts) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                     ) AS prev_ts
+              FROM events
+            )
+        """,
+        "session_stats": """
+            WITH lagged AS (
+              SELECT user_id, ts, value,
+                     lag(ts) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                     ) AS prev_ts
+              FROM events
+            ),
+            marked AS (
+              -- session_window merges only STRICTLY overlapping
+              -- [ts, ts+gap) windows: a gap exactly equal to 2h starts
+              -- a new session (>=), unlike sessionize's strict >
+              SELECT user_id, ts, value,
+                sum(CASE WHEN prev_ts IS NULL
+                          OR ts - prev_ts >= INTERVAL 7200 SECONDS
+                     THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS sid
+              FROM lagged
+            )
+            SELECT user_id,
+                   min(ts) AS session_start,
+                   max(ts) + INTERVAL 2 HOUR AS session_end,
+                   count(*)::BIGINT AS n_events,
+                   round(sum(value), 6) AS sum_value
+            FROM marked
+            GROUP BY user_id, sid
         """,
         "clean_phone": r"""
             WITH raw AS (
