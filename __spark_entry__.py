@@ -546,6 +546,23 @@ def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_line_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style duplicate-line signals (textqa.repetition) —
+    shuffle-free array algebra per document."""
+    from mismo_spark.textqa.repetition import line_repetition_signals
+
+    return line_repetition_signals(_docs(spark, sf_dir), id_col="doc_id")
+
+
+def q_ngram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top/duplicated word-2-gram char fractions (textqa.repetition):
+    explode → per-(doc, gram) count → per-doc rollup, doc-keyed
+    shuffles only."""
+    from mismo_spark.textqa.repetition import ngram_repetition_signals
+
+    return ngram_repetition_signals(_docs(spark, sf_dir), n=2, id_col="doc_id")
+
+
 def q_email_match_level(spark: SparkSession, sf_dir: str) -> DataFrame:
     """email match_level (mismo/lib/email/_core.py:93-133): customer
     emails vs a deterministic mutation."""
@@ -1168,6 +1185,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_match_level": q_url_match_level,
         "sessionize": q_sessionize,
         "session_stats": q_session_stats,
+        "line_repetition": q_line_repetition,
+        "ngram_repetition": q_ngram_repetition,
         "name_match_level": q_name_match_level,
         "email_match_level": q_email_match_level,
         "haversine": q_haversine,
@@ -1953,6 +1972,72 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 6) AS sum_value
             FROM marked
             GROUP BY user_id, sid
+        """,
+        "line_repetition": r"""
+            WITH lines AS (
+              SELECT doc_id, l, length(l) AS len
+              FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS l
+                    FROM documents WHERE text IS NOT NULL)
+              WHERE trim(l) <> ''
+            ),
+            per_line AS (
+              SELECT doc_id, l, count(*) AS c, max(len) AS len
+              FROM lines GROUP BY doc_id, l
+            ),
+            agg AS (
+              SELECT doc_id,
+                sum(c) AS n_lines, count(*) AS n_distinct,
+                sum((c - 1) * len) AS dup_chars, sum(c * len) AS tot_chars
+              FROM per_line GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+              CASE WHEN d.text IS NULL THEN NULL
+                   WHEN a.doc_id IS NULL THEN 0.0
+                   ELSE round((n_lines - n_distinct) / n_lines::DOUBLE, 9)
+              END AS dup_line_frac,
+              CASE WHEN d.text IS NULL THEN NULL
+                   WHEN a.doc_id IS NULL OR tot_chars = 0 THEN 0.0
+                   ELSE round(dup_chars / tot_chars::DOUBLE, 9)
+              END AS dup_line_char_frac
+            FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+        """,
+        "ngram_repetition": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ') AS t
+              FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+            ),
+            base AS (
+              SELECT doc_id, length(array_to_string(t, ' ')) AS text_len, t
+              FROM toks
+            ),
+            grams AS (
+              SELECT doc_id, text_len, t[i] || ' ' || t[i + 1] AS g
+              FROM base, unnest(range(1, len(t))) AS u(i)
+            ),
+            counts AS (
+              SELECT doc_id, text_len, g, count(*) AS c
+              FROM grams GROUP BY doc_id, text_len, g
+            ),
+            ranked AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY doc_id ORDER BY c DESC, g ASC
+              ) AS rk FROM counts
+            ),
+            per_doc AS (
+              SELECT doc_id, text_len,
+                max(CASE WHEN rk = 1 THEN c * length(g) END) AS top_chars,
+                sum(CASE WHEN c >= 2 THEN c * length(g) ELSE 0 END) AS dup_chars
+              FROM ranked GROUP BY doc_id, text_len
+            )
+            SELECT d.doc_id,
+              CASE WHEN p.doc_id IS NULL OR text_len = 0 THEN 0.0
+                   ELSE round(top_chars / text_len::DOUBLE, 9)
+              END AS top_ngram_char_frac,
+              CASE WHEN p.doc_id IS NULL OR text_len = 0 THEN 0.0
+                   ELSE round(least(dup_chars / text_len::DOUBLE, 1.0), 9)
+              END AS dup_ngram_char_frac
+            FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
         """,
         "clean_phone": r"""
             WITH raw AS (

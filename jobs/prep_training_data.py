@@ -76,6 +76,12 @@ def main(argv: list[str] | None = None) -> dict:
                     "docs) exceeds this")
     ap.add_argument("--boilerplate-ngram", type=int, default=5)
     ap.add_argument("--boilerplate-min-df", type=int, default=2)
+    ap.add_argument("--max-dup-line-frac", type=float, default=None,
+                    help="Gopher-style repetition filter: drop docs whose "
+                    "duplicate-line fraction exceeds this (e.g. 0.30)")
+    ap.add_argument("--max-dup-ngram-frac", type=float, default=None,
+                    help="drop docs whose duplicated word-2-gram char "
+                    "fraction exceeds this (e.g. 0.20)")
     ap.add_argument("--seed", type=int, default=42)
     args = ap.parse_args(argv)
 
@@ -145,6 +151,25 @@ def main(argv: list[str] | None = None) -> dict:
         )
         docs = docs.join(keep_ids.select("record_id"), "record_id", "left_semi")
         counters["after_neardup_dedupe"] = docs.count()
+
+    # -- within-doc repetition filters (Gopher A1.1) -----------------------
+    if args.max_dup_line_frac is not None:
+        from mismo_spark.textqa.repetition import line_repetition_signals
+
+        rep = line_repetition_signals(
+            docs, id_col="record_id", text_col=args.text_col
+        ).filter(F.col("dup_line_frac") > args.max_dup_line_frac)
+        docs = docs.join(rep.select("record_id"), "record_id", "left_anti")
+        counters["after_dup_line_filter"] = docs.count()
+
+    if args.max_dup_ngram_frac is not None:
+        from mismo_spark.textqa.repetition import ngram_repetition_signals
+
+        rep = ngram_repetition_signals(
+            docs, n=2, id_col="record_id", text_col=args.text_col
+        ).filter(F.col("dup_ngram_char_frac") > args.max_dup_ngram_frac)
+        docs = docs.join(rep.select("record_id"), "record_id", "left_anti")
+        counters["after_dup_ngram_filter"] = docs.count()
 
     # -- boilerplate filter (duplicated-ngram fraction) --------------------
     if args.max_boilerplate_frac is not None:

@@ -1,0 +1,196 @@
+"""Within-document repetition signals — the Gopher/MassiveText-style
+quality filters (Rae et al. 2021, §A1.1: repetitious documents are
+low-quality and over-weighted by LMs; no reference counterpart — this
+is the training-data side of the engine, next to
+``textqa.contamination``'s cross-document signals).
+
+Two plan shapes, chosen per signal family:
+
+* **Line signals** (`dup_line_fraction`, `dup_line_char_fraction`) are
+  pure array algebra on each row — sort the line array once, mark
+  occurrences equal to their sorted predecessor — so they run
+  shuffle-free inside the scan's codegen stage.  At 100 TB this is the
+  difference between a map-only pass and an explode of every line.
+* **N-gram signals** (`ngram_repetition_signals`: most-frequent-n-gram
+  char fraction and duplicated-n-gram char fraction) need per-(doc,
+  gram) counts; explode → groupBy is the right plan (map-side partial
+  aggregation; one shuffle keyed by doc — never cross-document).
+
+Token/char accounting (documented contract, replayed verbatim by the
+DuckDB oracle):
+* lines = ``split(text, '\\n')`` with blank (all-space) lines dropped;
+* a "duplicate line" is the 2nd+ occurrence of an identical line;
+  char fractions weight by line length, Σ(c−1)·len / Σ c·len;
+* n-grams are over :func:`mismo_spark.text.features.tokenize` tokens
+  joined by one space; the top-gram fraction is
+  ``max_count · len(gram) / len(' '-joined tokens)`` with
+  lexicographic-smallest tie-break; the duplicated-gram fraction sums
+  ``c · len(gram)`` over grams with c ≥ 2 (overlapping occurrences
+  counted fully, as in the Gopher appendix) and is capped at 1.0.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from mismo_spark.text.features import tokenize
+
+
+def _word_grams(toks: Column, n: int) -> Column:
+    """Strict word n-grams (' '-joined); fewer than n tokens → [].
+    ``toks`` must be a materialized attribute, not an inline expression
+    (HOF lambdas re-evaluate referenced expressions per element — see
+    dedupe.word_shingles_from_tokens)."""
+    sz = F.size(toks)
+    idx = F.sequence(F.lit(0), sz - F.lit(n))
+    return F.when(sz < n, F.array().cast("array<string>")).otherwise(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    )
+
+
+def _nonblank_lines(text: Column) -> Column:
+    return F.filter(F.split(text, "\n"), lambda x: F.trim(x) != "")
+
+
+def dup_line_fraction(text: Column) -> Column:
+    """Fraction of non-blank lines that are repeats of an earlier
+    identical line; 0.0 for docs with no lines; NULL for NULL text."""
+    lines = _nonblank_lines(text)
+    n = F.size(lines)
+    return F.when(text.isNull(), F.lit(None).cast("double")).otherwise(
+        F.when(n == 0, F.lit(0.0)).otherwise(
+            (n - F.size(F.array_distinct(lines))) / n.cast("double")
+        )
+    )
+
+
+def dup_line_char_fraction(text: Column) -> Column:
+    """Fraction of line characters sitting in duplicate occurrences:
+    Σ_(distinct line) (count−1)·len / Σ count·len.  Computed
+    shuffle-free: sort the line array, an occurrence is a duplicate iff
+    it equals its sorted predecessor."""
+    lines = F.array_sort(_nonblank_lines(text))
+    n = F.size(lines)
+    # zip each line (from the 2nd) with its predecessor; sum lengths of
+    # the ones that repeat
+    dup_chars = F.aggregate(
+        F.zip_with(
+            F.slice(lines, 2, F.greatest(n - 1, F.lit(0))),
+            F.slice(lines, 1, F.greatest(n - 1, F.lit(0))),
+            lambda cur, prev: F.when(cur == prev, F.length(cur)).otherwise(
+                F.lit(0)
+            ),
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    total_chars = F.aggregate(
+        lines, F.lit(0), lambda acc, x: acc + F.length(x)
+    )
+    return F.when(text.isNull(), F.lit(None).cast("double")).otherwise(
+        F.when(total_chars == 0, F.lit(0.0)).otherwise(
+            dup_chars / total_chars.cast("double")
+        )
+    )
+
+
+def line_repetition_signals(
+    df: DataFrame, *, id_col: str = "record_id", text_col: str = "text"
+) -> DataFrame:
+    """→ (id, dup_line_frac, dup_line_char_frac) — map-only pass."""
+    t = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        F.round(dup_line_fraction(t), 9).alias("dup_line_frac"),
+        F.round(dup_line_char_fraction(t), 9).alias("dup_line_char_frac"),
+    )
+
+
+def ngram_repetition_signals(
+    df: DataFrame,
+    *,
+    n: int = 2,
+    id_col: str = "record_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """→ (id, top_ngram_char_frac, dup_ngram_char_frac) per document.
+
+    One explode + per-(doc, gram) count with map-side partial
+    aggregation, then a per-doc rollup — both shuffles are keyed by the
+    document id, so the plan never crosses documents and scales
+    linearly with corpus size.  Docs with fewer than ``n`` tokens get
+    0.0 for both signals.
+    """
+    base = df.select(
+        F.col(id_col).alias("__id"), tokenize(F.col(text_col)).alias("__toks")
+    ).select(
+        "__id",
+        F.length(F.array_join(F.col("__toks"), " ")).alias("__text_len"),
+        _word_grams(F.col("__toks"), n).alias("__grams"),
+    )
+    counts = (
+        base.select("__id", "__text_len", F.explode("__grams").alias("__g"))
+        .groupBy("__id", "__text_len", "__g")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    w = Window.partitionBy("__id")
+    rolled = (
+        counts.withColumn(
+            "__rank",
+            F.row_number().over(
+                Window.partitionBy("__id").orderBy(
+                    F.desc("__c"), F.asc("__g")
+                )
+            ),
+        )
+        .withColumn(
+            "__top_chars",
+            F.max(
+                F.when(F.col("__rank") == 1, F.col("__c") * F.length("__g"))
+            ).over(w),
+        )
+        .withColumn(
+            "__dup_chars",
+            F.sum(
+                F.when(F.col("__c") >= 2, F.col("__c") * F.length("__g")).otherwise(0)
+            ).over(w),
+        )
+        .filter(F.col("__rank") == 1)
+        .select(
+            F.col("__id"),
+            F.when(
+                F.col("__text_len") == 0, F.lit(0.0)
+            ).otherwise(
+                F.round(
+                    F.col("__top_chars") / F.col("__text_len").cast("double"), 9
+                )
+            ).alias("top_ngram_char_frac"),
+            F.when(
+                F.col("__text_len") == 0, F.lit(0.0)
+            ).otherwise(
+                F.round(
+                    F.least(
+                        F.col("__dup_chars") / F.col("__text_len").cast("double"),
+                        F.lit(1.0),
+                    ),
+                    9,
+                )
+            ).alias("dup_ngram_char_frac"),
+        )
+    )
+    # docs with no n-grams (fewer than n tokens) drop out of the
+    # explode — join them back with zeros
+    ids = df.select(F.col(id_col).alias("__id")).distinct()
+    return (
+        ids.join(rolled, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.coalesce("top_ngram_char_frac", F.lit(0.0)).alias(
+                "top_ngram_char_frac"
+            ),
+            F.coalesce("dup_ngram_char_frac", F.lit(0.0)).alias(
+                "dup_ngram_char_frac"
+            ),
+        )
+    )

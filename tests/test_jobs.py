@@ -93,3 +93,20 @@ def test_prep_training_data_decontaminate_and_boilerplate(spark, tmp_path):
     bench_texts = {r["text"] for r in spark.read.parquet(bench_path).collect()}
     kept_texts = {r["text"] for r in got.select("text").collect()}
     assert not (bench_texts & kept_texts)
+
+
+def test_prep_training_data_repetition_filters(spark, tmp_path):
+    out = str(tmp_path / "curated")
+    counters = prep_main([
+        "--input", f"{SF_DIR}/documents.parquet",
+        "--output", out,
+        "--id-col", "doc_id",
+        "--skip-neardup",
+        "--max-dup-line-frac", "0.9",
+        "--max-dup-ngram-frac", "0.95",
+    ])
+    assert "after_dup_line_filter" in counters
+    assert "after_dup_ngram_filter" in counters
+    assert counters["after_dup_ngram_filter"] <= counters["after_dup_line_filter"]
+    assert counters["written_docs"] == counters["after_dup_ngram_filter"]
+    assert counters["written_docs"] > 0

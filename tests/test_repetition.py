@@ -1,0 +1,100 @@
+"""textqa.repetition: Gopher-style within-document repetition signals."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mismo_spark.textqa.repetition import (
+    dup_line_char_fraction,
+    dup_line_fraction,
+    line_repetition_signals,
+    ngram_repetition_signals,
+)
+
+
+def test_line_signals_hand_computed(spark):
+    docs = spark.createDataFrame(
+        [
+            # 4 non-blank lines, 'aa' twice: dup_line_frac = 1/4;
+            # chars: aa(2×2) + bbb + cccc = 11, dup chars = (2-1)*2 = 2
+            (1, "aa\nbbb\n\naa\ncccc"),
+            # no duplicates
+            (2, "x\ny\nz"),
+            # all the same: 3 lines, 1 distinct -> 2/3; chars 2/3
+            (3, "q\nq\nq"),
+            (4, ""),  # no lines -> 0.0
+            (5, None),  # null text -> nulls
+        ],
+        "record_id long, text string",
+    )
+    got = {
+        r["record_id"]: (r["dup_line_frac"], r["dup_line_char_frac"])
+        for r in line_repetition_signals(docs).collect()
+    }
+    assert got[1] == (0.25, pytest.approx(2 / 11))
+    assert got[2] == (0.0, 0.0)
+    assert got[3] == (pytest.approx(2 / 3), pytest.approx(2 / 3))
+    assert got[4] == (0.0, 0.0)
+    assert got[5] == (None, None)
+
+
+def test_ngram_signals_hand_computed(spark):
+    docs = spark.createDataFrame(
+        [
+            # tokens: a b a b a -> 2-grams: 'a b'(2) 'b a'(2)
+            # text_len = 9; top = 'a b' (lexicographic tie-break),
+            # top_chars = 2*3=6 -> 6/9; dup: both grams c>=2 ->
+            # (2*3 + 2*3)/9 = 12/9 -> capped 1.0
+            (1, "a b a b a"),
+            # all distinct 2-grams
+            (2, "u v w x"),
+            (3, "single"),  # < 2 tokens -> zeros
+        ],
+        "record_id long, text string",
+    )
+    got = {
+        r["record_id"]: (r["top_ngram_char_frac"], r["dup_ngram_char_frac"])
+        for r in ngram_repetition_signals(docs, n=2).collect()
+    }
+    assert got[1] == (pytest.approx(6 / 9), 1.0)
+    assert got[2][1] == 0.0
+    # 'u v' occurs once: 3/7
+    assert got[2][0] == pytest.approx(3 / 7)
+    assert got[3] == (0.0, 0.0)
+
+
+def test_line_signals_shuffle_free(spark):
+    """The line signals must stay a map-only plan — no Exchange."""
+    docs = spark.createDataFrame(
+        [(1, "a\nb"), (2, "c\nc")], "record_id long, text string"
+    )
+    plan = (
+        line_repetition_signals(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan
+
+
+def test_repetitive_beats_clean_on_real_docs(spark):
+    """Sanity on the sf0.001 documents table: a doc made of one line
+    repeated scores maximally repetitive under every signal."""
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select(F.col("doc_id").alias("record_id"), "text").limit(50)
+    spam = spark.createDataFrame(
+        [(10_000_000, "buy now cheap\n" * 20)], "record_id long, text string"
+    )
+    both = docs.unionByName(spam)
+    lines = {
+        r["record_id"]: r["dup_line_frac"]
+        for r in line_repetition_signals(both).collect()
+    }
+    assert lines[10_000_000] == pytest.approx(19 / 20)
+    grams = {
+        r["record_id"]: r["dup_ngram_char_frac"]
+        for r in ngram_repetition_signals(both, n=2).collect()
+    }
+    assert grams[10_000_000] == 1.0
