@@ -94,6 +94,17 @@ def q_key_linker_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).links
 
 
+def q_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SortedNeighborhoodLinker (Hernández–Stolfo): window-3 pairs in
+    (source, doc_id) sort order, built on the distributed
+    range-partition + offset global rank (no single-task window)."""
+    from mismo_spark.linker.sorted_neighborhood import SortedNeighborhoodLinker
+
+    return SortedNeighborhoodLinker("source", window=3, task="dedupe")(
+        _docs(spark, sf_dir)
+    ).links
+
+
 def q_or_linker(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OrLinker: union of two rules with provenance (mismo/linker/_or_linker.py:20-77)."""
     from mismo_spark.linker.key import KeyLinker
@@ -1159,6 +1170,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pair_counts_dedupe": q_pair_counts_dedupe,
         "key_linker_block": q_key_linker_block,
         "key_linker_skew": q_key_linker_skew,
+        "sorted_neighborhood": q_sorted_neighborhood,
         "or_linker": q_or_linker,
         "with_n_links": q_with_n_links,
         "link_counts": q_link_counts,
@@ -1533,6 +1545,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         "key_linker_block": f"""
             SELECT record_id_l, record_id_r FROM ({pair_block})
+        """,
+        "sorted_neighborhood": """
+            WITH ranked AS (
+              SELECT doc_id, row_number() OVER (ORDER BY source, doc_id) AS rk
+              FROM documents WHERE source IS NOT NULL
+            )
+            SELECT least(a.doc_id, b.doc_id) AS record_id_l,
+                   greatest(a.doc_id, b.doc_id) AS record_id_r
+            FROM ranked a JOIN ranked b ON b.rk - a.rk IN (1, 2)
         """,
         "key_linker_skew": """
             SELECT a.doc_id AS record_id_l, b.doc_id AS record_id_r
