@@ -557,6 +557,21 @@ def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stratum sampling (training-data mixing): keep
+    is a pure function of (seed, id, stratum) via md5 arithmetic, so
+    the oracle replays membership exactly — map-only, no shuffle."""
+    from mismo_spark._util import stratified_sample
+
+    return stratified_sample(
+        _docs(spark, sf_dir),
+        {"en": 0.5, "de": 0.2, "fr": 0.1},
+        strata_col="lang",
+        id_col="doc_id",
+        seed=42,
+    ).select("doc_id", "lang")
+
+
 def q_line_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style duplicate-line signals (textqa.repetition) —
     shuffle-free array algebra per document."""
@@ -1197,6 +1212,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_match_level": q_url_match_level,
         "sessionize": q_sessionize,
         "session_stats": q_session_stats,
+        "stratified_sample": q_stratified_sample,
         "line_repetition": q_line_repetition,
         "ngram_repetition": q_ngram_repetition,
         "name_match_level": q_name_match_level,
@@ -1993,6 +2009,14 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 6) AS sum_value
             FROM marked
             GROUP BY user_id, sid
+        """,
+        "stratified_sample": """
+            SELECT doc_id, lang FROM documents
+            WHERE CAST(('0x' || substr(md5('42' || chr(31)
+                        || CAST(doc_id AS VARCHAR) || chr(31) || lang),
+                        1, 8))::UBIGINT AS DOUBLE) / 4294967296.0
+                  < CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.2
+                              WHEN 'fr' THEN 0.1 ELSE 0.0 END
         """,
         "line_repetition": r"""
             WITH lines AS (

@@ -197,3 +197,49 @@ def n_naive_comparisons(n_left: int, n_right: int | None = None) -> int:
     if n_right is None:
         return n_left * (n_left - 1) // 2
     return n_left * n_right
+
+
+def stratified_sample(
+    df: DataFrame,
+    fractions: dict,
+    *,
+    strata_col: str,
+    id_col: str = "record_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic per-stratum sampling — the training-data mixing
+    primitive ("keep 30% of source A, 5% of source B").  Beyond the
+    reference (its samplers are corpus-wide).
+
+    Each row keeps iff ``md5(seed‖id‖stratum)``'s first 8 hex digits,
+    read as a fraction of 2³², fall below the stratum's rate — so
+    membership is a pure function of (seed, id, stratum): reproducible
+    across runs, partitionings, AND engines (the DuckDB oracle replays
+    the same md5 arithmetic — unlike xxhash64, which only Spark has).
+    Map-only plan: no shuffle, no sort, no count.  Strata missing from
+    ``fractions`` are dropped (rate 0).
+    """
+    rate = None
+    for k, v in fractions.items():
+        cond = F.col(strata_col) == k
+        rate = F.when(cond, F.lit(float(v))) if rate is None else rate.when(
+            cond, F.lit(float(v))
+        )
+    rate = F.lit(0.0) if rate is None else rate.otherwise(F.lit(0.0))
+    bucket = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "\x1f",
+                    F.lit(str(seed)),
+                    F.col(id_col).cast("string"),
+                    F.col(strata_col).cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("double") / F.lit(4294967296.0)
+    return df.filter(bucket < rate)

@@ -74,3 +74,51 @@ def pairwise_prf(assignments: DataFrame) -> dict[str, float]:
         "pred_pairs": float(pred),
         "true_pairs": float(true),
     }
+
+
+def bcubed_prf(assignments: DataFrame) -> dict[str, float]:
+    """B-cubed precision/recall/F1 (Bagga & Baldwin 1998) — the other
+    standard ER clustering metric next to pairwise F1 (beyond the
+    reference, which ships only sklearn-style driver-side scores).
+
+    Per record r with predicted cluster C(r) and true class T(r):
+    P(r) = |C(r)∩T(r)| / |C(r)|, R(r) = |C(r)∩T(r)| / |T(r)|; the
+    scores are the means over records.  Computed WITHOUT per-record
+    work: every record in joint cell (c, t) with overlap o = |c∩t|
+    shares P = o/|c| and R = o/|t|, so
+
+        precision = Σ_cells o² / |c|  ÷ N
+        recall    = Σ_cells o² / |t|  ÷ N
+
+    — one joint groupBy, two size groupBys, two slim joins on the
+    (small) cell table.  Survives 10⁶-member clusters like
+    pairwise_prf.
+    """
+    cells = assignments.groupBy("component", "label_true").agg(
+        F.count(F.lit(1)).alias("__o")
+    )
+    csize = assignments.groupBy("component").agg(
+        F.count(F.lit(1)).alias("__nc")
+    )
+    tsize = assignments.groupBy("label_true").agg(
+        F.count(F.lit(1)).alias("__nt")
+    )
+    row = (
+        cells.join(csize, "component")
+        .join(tsize, "label_true")
+        .agg(
+            F.sum(F.col("__o") * F.col("__o") / F.col("__nc")).alias("p"),
+            F.sum(F.col("__o") * F.col("__o") / F.col("__nt")).alias("r"),
+            F.sum("__o").alias("n"),
+        )
+        .collect()[0]
+    )
+    n = row["n"] or 0
+    precision = (row["p"] / n) if n else 1.0
+    recall = (row["r"] / n) if n else 1.0
+    f1 = (
+        2 * precision * recall / (precision + recall)
+        if (precision + recall)
+        else 0.0
+    )
+    return {"precision": precision, "recall": recall, "f1": f1, "n": float(n)}

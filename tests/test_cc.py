@@ -130,3 +130,33 @@ def test_parquet_checkpointing(spark, tmp_path, algo):
         connected_components(links, algorithm=algo, checkpoint_dir=str(tmp_path))
     )
     assert got == {frozenset({0, 1, 10}), frozenset({9, 20})}
+
+
+def test_bcubed_hand_computed(spark):
+    """Bagga & Baldwin's worked example shape: one merged cluster over
+    two true classes."""
+    from mismo_spark.cluster.metrics import bcubed_prf
+
+    rows = [
+        # predicted component 1 = true A(3 records) + true B(2 records)
+        (1, 1, "A"), (2, 1, "A"), (3, 1, "A"), (4, 1, "B"), (5, 1, "B"),
+        # component 2 = pure C
+        (6, 2, "C"), (7, 2, "C"),
+    ]
+    df = spark.createDataFrame(rows, "record_id long, component long, label_true string")
+    got = bcubed_prf(df)
+    # precision: A-records 3/5, B-records 2/5, C-records 1
+    p = (3 * (3 / 5) + 2 * (2 / 5) + 2 * 1.0) / 7
+    # recall: every class fully contained in one cluster
+    assert abs(got["precision"] - p) < 1e-12
+    assert got["recall"] == 1.0
+    assert got["n"] == 7.0
+
+
+def test_bcubed_perfect_clustering(spark):
+    from mismo_spark.cluster.metrics import bcubed_prf
+
+    rows = [(i, i % 3, str(i % 3)) for i in range(30)]
+    df = spark.createDataFrame(rows, "record_id long, component long, label_true string")
+    got = bcubed_prf(df)
+    assert got["precision"] == 1.0 and got["recall"] == 1.0 and got["f1"] == 1.0

@@ -80,3 +80,30 @@ def test_datasets(spark):
     assert set(uni.columns) == {"record_id", "s", "dataset"}
     assert uni.count() == 2
     assert ds.all_record_ids().count() == 2
+
+
+def test_stratified_sample_deterministic_and_rated(spark):
+    from mismo_spark._util import stratified_sample
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 else "b") for i in range(10000)],
+        "record_id long, src string",
+    )
+    s1 = stratified_sample(df, {"a": 0.3, "b": 0.05}, strata_col="src")
+    s2 = stratified_sample(
+        df.repartition(13), {"a": 0.3, "b": 0.05}, strata_col="src"
+    )
+    ids1 = sorted(r["record_id"] for r in s1.collect())
+    assert ids1 == sorted(r["record_id"] for r in s2.collect())
+    counts = {
+        r["src"]: r["n"]
+        for r in s1.groupBy("src").agg(F.count("*").alias("n")).collect()
+    }
+    assert abs(counts["a"] / 5000 - 0.3) < 0.03
+    assert abs(counts["b"] / 5000 - 0.05) < 0.02
+    # strata not in the dict are dropped entirely
+    s3 = stratified_sample(df, {"a": 1.0}, strata_col="src")
+    assert s3.filter(F.col("src") == "b").count() == 0
+    # map-only: no exchange in the plan
+    plan = s1._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
