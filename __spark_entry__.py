@@ -557,6 +557,47 @@ def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line cleaning (textqa.clean.c4_clean_lines) over synthesized
+    multi-line pages (terminal-punctuation, min-words, boilerplate
+    rules all exercised)."""
+    from mismo_spark.textqa.clean import c4_clean_lines
+
+    d = _docs(spark, sf_dir)
+    k = F.col("doc_id")
+    raw = F.concat_ws(
+        "\n",
+        F.concat(
+            F.lit("Doc "), k.cast("string"), F.lit(" says: "),
+            F.substring(F.col("text"), 1, 40), F.lit("."),
+        ),
+        F.when(
+            k % 3 == 0, F.lit("Please enable javascript to continue.")
+        ).otherwise(F.lit("Another valid sentence right here.")),
+        F.when(k % 4 == 0, F.lit("Short.")).otherwise(
+            F.lit("Is this a question?")
+        ),
+    )
+    return d.select("doc_id", c4_clean_lines(raw).alias("cleaned"))
+
+
+def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (textqa.clean.redact_pii): email → <EMAIL>,
+    IPv4 → <IP>, phone runs → <PHONE>; patterns in the RE2 ∩ Java
+    regex common subset so the oracle replays them verbatim."""
+    from mismo_spark.textqa.clean import redact_pii
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    k = F.col("c_custkey")
+    raw = F.concat(
+        F.lit("Contact user"), k.cast("string"),
+        F.lit("@mail"), (k % 5).cast("string"), F.lit(".example.com or +1 555-"),
+        F.lpad((k % 10000).cast("string"), 4, "0"),
+        F.lit(" at 10."), (k % 200).cast("string"), F.lit(".0.1 today."),
+    )
+    return cust.select("c_custkey", redact_pii(raw).alias("redacted"))
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-stratum sampling (training-data mixing): keep
     is a pure function of (seed, id, stratum) via md5 arithmetic, so
@@ -1212,6 +1253,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_match_level": q_url_match_level,
         "sessionize": q_sessionize,
         "session_stats": q_session_stats,
+        "c4_clean": q_c4_clean,
+        "redact_pii": q_redact_pii,
         "stratified_sample": q_stratified_sample,
         "line_repetition": q_line_repetition,
         "ngram_repetition": q_ngram_repetition,
@@ -2009,6 +2052,49 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 6) AS sum_value
             FROM marked
             GROUP BY user_id, sid
+        """,
+        "c4_clean": r"""
+            WITH raw AS (
+              SELECT doc_id,
+                'Doc ' || doc_id::VARCHAR || ' says: ' || substr(text, 1, 40)
+                || '.' || chr(10)
+                || (CASE WHEN doc_id % 3 = 0
+                         THEN 'Please enable javascript to continue.'
+                         ELSE 'Another valid sentence right here.' END)
+                || chr(10)
+                || (CASE WHEN doc_id % 4 = 0 THEN 'Short.'
+                         ELSE 'Is this a question?' END) AS t
+              FROM documents
+            )
+            SELECT doc_id,
+              coalesce(array_to_string(list_filter(string_split(t, chr(10)),
+                l -> regexp_matches(l, '[.!?"]\s*$')
+                 AND len(regexp_split_to_array(trim(l), '\s+')) >= 3
+                 AND NOT regexp_matches(l,
+                   '(?i)(javascript|cookie|terms of use|privacy policy)')
+              ), chr(10)), '') AS cleaned
+            FROM raw
+        """,
+        "redact_pii": r"""
+            WITH raw AS (
+              SELECT c_custkey,
+                'Contact user' || c_custkey::VARCHAR
+                || '@mail' || (c_custkey % 5)::VARCHAR
+                || '.example.com or +1 555-'
+                || lpad((c_custkey % 10000)::VARCHAR, 4, '0')
+                || ' at 10.' || (c_custkey % 200)::VARCHAR
+                || '.0.1 today.' AS t
+              FROM customer
+            )
+            SELECT c_custkey,
+              regexp_replace(
+                regexp_replace(
+                  regexp_replace(t,
+                    '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}',
+                    '<EMAIL>', 'g'),
+                  '\b(\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+                '\+?\d[\d\-() ]{7,}\d', '<PHONE>', 'g') AS redacted
+            FROM raw
         """,
         "stratified_sample": """
             SELECT doc_id, lang FROM documents
