@@ -76,6 +76,13 @@ def main(argv: list[str] | None = None) -> dict:
                     "docs) exceeds this")
     ap.add_argument("--boilerplate-ngram", type=int, default=5)
     ap.add_argument("--boilerplate-min-df", type=int, default=2)
+    ap.add_argument("--c4-clean", action="store_true",
+                    help="apply C4 line rules to the text column "
+                    "(terminal punctuation, min words, boilerplate) "
+                    "and drop docs left empty / flagged "
+                    "(lorem ipsum, curly braces)")
+    ap.add_argument("--redact-pii", action="store_true",
+                    help="mask emails/phones/IPv4s in the text column")
     ap.add_argument("--max-dup-line-frac", type=float, default=None,
                     help="Gopher-style repetition filter: drop docs whose "
                     "duplicate-line fraction exceeds this (e.g. 0.30)")
@@ -151,6 +158,23 @@ def main(argv: list[str] | None = None) -> dict:
         )
         docs = docs.join(keep_ids.select("record_id"), "record_id", "left_semi")
         counters["after_neardup_dedupe"] = docs.count()
+
+    # -- C4 line cleaning / doc flags / PII --------------------------------
+    if args.c4_clean:
+        from mismo_spark.textqa.clean import c4_clean_lines, c4_doc_flags
+
+        flags = c4_doc_flags(F.col(args.text_col))
+        docs = (
+            docs.withColumn(args.text_col, c4_clean_lines(F.col(args.text_col)))
+            .filter(F.length(F.col(args.text_col)) > 0)
+            .filter(~flags["has_lorem_ipsum"] & ~flags["has_curly_brace"])
+        )
+        counters["after_c4_clean"] = docs.count()
+
+    if args.redact_pii:
+        from mismo_spark.textqa.clean import redact_pii
+
+        docs = docs.withColumn(args.text_col, redact_pii(F.col(args.text_col)))
 
     # -- within-doc repetition filters (Gopher A1.1) -----------------------
     if args.max_dup_line_frac is not None:

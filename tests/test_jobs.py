@@ -110,3 +110,36 @@ def test_prep_training_data_repetition_filters(spark, tmp_path):
     assert counters["after_dup_ngram_filter"] <= counters["after_dup_line_filter"]
     assert counters["written_docs"] == counters["after_dup_ngram_filter"]
     assert counters["written_docs"] > 0
+
+
+def test_prep_training_data_c4_and_pii(spark, tmp_path):
+    src = str(tmp_path / "docs.parquet")
+    rows = [
+        # survives C4, has an email to redact
+        (1, "A proper sentence with j.doe@corp.example.com inside it.\n"
+            "Another good line follows here.", "en"),
+        # all lines fail C4 (no terminal punctuation) -> dropped
+        (2, "no punctuation here at all", "en"),
+        # lorem ipsum flag -> dropped
+        (3, "Lorem ipsum dolor sit amet consectetur.", "en"),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string"
+    ).write.mode("overwrite").parquet(src)
+
+    out = str(tmp_path / "curated")
+    counters = prep_main([
+        "--input", src,
+        "--output", out,
+        "--id-col", "doc_id",
+        "--langs", "en",
+        "--min-tokens", "1",
+        "--skip-neardup",
+        "--c4-clean",
+        "--redact-pii",
+    ])
+    assert counters["after_c4_clean"] == 1
+    got = spark.read.parquet(f"{out}/documents.parquet").collect()
+    assert len(got) == 1 and got[0]["doc_id"] == 1
+    assert "<EMAIL>" in got[0]["text"]
+    assert "corp.example.com" not in got[0]["text"]
