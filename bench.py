@@ -243,6 +243,43 @@ def main() -> None:
     timer.run("docs_minhash_dedupe", run_minhash)
     extras["docs_neardup_pairs"] = state["n_neardup"]
 
+    # ---- q6b: text QA sweep over the full page corpus --------------------
+    # quality + lang-id + fingerprint + Gopher repetition signals in one
+    # pass over 85k pages: the map-heavy stage of a curation funnel
+    from mismo_spark.textqa import fingerprint, lang_id, quality_score
+    from mismo_spark.textqa.repetition import (
+        dup_line_char_fraction,
+        dup_line_fraction,
+        ngram_repetition_signals,
+    )
+
+    def run_textqa():
+        t = F.col("text")
+        line_side = pages.select(
+            F.col("url"),
+            quality_score(t).alias("q"),
+            lang_id(t).alias("lang"),
+            fingerprint(t).alias("fp"),
+            dup_line_fraction(t).alias("dlf"),
+            dup_line_char_fraction(t).alias("dlcf"),
+        )
+        gram_side = ngram_repetition_signals(
+            pages.select("url", "text"), n=2, id_col="url", text_col="text"
+        )
+        state["textqa_rows"] = (
+            line_side.join(gram_side, "url")
+            .agg(
+                F.count(F.lit(1)),
+                F.sum("q"),
+                F.sum("dlf"),
+                F.sum("top_ngram_char_frac"),
+            )
+            .collect()[0][0]
+        )
+
+    timer.run("docs_textqa", run_textqa)
+    extras["textqa_pages"] = state["textqa_rows"]
+
     # ---- q7: embeddings cosine top-k -------------------------------------
     from mismo_spark.ann import cosine_topk
 

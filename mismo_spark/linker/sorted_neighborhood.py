@@ -55,15 +55,34 @@ def global_rank(
     for pid in sorted(counts):
         offsets[pid] = acc
         acc += counts[pid]
-    off = F.coalesce(
-        *[
-            F.when(F.col("__pid") == pid, F.lit(o))
-            for pid, o in sorted(offsets.items())
-        ],
-        F.lit(0),
-    ) if offsets else F.lit(0)
     w = Window.partitionBy("__pid").orderBy(*parts)
-    return d.withColumn(rank_col, F.row_number().over(w) + off).drop("__pid")
+    local = F.row_number().over(w)
+    if len(offsets) <= 256:
+        # few partitions: fold the offsets in as a literal CASE chain
+        off = F.coalesce(
+            *[
+                F.when(F.col("__pid") == pid, F.lit(o))
+                for pid, o in sorted(offsets.items())
+            ],
+            F.lit(0),
+        ) if offsets else F.lit(0)
+        return d.withColumn(rank_col, local + off).drop("__pid")
+    # many partitions: a K-branch literal expression would blow the
+    # janino expression-tree budget — broadcast-join the K-row offset
+    # table instead (same K rows that were already on the driver)
+    spark = df.sparkSession
+    off_df = F.broadcast(
+        spark.createDataFrame(
+            [(int(p), int(o)) for p, o in offsets.items()],
+            "__pid int, __off long",
+        )
+    )
+    return (
+        d.withColumn(rank_col, local)
+        .join(off_df, "__pid")
+        .withColumn(rank_col, F.col(rank_col) + F.col("__off"))
+        .drop("__pid", "__off")
+    )
 
 
 class SortedNeighborhoodLinker:

@@ -102,3 +102,16 @@ def test_no_single_task_global_window(spark):
     assert "Window" in plan
     # a global window shows as 'Exchange SinglePartition' feeding Window
     assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_rank_broadcast_offset_path(spark):
+    """>256 range partitions takes the broadcast-join offset path and
+    must produce the identical ranking."""
+    df = spark.createDataFrame(
+        [(i, f"k{i:04d}") for i in range(600)], "record_id long, k string"
+    )
+    few = global_rank(df, ["k", "record_id"], num_partitions=4)
+    many = global_rank(df, ["k", "record_id"], num_partitions=300)
+    m1 = {r["record_id"]: r["__rank"] for r in few.collect()}
+    m2 = {r["record_id"]: r["__rank"] for r in many.collect()}
+    assert m1 == m2
