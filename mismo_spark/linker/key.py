@@ -141,11 +141,15 @@ class KeyLinker:
           count ``s = ceil(n / sqrt(budget))`` bounds every tile at
           ~``budget`` pairs; replication cost is ≤ s+1 copies of each
           hot-key row, and only hot keys pay it.
-        * link — 1-D salting: the left side keeps one row with its salt,
-          the right side replicates into all ``s`` salt groups, and the
-          join adds the salt to the key — the classic salted join, with
-          ``s = ceil(n_l·n_r / budget)`` so each (key, salt) group
-          contributes ≤ ~``budget`` pairs.
+        * link — 2-D tiling: sides are salted independently into
+          ``s_l = ceil(n_l/√budget)`` / ``s_r = ceil(n_r/√budget)``
+          groups; a left row replicates into tiles ``(g_l, b)`` ∀b, a
+          right row into ``(a, g_r)`` ∀a, and the join runs on
+          (key, a, b) — each tile holds ~``budget`` pairs.  Replication
+          is ``n_l·s_r + n_r·s_l ≈ 2·pairs/√budget``, always below the
+          pair output itself (1-D salting — replicate one whole side
+          per salt — degrades to ``pairs·n_r/budget``, which EXCEEDS
+          the output once a side outgrows the budget).
 
         The hot-key table (keys + salt counts) is the skew tail —
         broadcast to both sides; the driver never sees record rows.
@@ -168,14 +172,15 @@ class KeyLinker:
             est = lc.join(rc, key_cols, "inner").withColumn(
                 "__npairs", F.col("__nl").cast("double") * F.col("__nr")
             )
+            root = F.sqrt(F.lit(budget))
             hot = est.filter(F.col("__npairs") > budget).select(
                 *key_cols,
-                F.least(
-                    F.col("__nl"),
-                    F.greatest(
-                        F.lit(2), F.ceil(F.col("__npairs") / budget).cast("int")
-                    ).cast("long"),
-                ).cast("int").alias("__s"),
+                F.greatest(
+                    F.lit(1), F.ceil(F.col("__nl") / root).cast("int")
+                ).alias("__sl"),
+                F.greatest(
+                    F.lit(1), F.ceil(F.col("__nr") / root).cast("int")
+                ).alias("__sr"),
             )
         hot = F.broadcast(hot)
 
@@ -224,17 +229,41 @@ class KeyLinker:
                 )
             )
         else:
-            lg = l_ids.join(hot, key_cols, "inner").select(
-                ID_L,
-                *key_cols,
-                F.pmod(F.xxhash64(F.col(ID_L)), F.col("__s")).cast("int").alias("__g"),
+            # left row with salt g_l joins tiles (g_l, b) for all b;
+            # right row with salt g_r joins tiles (a, g_r) for all a
+            lt = (
+                l_ids.join(hot, key_cols, "inner")
+                .withColumn(
+                    "__a",
+                    F.pmod(F.xxhash64(F.col(ID_L)), F.col("__sl")).cast("int"),
+                )
+                .select(
+                    ID_L,
+                    *key_cols,
+                    "__a",
+                    F.explode(
+                        F.sequence(F.lit(0), F.col("__sr") - 1)
+                    ).alias("__b"),
+                )
             )
-            rg = r_ids.join(hot, key_cols, "inner").select(
-                ID_R,
-                *key_cols,
-                F.explode(F.sequence(F.lit(0), F.col("__s") - 1)).alias("__g"),
+            rt = (
+                r_ids.join(hot, key_cols, "inner")
+                .withColumn(
+                    "__b",
+                    F.pmod(F.xxhash64(F.col(ID_R)), F.col("__sr")).cast("int"),
+                )
+                .select(
+                    ID_R,
+                    *key_cols,
+                    F.explode(
+                        F.sequence(F.lit(0), F.col("__sl") - 1)
+                    ).alias("__a"),
+                    "__b",
+                )
             )
-            hot_pairs = lg.join(rg, [*key_cols, "__g"], "inner").select(ID_L, ID_R)
+            hot_pairs = lt.join(rt, [*key_cols, "__a", "__b"], "inner").select(
+                ID_L, ID_R
+            )
 
         return cold.unionByName(hot_pairs)
 
