@@ -557,6 +557,32 @@ def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """_util.keep_latest: CDC-style latest-snapshot per key (newest
+    event per user), one row_number window — one key-hash shuffle."""
+    from mismo_spark._util import keep_latest
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return keep_latest(
+        ev, key_col="user_id", ts_col="ts", tiebreak_col="event_id"
+    ).select("user_id", "event_id", "ts")
+
+
+def q_profile_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """profile.profile_numeric: one-pass multi-column stats (count,
+    nulls, distinct, min/max/mean, exact interpolated p50/p95)."""
+    from mismo_spark.profile import profile_numeric
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    out = profile_numeric(li, ["l_quantity", "l_extendedprice", "l_discount"])
+    return out.select(
+        "column", "n", "n_null", "n_distinct",
+        F.round("min", 6).alias("min"), F.round("max", 6).alias("max"),
+        F.round("mean", 6).alias("mean"), F.round("p50", 6).alias("p50"),
+        F.round("p95", 6).alias("p95"),
+    )
+
+
 def q_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4 line cleaning (textqa.clean.c4_clean_lines) over synthesized
     multi-line pages (terminal-punctuation, min-words, boilerplate
@@ -1253,6 +1279,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_match_level": q_url_match_level,
         "sessionize": q_sessionize,
         "session_stats": q_session_stats,
+        "keep_latest": q_keep_latest,
+        "profile_numeric": q_profile_numeric,
         "c4_clean": q_c4_clean,
         "redact_pii": q_redact_pii,
         "stratified_sample": q_stratified_sample,
@@ -2052,6 +2080,54 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 6) AS sum_value
             FROM marked
             GROUP BY user_id, sid
+        """,
+        "keep_latest": """
+            SELECT user_id, event_id, ts FROM (
+              SELECT user_id, event_id, ts,
+                     row_number() OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts DESC, event_id DESC
+                     ) AS rn
+              FROM events
+            ) WHERE rn = 1
+        """,
+        "profile_numeric": """
+            WITH p AS (
+              SELECT 'l_quantity' AS col, count(l_quantity)::BIGINT AS n,
+                sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null,
+                count(DISTINCT CAST(l_quantity AS DOUBLE))::BIGINT AS n_distinct,
+                min(CAST(l_quantity AS DOUBLE)) AS mn,
+                max(CAST(l_quantity AS DOUBLE)) AS mx,
+                avg(CAST(l_quantity AS DOUBLE)) AS mean,
+                quantile_cont(CAST(l_quantity AS DOUBLE), 0.5) AS p50,
+                quantile_cont(CAST(l_quantity AS DOUBLE), 0.95) AS p95
+              FROM lineitem
+              UNION ALL
+              SELECT 'l_extendedprice', count(l_extendedprice)::BIGINT,
+                sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END)::BIGINT,
+                count(DISTINCT CAST(l_extendedprice AS DOUBLE))::BIGINT,
+                min(CAST(l_extendedprice AS DOUBLE)),
+                max(CAST(l_extendedprice AS DOUBLE)),
+                avg(CAST(l_extendedprice AS DOUBLE)),
+                quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5),
+                quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.95)
+              FROM lineitem
+              UNION ALL
+              SELECT 'l_discount', count(l_discount)::BIGINT,
+                sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END)::BIGINT,
+                count(DISTINCT CAST(l_discount AS DOUBLE))::BIGINT,
+                min(CAST(l_discount AS DOUBLE)),
+                max(CAST(l_discount AS DOUBLE)),
+                avg(CAST(l_discount AS DOUBLE)),
+                quantile_cont(CAST(l_discount AS DOUBLE), 0.5),
+                quantile_cont(CAST(l_discount AS DOUBLE), 0.95)
+              FROM lineitem
+            )
+            SELECT col AS "column", n, n_null, n_distinct,
+                   round(mn, 6) AS min, round(mx, 6) AS max,
+                   round(mean, 6) AS mean, round(p50, 6) AS p50,
+                   round(p95, 6) AS p95
+            FROM p
         """,
         "c4_clean": r"""
             WITH raw AS (

@@ -32,6 +32,11 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--threshold-odds", type=float, default=10.0)
     ap.add_argument("--max-pairs-per-key", type=int, default=100_000)
     ap.add_argument(
+        "--keep-latest", action="store_true",
+        help="pre-dedupe recrawl snapshots: keep only the newest "
+        "(url, warc_ts) capture before linking",
+    )
+    ap.add_argument(
         "--skew-split-pairs", type=int, default=None,
         help="salt domain keys above this per-task pair budget "
         "(triangle tiling) instead of relying on AQE alone; "
@@ -76,6 +81,7 @@ def main(argv: list[str] | None = None) -> None:
         threshold_odds=args.threshold_odds,
         max_pairs_per_key=args.max_pairs_per_key,
         skew_split_pairs=args.skew_split_pairs,
+        keep_latest_snapshots=args.keep_latest,
         lsh_band_size=args.lsh_band_size,
         lsh_n_bands=args.lsh_n_bands,
         seed=args.seed,

@@ -243,3 +243,30 @@ def stratified_sample(
         10,
     ).cast("double") / F.lit(4294967296.0)
     return df.filter(bucket < rate)
+
+
+def keep_latest(
+    df: DataFrame,
+    *,
+    key_col: str = "url",
+    ts_col: str = "warc_ts",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Latest snapshot per key (recrawl dedup: a url crawled many times
+    keeps only its newest capture) — the CDC "current view" operator.
+
+    One row_number window per key partition: a single hash shuffle on
+    the key, no join, no global sort.  Ties on the timestamp are broken
+    by ``tiebreak_col`` (pass one for full determinism when equal
+    timestamps are possible)."""
+    from pyspark.sql import Window
+
+    order = [F.col(ts_col).desc()]
+    if tiebreak_col:
+        order.append(F.col(tiebreak_col).desc())
+    w = Window.partitionBy(key_col).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )

@@ -139,6 +139,11 @@ class DedupePipeline:
     # be KBs per record, so a row-count gate could admit a multi-GB
     # broadcast); beyond it, fall back to shuffle joins + bucketing
     broadcast_records_max_bytes: int = 512 << 20
+    # recrawl handling: keep only the newest (url, warc_ts) snapshot
+    # before deriving records (the pipeline keys records by url, so
+    # duplicate urls would otherwise collide) — opt-in, one extra
+    # url-hash window shuffle
+    keep_latest_snapshots: bool = False
     seed: int = 42
     checkpoint: bool = True
     comparers: list[EnumComparer] = field(default_factory=default_comparers)
@@ -205,6 +210,10 @@ class DedupePipeline:
         from mismo_spark.dedupe import word_shingles_from_tokens
 
         df = pages
+        if self.keep_latest_snapshots:
+            from mismo_spark._util import keep_latest
+
+            df = keep_latest(df, key_col="url", ts_col="warc_ts")
         if "text" not in df.columns:
             df = df.withColumn("text", extract_text(F.col("html")))
         hash64 = lambda arr: F.transform(arr, lambda t: F.xxhash64(t))  # noqa: E731
@@ -307,7 +316,7 @@ class DedupePipeline:
         """→ DataFrame(record_id, component)."""
         # v3: tokens/shingles string columns dropped from the records
         # schema (hashes only) — stale v2 checkpoints must not be reused
-        fp_records = self._fp("records", "v3")
+        fp_records = self._fp("records", "v3", self.keep_latest_snapshots)
         records = self._stage(
             spark, "01_records", fp_records, lambda: self.prepare_records(pages)
         )
