@@ -557,6 +557,24 @@ def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_strings_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """text.strings: strip_accents (translate-table fold, codegen) +
+    norm_whitespace over accent-injected, space-padded names."""
+    from mismo_spark.text.strings import norm_whitespace, strip_accents
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    raw = F.concat(
+        F.lit("  "),
+        F.translate(F.col("c_name"), "aeiou", "áéíôü"),
+        F.lit(" \t "),
+        F.col("c_mktsegment"),
+        F.lit("  "),
+    )
+    return cust.select(
+        "c_custkey", norm_whitespace(strip_accents(raw)).alias("normed")
+    )
+
+
 def q_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """_util.keep_latest: CDC-style latest-snapshot per key (newest
     event per user), one row_number window — one key-hash shuffle."""
@@ -1279,6 +1297,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_match_level": q_url_match_level,
         "sessionize": q_sessionize,
         "session_stats": q_session_stats,
+        "strings_norm": q_strings_norm,
         "keep_latest": q_keep_latest,
         "profile_numeric": q_profile_numeric,
         "c4_clean": q_c4_clean,
@@ -2080,6 +2099,13 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 6) AS sum_value
             FROM marked
             GROUP BY user_id, sid
+        """,
+        "strings_norm": """
+            SELECT c_custkey,
+              trim(regexp_replace(strip_accents(
+                '  ' || translate(c_name, 'aeiou', 'áéíôü') || ' ' || chr(9)
+                || ' ' || c_mktsegment || '  '), '\s+', ' ', 'g')) AS normed
+            FROM customer
         """,
         "keep_latest": """
             SELECT user_id, event_id, ts FROM (
