@@ -557,6 +557,49 @@ def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_best_match_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linkage.best_match_per_right (window-predicate link filtering,
+    mismo/linkage/_linkage.py:248-270): keep each right record's
+    max-odds links from the fs_score setup."""
+    from mismo_spark.compare.enum import EnumComparer, compare
+    from mismo_spark.fs.weights import ComparerWeights, LevelWeights, Weights
+    from mismo_spark.linker.key import KeyLinker
+    from mismo_spark.types.linkage import Linkage
+
+    docs = _docs(spark, sf_dir)
+    lk = KeyLinker(["lang", "source"], task="dedupe")(docs)
+    pairs = Linkage(docs, docs, lk.links).links_with_both()
+    comparers = [
+        EnumComparer(
+            "len_cmp",
+            [
+                ("exact", lambda df: df["n_chars_l"] == df["n_chars_r"]),
+                (
+                    "close",
+                    lambda df: F.abs(df["n_chars_l"] - df["n_chars_r"]) <= 20,
+                ),
+            ],
+        ),
+    ]
+    weights = Weights(
+        [
+            ComparerWeights(
+                "len_cmp",
+                [
+                    LevelWeights("exact", m=0.6, u=0.01),
+                    LevelWeights("close", m=0.3, u=0.09),
+                    LevelWeights("else", m=0.1, u=0.9),
+                ],
+            )
+        ]
+    )
+    scored = weights.score_compared(compare(pairs, comparers))
+    best = Linkage(docs, docs, scored).best_match_per_right("odds")
+    return best.links.select(
+        "record_id_l", "record_id_r", F.round("odds", 6).alias("odds")
+    )
+
+
 def q_strings_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """text.strings: strip_accents (translate-table fold, codegen) +
     norm_whitespace over accent-injected, space-padded names."""
@@ -1297,6 +1340,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_match_level": q_url_match_level,
         "sessionize": q_sessionize,
         "session_stats": q_session_stats,
+        "best_match_filter": q_best_match_filter,
         "strings_norm": q_strings_norm,
         "keep_latest": q_keep_latest,
         "profile_numeric": q_profile_numeric,
@@ -1749,6 +1793,29 @@ def oracle_sql() -> dict[str, str]:
                         ELSE min(doc_id) OVER (PARTITION BY lang, source)
                    END AS component
             FROM documents
+        """,
+        "best_match_filter": f"""
+            WITH pairs AS ({pair_block}),
+            labelled AS (
+              SELECT record_id_l, record_id_r,
+                     CASE WHEN n_chars_l = n_chars_r THEN 0
+                          WHEN abs(n_chars_l - n_chars_r) <= 20 THEN 1
+                          ELSE 2 END AS len_cmp
+              FROM pairs
+            ),
+            odds_t AS (
+              SELECT *, CASE len_cmp
+                          WHEN 0 THEN 0.6 / 0.01
+                          WHEN 1 THEN 0.3 / 0.09
+                          ELSE 0.1 / 0.9 END AS raw_odds
+              FROM labelled
+            ),
+            winmax AS (
+              SELECT *, max(raw_odds) OVER (PARTITION BY record_id_r) AS mx
+              FROM odds_t
+            )
+            SELECT record_id_l, record_id_r, round(raw_odds, 6) AS odds
+            FROM winmax WHERE raw_odds = mx
         """,
         "fs_score": f"""
             WITH pairs AS ({pair_block}),
