@@ -143,3 +143,70 @@ def test_prep_training_data_c4_and_pii(spark, tmp_path):
     assert len(got) == 1 and got[0]["doc_id"] == 1
     assert "<EMAIL>" in got[0]["text"]
     assert "corp.example.com" not in got[0]["text"]
+
+
+def test_link_records_job(spark, tmp_path):
+    """Two-table linkage: a recrawl slice must link back to its source
+    pages with the recrawled url as best match."""
+    from jobs.link_records import main as link_main
+    from mismo_spark.corpus import make_corpus
+
+    # few domains -> domain blocking yields plenty of cross-entity
+    # (non-match) pairs, which the EM needs to separate the classes
+    corpus = make_corpus(
+        spark, n_entities=60, seed=42, n_domains=8
+    ).drop("label_true")
+    right_p = str(tmp_path / "right.parquet")
+    corpus.write.mode("overwrite").parquet(right_p)
+    # left = 60 recrawled pages (same content, new url suffix)
+    left_p = str(tmp_path / "left.parquet")
+    corpus.limit(60).withColumn(
+        "url", F.concat(F.col("url"), F.lit("?recrawl=1"))
+    ).write.mode("overwrite").parquet(left_p)
+
+    # deterministic monotone weights (EM on a 60-page toy corpus is
+    # not guaranteed monotone; production runs pass --weights-json too)
+    from mismo_spark.fs.weights import ComparerWeights, LevelWeights, Weights
+
+    wpath = str(tmp_path / "w.json")
+    Weights([
+        ComparerWeights("text_jaccard", [
+            LevelWeights("exact", m=0.55, u=0.001),
+            LevelWeights("very_close", m=0.3, u=0.01),
+            LevelWeights("close", m=0.1, u=0.05),
+            LevelWeights("weak", m=0.04, u=0.2),
+            LevelWeights("else", m=0.01, u=0.739),
+        ]),
+        ComparerWeights("shingle_jaccard", [
+            LevelWeights("high", m=0.7, u=0.01),
+            LevelWeights("mid", m=0.2, u=0.05),
+            LevelWeights("low", m=0.08, u=0.2),
+            LevelWeights("else", m=0.02, u=0.74),
+        ]),
+        ComparerWeights("text_prefix_lev", [
+            LevelWeights("close", m=0.8, u=0.05),
+            LevelWeights("mid", m=0.15, u=0.2),
+            LevelWeights("else", m=0.05, u=0.75),
+        ]),
+        ComparerWeights("url_path_jw", [
+            LevelWeights("close", m=0.7, u=0.05),
+            LevelWeights("mid", m=0.2, u=0.2),
+            LevelWeights("else", m=0.1, u=0.75),
+        ]),
+    ]).to_json(wpath)
+
+    out = str(tmp_path / "links.parquet")
+    res = link_main([
+        "--left", left_p,
+        "--right", right_p,
+        "--output", out,
+        "--weights-json", wpath,
+        "--best-match-only",
+    ])
+    assert res["links"] > 0
+    links = spark.read.parquet(out)
+    # a recrawled page's best match must include its own original url
+    self_hits = links.filter(
+        F.col("record_id_l") == F.concat(F.col("record_id_r"), F.lit("?recrawl=1"))
+    ).count()
+    assert self_hits >= 50
