@@ -557,6 +557,21 @@ def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ann.quant int8 scalar quantization (pinned rounding/division
+    order → bit-replayable by the oracle); codes serialized for the
+    harness' scalar-cell comparator."""
+    from mismo_spark.ann.quant import quantize_embeddings
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = quantize_embeddings(emb)
+    return out.select(
+        "vec_id",
+        F.round("scale", 9).alias("scale"),
+        F.array_join(F.col("q"), ",").alias("q"),
+    )
+
+
 def q_best_match_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Linkage.best_match_per_right (window-predicate link filtering,
     mismo/linkage/_linkage.py:248-270): keep each right record's
@@ -1340,6 +1355,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_match_level": q_url_match_level,
         "sessionize": q_sessionize,
         "session_stats": q_session_stats,
+        "quantize_embeddings": q_quantize_embeddings,
         "best_match_filter": q_best_match_filter,
         "strings_norm": q_strings_norm,
         "keep_latest": q_keep_latest,
@@ -1793,6 +1809,22 @@ def oracle_sql() -> dict[str, str]:
                         ELSE min(doc_id) OVER (PARTITION BY lang, source)
                    END AS component
             FROM documents
+        """,
+        "quantize_embeddings": """
+            WITH v AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+                     list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                             x -> abs(x))) AS maxabs
+              FROM embeddings
+            )
+            SELECT vec_id,
+              round(maxabs / 127.0, 9) AS scale,
+              CASE WHEN maxabs = 0
+                   THEN array_to_string(list_transform(e, x -> 0), ',')
+                   ELSE array_to_string(list_transform(e,
+                     x -> CAST(round(x / (maxabs / 127.0)) AS INT)), ',')
+              END AS q
+            FROM v
         """,
         "best_match_filter": f"""
             WITH pairs AS ({pair_block}),
