@@ -557,6 +557,17 @@ def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher A1.1 quality screen (textqa.gopher) with thresholds tuned
+    so the synthetic docs split across outcomes."""
+    from mismo_spark.textqa.gopher import gopher_rules
+
+    g = gopher_rules(F.col("text"), min_words=20, min_mean_word_len=3.5)
+    return _docs(spark, sf_dir).select("doc_id", g.alias("g")).select(
+        "doc_id", "g.*"
+    )
+
+
 def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ann.quant int8 scalar quantization (pinned rounding/division
     order → bit-replayable by the oracle); codes serialized for the
@@ -1355,6 +1366,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_match_level": q_url_match_level,
         "sessionize": q_sessionize,
         "session_stats": q_session_stats,
+        "gopher_rules": q_gopher_rules,
         "quantize_embeddings": q_quantize_embeddings,
         "best_match_filter": q_best_match_filter,
         "strings_norm": q_strings_norm,
@@ -1809,6 +1821,56 @@ def oracle_sql() -> dict[str, str]:
                         ELSE min(doc_id) OVER (PARTITION BY lang, source)
                    END AS component
             FROM documents
+        """,
+        "gopher_rules": r"""
+            WITH t AS (
+              SELECT doc_id, text,
+                list_filter(regexp_split_to_array(trim(text), '\s+'),
+                            w -> w <> '') AS toks,
+                list_filter(string_split(text, chr(10)),
+                            l -> trim(l) <> '') AS lines
+              FROM documents
+            ),
+            m AS (
+              SELECT doc_id, text, toks, lines,
+                len(toks) AS n_words,
+                greatest(len(toks), 1)::DOUBLE AS safe_words,
+                coalesce(list_sum(list_transform(toks, w -> length(w))), 0)
+                  ::DOUBLE / greatest(len(toks), 1) AS mean_len,
+                (length(text) - length(regexp_replace(text, '#', '', 'g'))
+                 + len(regexp_split_to_array(text, '(\.\.\.|…)')) - 1
+                )::DOUBLE / greatest(len(toks), 1) AS symbol_ratio,
+                len(list_filter(lines,
+                    l -> regexp_matches(trim(l), '^([\*•-])')))::DOUBLE
+                  / greatest(len(lines), 1) AS bullet_frac,
+                len(list_filter(lines,
+                    l -> regexp_matches(l, '(\.\.\.|…)\s*$')))::DOUBLE
+                  / greatest(len(lines), 1) AS ellipsis_frac,
+                len(list_filter(toks,
+                    w -> regexp_matches(w, '[A-Za-z]')))::DOUBLE
+                  / greatest(len(toks), 1) AS alpha_frac,
+                len(list_intersect(
+                    list_distinct(list_transform(toks, w -> lower(w))),
+                    ['the','be','to','of','and','that','have','with']
+                )) AS stop_hits
+              FROM t
+            )
+            SELECT doc_id,
+              (n_words >= 20 AND n_words <= 100000) AS word_count_ok,
+              (mean_len >= 3.5 AND mean_len <= 10.0) AS mean_word_len_ok,
+              (symbol_ratio <= 0.1) AS symbol_ratio_ok,
+              (bullet_frac <= 0.9) AS bullet_frac_ok,
+              (ellipsis_frac <= 0.3) AS ellipsis_frac_ok,
+              (alpha_frac >= 0.8) AS alpha_frac_ok,
+              (stop_hits >= 2) AS stopwords_ok,
+              ((n_words >= 20 AND n_words <= 100000)
+               AND (mean_len >= 3.5 AND mean_len <= 10.0)
+               AND (symbol_ratio <= 0.1)
+               AND (bullet_frac <= 0.9)
+               AND (ellipsis_frac <= 0.3)
+               AND (alpha_frac >= 0.8)
+               AND (stop_hits >= 2)) AS passes
+            FROM m
         """,
         "quantize_embeddings": """
             WITH v AS (

@@ -66,3 +66,32 @@ def test_clean_is_map_only(spark):
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_gopher_rules(spark):
+    from mismo_spark.textqa.gopher import gopher_rules
+
+    good = (
+        "The quick brown fox jumps over the lazy dog and then runs away "
+        "to have a rest with friends near the old barn that stands "
+        "beyond the river of time and be happy about all of it today. "
+        "More plain words follow to reach the minimum count of fifty "
+        "words in total for this document right now indeed truly."
+    )
+    bullets = "\n".join(["* item one here now"] * 10)
+    symbols = "## " * 60
+    df = spark.createDataFrame(
+        [(1, good), (2, bullets), (3, symbols), (4, "to the of and")],
+        "record_id long, text string",
+    )
+    got = {
+        r["record_id"]: r["g"]
+        for r in df.select(
+            "record_id", gopher_rules(F.col("text")).alias("g")
+        ).collect()
+    }
+    assert got[1]["passes"]
+    assert not got[2]["bullet_frac_ok"] and not got[2]["passes"]
+    assert not got[3]["symbol_ratio_ok"] and not got[3]["passes"]
+    # stopwords fine but word count too low
+    assert got[4]["stopwords_ok"] and not got[4]["word_count_ok"]
