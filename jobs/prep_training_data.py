@@ -76,6 +76,11 @@ def main(argv: list[str] | None = None) -> dict:
                     "docs) exceeds this")
     ap.add_argument("--boilerplate-ngram", type=int, default=5)
     ap.add_argument("--boilerplate-min-df", type=int, default=2)
+    ap.add_argument("--gopher-rules", action="store_true",
+                    help="drop docs failing the Gopher A1.1 quality "
+                    "screen (word count, word length, symbol/bullet/"
+                    "ellipsis ratios, alpha fraction, stopwords)")
+    ap.add_argument("--gopher-min-words", type=int, default=50)
     ap.add_argument("--c4-clean", action="store_true",
                     help="apply C4 line rules to the text column "
                     "(terminal punctuation, min words, boilerplate) "
@@ -158,6 +163,14 @@ def main(argv: list[str] | None = None) -> dict:
         )
         docs = docs.join(keep_ids.select("record_id"), "record_id", "left_semi")
         counters["after_neardup_dedupe"] = docs.count()
+
+    # -- Gopher quality screen ---------------------------------------------
+    if args.gopher_rules:
+        from mismo_spark.textqa.gopher import gopher_rules
+
+        g = gopher_rules(F.col(args.text_col), min_words=args.gopher_min_words)
+        docs = docs.filter(g["passes"])
+        counters["after_gopher_rules"] = docs.count()
 
     # -- C4 line cleaning / doc flags / PII --------------------------------
     if args.c4_clean:

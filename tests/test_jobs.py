@@ -210,3 +210,21 @@ def test_link_records_job(spark, tmp_path):
         F.col("record_id_l") == F.concat(F.col("record_id_r"), F.lit("?recrawl=1"))
     ).count()
     assert self_hits >= 50
+
+
+def test_prep_training_data_gopher(spark, tmp_path):
+    src = str(tmp_path / "docs.parquet")
+    good = ("the quick brown fox jumps over the lazy dog and runs to have "
+            "a rest with all of that done today " * 3)
+    rows = [(1, good, "en"), (2, "## ## ## ##", "en")]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string"
+    ).write.mode("overwrite").parquet(src)
+    out = str(tmp_path / "curated")
+    counters = prep_main([
+        "--input", src, "--output", out, "--id-col", "doc_id",
+        "--langs", "en", "--min-tokens", "1", "--skip-neardup",
+        "--gopher-rules", "--gopher-min-words", "20",
+    ])
+    assert counters["after_gopher_rules"] == 1
+    assert counters["written_docs"] == 1
