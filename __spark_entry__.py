@@ -557,6 +557,15 @@ def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """profile.histogram: distributed equi-width histogram (map +
+    one groupBy with partial aggregation), fixed bounds."""
+    from mismo_spark.profile import histogram
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return histogram(li, "l_extendedprice", bins=20, lo=0.0, hi=100_000.0)
+
+
 def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher A1.1 quality screen (textqa.gopher) with thresholds tuned
     so the synthetic docs split across outcomes."""
@@ -1366,6 +1375,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_match_level": q_url_match_level,
         "sessionize": q_sessionize,
         "session_stats": q_session_stats,
+        "histogram": q_histogram,
         "gopher_rules": q_gopher_rules,
         "quantize_embeddings": q_quantize_embeddings,
         "best_match_filter": q_best_match_filter,
@@ -1821,6 +1831,17 @@ def oracle_sql() -> dict[str, str]:
                         ELSE min(doc_id) OVER (PARTITION BY lang, source)
                    END AS component
             FROM documents
+        """,
+        "histogram": """
+            SELECT bin, 0.0 + bin * 5000.0 AS lo,
+                   0.0 + (bin + 1) * 5000.0 AS hi, count(*)::BIGINT AS n
+            FROM (
+              SELECT least(greatest(floor(
+                       (CAST(l_extendedprice AS DOUBLE) - 0.0) / 5000.0
+                     ), 0), 19)::INT AS bin
+              FROM lineitem WHERE l_extendedprice IS NOT NULL
+            )
+            GROUP BY bin
         """,
         "gopher_rules": r"""
             WITH t AS (

@@ -45,3 +45,41 @@ def profile_numeric(df: DataFrame, columns: list[str]) -> DataFrame:
             "(column, n, n_null, n_distinct, min, max, mean, p50, p95)"
         )
     )
+
+
+def histogram(
+    df: DataFrame,
+    column: str,
+    *,
+    bins: int = 10,
+    lo: float | None = None,
+    hi: float | None = None,
+) -> DataFrame:
+    """Equi-width histogram → (bin, lo, hi, n), bins indexed 0..bins−1,
+    upper edge inclusive in the last bin.  Bounds default to the
+    column's min/max (one extra tiny aggregation); the binning pass is
+    one map + one groupBy with map-side partial aggregation — the
+    standard distributed histogram.  NULLs are dropped."""
+    col = F.col(column).cast("double")
+    if lo is None or hi is None:
+        row = df.agg(F.min(col).alias("lo"), F.max(col).alias("hi")).first()
+        lo = float(row["lo"]) if lo is None else lo
+        hi = float(row["hi"]) if hi is None else hi
+    if hi <= lo:
+        hi = lo + 1.0
+    width = (hi - lo) / bins
+    b = F.least(
+        F.greatest(F.floor((col - F.lit(lo)) / F.lit(width)), F.lit(0)),
+        F.lit(bins - 1),
+    ).cast("int")
+    return (
+        df.filter(col.isNotNull())
+        .groupBy(b.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "bin",
+            (F.lit(lo) + F.col("bin") * F.lit(width)).alias("lo"),
+            (F.lit(lo) + (F.col("bin") + 1) * F.lit(width)).alias("hi"),
+            "n",
+        )
+    )

@@ -74,3 +74,17 @@ def test_pipeline_keep_latest_snapshots(spark, tmp_path):
     records = pipe.prepare_records(both)
     assert records.count() == pages.count()
     assert records.select("record_id").distinct().count() == pages.count()
+
+
+def test_histogram_equi_width(spark):
+    from mismo_spark.profile import histogram
+
+    df = spark.createDataFrame(
+        [(float(i),) for i in range(100)] + [(None,)], "x double"
+    )
+    h = {r["bin"]: r for r in histogram(df, "x", bins=10).collect()}
+    assert len(h) == 10
+    assert sum(r["n"] for r in h.values()) == 100
+    # max value (99.0) lands in the last bin (upper edge inclusive)
+    assert h[9]["n"] == 10
+    assert h[0]["lo"] == 0.0 and abs(h[9]["hi"] - 99.0) < 1e-9
