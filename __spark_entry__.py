@@ -557,6 +557,40 @@ def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """arrays.array_combinations / mean / median / sum
+    (mismo/arrays/_array.py:14-34, _builtins.py:29-71) over synthesized
+    per-row arrays; combinations serialized for the scalar comparator."""
+    from mismo_spark.arrays import (
+        array_combinations,
+        array_mean,
+        array_median,
+        array_sum,
+    )
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    k = F.col("c_custkey")
+    a = F.array(k % 5, k % 7, k % 11)
+    b = F.array(k % 2, k % 3)
+    combos = array_combinations(a, b)
+    combo_str = F.array_join(
+        F.transform(
+            combos,
+            lambda s: F.concat(
+                s["l"].cast("string"), F.lit(":"), s["r"].cast("string")
+            ),
+        ),
+        ",",
+    )
+    return cust.select(
+        "c_custkey",
+        combo_str.alias("combos"),
+        F.round(array_mean(a), 6).alias("mean_a"),
+        array_median(a).alias("med_a"),
+        F.round(array_sum(b), 6).alias("sum_b"),
+    )
+
+
 def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """profile.histogram: distributed equi-width histogram (map +
     one groupBy with partial aggregation), fixed bounds."""
@@ -1375,6 +1409,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_match_level": q_url_match_level,
         "sessionize": q_sessionize,
         "session_stats": q_session_stats,
+        "array_ops": q_array_ops,
         "histogram": q_histogram,
         "gopher_rules": q_gopher_rules,
         "quantize_embeddings": q_quantize_embeddings,
@@ -1831,6 +1866,23 @@ def oracle_sql() -> dict[str, str]:
                         ELSE min(doc_id) OVER (PARTITION BY lang, source)
                    END AS component
             FROM documents
+        """,
+        "array_ops": """
+            WITH t AS (
+              SELECT c_custkey,
+                     [c_custkey % 5, c_custkey % 7, c_custkey % 11] AS a,
+                     [c_custkey % 2, c_custkey % 3] AS b
+              FROM customer
+            )
+            SELECT c_custkey,
+              array_to_string(flatten(list_transform(a,
+                x -> list_transform(b,
+                  y -> x::VARCHAR || ':' || y::VARCHAR))), ',') AS combos,
+              round(list_sum(list_transform(a, x -> x::DOUBLE)) / len(a), 6)
+                AS mean_a,
+              CAST(list_sort(a)[2] AS DOUBLE) AS med_a,
+              round(list_sum(list_transform(b, x -> x::DOUBLE)), 6) AS sum_b
+            FROM t
         """,
         "histogram": """
             SELECT bin, 0.0 + bin * 5000.0 AS lo,
