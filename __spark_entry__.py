@@ -591,6 +591,35 @@ def q_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtering set-similarity self-join (PPJoin-family) over the
+    WHOLE corpus — no blocking key.  Exact recall means the oracle can be
+    brute-force all-pairs Jaccard >= t, which verifies the guarantee, not
+    just the implementation."""
+    from mismo_spark.sets.ssjoin import prefix_filter_pairs
+    from mismo_spark.text.features import tokenize
+
+    docs = _docs(spark, sf_dir).select(
+        "record_id", tokenize(F.lower(F.col("text"))).alias("tokens")
+    )
+    pairs = prefix_filter_pairs(docs, "tokens", threshold=0.5)
+    return pairs.select(
+        "record_id_l", "record_id_r", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse TF-IDF cosine pair scoring: one token equi-join, grouped
+    sum of weight products — never a dense vector per pair."""
+    from mismo_spark.sets.ssjoin import tfidf_cosine_pairs
+    from mismo_spark.text.features import tokenize
+
+    docs = _docs(spark, sf_dir).select(
+        "record_id", tokenize(F.lower(F.col("text"))).alias("tokens")
+    )
+    return tfidf_cosine_pairs(docs, "tokens", min_cosine=0.2)
+
+
 def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """profile.histogram: distributed equi-width histogram (map +
     one groupBy with partial aggregation), fixed bounds."""
@@ -1410,6 +1439,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "session_stats": q_session_stats,
         "array_ops": q_array_ops,
+        "prefix_filter_pairs": q_prefix_filter_pairs,
+        "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
         "histogram": q_histogram,
         "gopher_rules": q_gopher_rules,
         "quantize_embeddings": q_quantize_embeddings,
@@ -1883,6 +1914,52 @@ def oracle_sql() -> dict[str, str]:
               CAST(list_sort(a)[2] AS DOUBLE) AS med_a,
               round(list_sum(list_transform(b, x -> x::DOUBLE)), 6) AS sum_b
             FROM t
+        """,
+        "prefix_filter_pairs": f"""
+            WITH d AS (
+              SELECT doc_id, {_TOKENS} AS tokens FROM documents
+            ),
+            pairs AS (
+              SELECT a.doc_id AS record_id_l, b.doc_id AS record_id_r,
+                     CASE WHEN len(list_intersect(a.tokens, b.tokens)) = 0
+                          THEN 0.0
+                          ELSE len(list_intersect(a.tokens, b.tokens))::DOUBLE
+                               / (len(a.tokens) + len(b.tokens)
+                                  - len(list_intersect(a.tokens, b.tokens)))
+                     END AS j
+              FROM d a JOIN d b ON a.doc_id < b.doc_id
+            )
+            SELECT record_id_l, record_id_r, round(j, 6) AS jaccard
+            FROM pairs WHERE j >= 0.5
+        """,
+        "tfidf_cosine_pairs": """
+            WITH d AS (
+              SELECT doc_id,
+                     string_split_regex(lower(trim(text)), '\\s+') AS toks
+              FROM documents
+            ),
+            tf AS (
+              SELECT doc_id, tok, count(*)::DOUBLE AS tf
+              FROM (SELECT doc_id, unnest(toks) AS tok FROM d)
+              GROUP BY doc_id, tok
+            ),
+            docfreq AS (SELECT tok, count(*)::DOUBLE AS df FROM tf GROUP BY tok),
+            w AS (
+              SELECT doc_id, tok,
+                     tf * ln((SELECT count(*)::DOUBLE FROM d) / df) AS w
+              FROM tf JOIN docfreq USING (tok)
+            ),
+            nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY doc_id),
+            wn AS (
+              SELECT w.doc_id, tok,
+                     CASE WHEN nrm > 0 THEN w / nrm ELSE 0.0 END AS wn
+              FROM w JOIN nrm ON w.doc_id = nrm.doc_id
+            )
+            SELECT a.doc_id AS record_id_l, b.doc_id AS record_id_r,
+                   round(sum(a.wn * b.wn), 6) AS cosine
+            FROM wn a JOIN wn b ON a.tok = b.tok AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+            HAVING round(sum(a.wn * b.wn), 6) >= 0.2
         """,
         "histogram": """
             SELECT bin, 0.0 + bin * 5000.0 AS lo,
