@@ -620,6 +620,59 @@ def q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_cosine_pairs(docs, "tokens", min_cosine=0.2)
 
 
+def q_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass precision/recall sweep over FS-scored labeled pairs:
+    groupBy(score) collapses the pair table to <= #agreement-patterns
+    rows BEFORE the cumulative window, so no global single-partition
+    pass over pairs.  Label = exact text duplicate."""
+    from mismo_spark.compare.enum import EnumComparer, compare
+    from mismo_spark.fs.curve import precision_recall_curve
+    from mismo_spark.fs.weights import ComparerWeights, LevelWeights, Weights
+    from mismo_spark.linker.key import KeyLinker
+    from mismo_spark.types.linkage import Linkage
+
+    docs = _docs(spark, sf_dir)
+    lk = KeyLinker(["lang", "source"], task="dedupe")(docs)
+    pairs = Linkage(docs, docs, lk.links).links_with_both()
+    comparers = [
+        EnumComparer(
+            "len_cmp",
+            [
+                ("exact", lambda df: df["n_chars_l"] == df["n_chars_r"]),
+                (
+                    "close",
+                    lambda df: F.abs(df["n_chars_l"] - df["n_chars_r"]) <= 20,
+                ),
+            ],
+        ),
+    ]
+    weights = Weights(
+        [
+            ComparerWeights(
+                "len_cmp",
+                [
+                    LevelWeights("exact", m=0.6, u=0.01),
+                    LevelWeights("close", m=0.3, u=0.09),
+                    LevelWeights("else", m=0.1, u=0.9),
+                ],
+            )
+        ]
+    )
+    scored = weights.score_compared(compare(pairs, comparers)).withColumn(
+        "is_match", F.col("text_l") == F.col("text_r")
+    )
+    curve = precision_recall_curve(scored, score="odds", label="is_match")
+    return curve.select(
+        F.round("threshold", 6).alias("threshold"),
+        "tp",
+        "fp",
+        "fn",
+        "precision",
+        "recall",
+        "f1",
+    )
+
+
 def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """profile.histogram: distributed equi-width histogram (map +
     one groupBy with partial aggregation), fixed bounds."""
@@ -1441,6 +1494,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "array_ops": q_array_ops,
         "prefix_filter_pairs": q_prefix_filter_pairs,
         "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
+        "pr_curve": q_pr_curve,
         "histogram": q_histogram,
         "gopher_rules": q_gopher_rules,
         "quantize_embeddings": q_quantize_embeddings,
@@ -1960,6 +2014,50 @@ def oracle_sql() -> dict[str, str]:
             FROM wn a JOIN wn b ON a.tok = b.tok AND a.doc_id < b.doc_id
             GROUP BY 1, 2
             HAVING round(sum(a.wn * b.wn), 6) >= 0.2
+        """,
+        "pr_curve": f"""
+            WITH pairs AS ({pair_block}),
+            scored AS (
+              SELECT CASE WHEN n_chars_l = n_chars_r THEN 0.6 / 0.01
+                          WHEN abs(n_chars_l - n_chars_r) <= 20 THEN 0.3 / 0.09
+                          ELSE 0.1 / 0.9 END AS threshold,
+                     (text_l = text_r) AS y
+              FROM pairs
+            ),
+            per AS (
+              SELECT threshold,
+                     sum(CASE WHEN y THEN 1 ELSE 0 END)::BIGINT AS n_pos,
+                     sum(CASE WHEN y THEN 0 ELSE 1 END)::BIGINT AS n_neg
+              FROM scored GROUP BY threshold
+            ),
+            cum AS (
+              SELECT threshold,
+                sum(n_pos) OVER (ORDER BY threshold DESC
+                                 ROWS UNBOUNDED PRECEDING) AS tp,
+                sum(n_neg) OVER (ORDER BY threshold DESC
+                                 ROWS UNBOUNDED PRECEDING) AS fp,
+                sum(n_pos) OVER () - sum(n_pos) OVER (ORDER BY threshold DESC
+                                 ROWS UNBOUNDED PRECEDING) AS fn
+              FROM per
+            )
+            SELECT round(threshold, 6) AS threshold, tp, fp, fn,
+                   round(tp / (tp + fp)::DOUBLE, 6) AS precision,
+                   CASE WHEN tp + fn > 0
+                        THEN round(tp / (tp + fn)::DOUBLE, 6)
+                        ELSE 0.0 END AS recall,
+                   CASE WHEN tp / (tp + fp)::DOUBLE
+                             + CASE WHEN tp + fn > 0
+                                    THEN tp / (tp + fn)::DOUBLE ELSE 0.0 END > 0
+                        THEN round(2.0 * (tp / (tp + fp)::DOUBLE)
+                               * (CASE WHEN tp + fn > 0
+                                       THEN tp / (tp + fn)::DOUBLE
+                                       ELSE 0.0 END)
+                               / (tp / (tp + fp)::DOUBLE
+                                  + CASE WHEN tp + fn > 0
+                                         THEN tp / (tp + fn)::DOUBLE
+                                         ELSE 0.0 END), 6)
+                        ELSE 0.0 END AS f1
+            FROM cum
         """,
         "histogram": """
             SELECT bin, 0.0 + bin * 5000.0 AS lo,
