@@ -673,6 +673,40 @@ def q_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dup_token_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-style duplicated-span detection (Lee et al. 2022):
+    positional n-gram hashes -> corpus counts -> per-doc
+    gaps-and-islands interval merge."""
+    from mismo_spark.textqa.spans import duplicated_token_spans
+
+    spans = duplicated_token_spans(
+        _docs(spark, sf_dir), n=5, min_count=2, id_col="record_id"
+    )
+    return spans.select(
+        "record_id",
+        F.col("span_start").cast("long").alias("span_start"),
+        F.col("span_end").cast("long").alias("span_end"),
+        F.col("span_tokens").cast("long").alias("span_tokens"),
+    )
+
+
+def q_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document coverage of merged duplicated spans (zeros for
+    clean documents)."""
+    from mismo_spark.textqa.spans import duplicated_span_stats
+
+    stats = duplicated_span_stats(
+        _docs(spark, sf_dir), n=5, min_count=2, id_col="record_id"
+    )
+    return stats.select(
+        "record_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_spans").cast("long").alias("n_spans"),
+        F.col("dup_tokens").cast("long").alias("dup_tokens"),
+        "dup_token_frac",
+    )
+
+
 def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """profile.histogram: distributed equi-width histogram (map +
     one groupBy with partial aggregation), fixed bounds."""
@@ -1495,6 +1529,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prefix_filter_pairs": q_prefix_filter_pairs,
         "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
         "pr_curve": q_pr_curve,
+        "dup_token_spans": q_dup_token_spans,
+        "dup_span_stats": q_dup_span_stats,
         "histogram": q_histogram,
         "gopher_rules": q_gopher_rules,
         "quantize_embeddings": q_quantize_embeddings,
@@ -2058,6 +2094,94 @@ def oracle_sql() -> dict[str, str]:
                                          ELSE 0.0 END), 6)
                         ELSE 0.0 END AS f1
             FROM cum
+        """,
+        "dup_token_spans": r"""
+            WITH d AS (
+              SELECT doc_id,
+                     string_split_regex(lower(trim(text)), '\s+') AS toks
+              FROM documents
+            ),
+            sh0 AS (
+              SELECT doc_id, unnest(range(0, len(toks) - 5 + 1)) AS pos, toks
+              FROM d WHERE len(toks) >= 5
+            ),
+            sh AS (
+              SELECT doc_id, pos,
+                     array_to_string(toks[pos + 1 : pos + 5], ' ') AS g
+              FROM sh0
+            ),
+            cnt AS (SELECT g FROM sh GROUP BY g HAVING count(*) >= 2),
+            dup AS (SELECT doc_id, pos FROM sh JOIN cnt USING (g)),
+            marked AS (
+              SELECT doc_id, pos,
+                CASE WHEN max(pos + 4) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       >= pos - 1
+                     THEN 0 ELSE 1 END AS is_new
+              FROM dup
+            ),
+            isl AS (
+              SELECT doc_id, pos,
+                     sum(is_new) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS UNBOUNDED PRECEDING) AS island
+              FROM marked
+            )
+            SELECT doc_id AS record_id,
+                   min(pos)::BIGINT AS span_start,
+                   (max(pos) + 4)::BIGINT AS span_end,
+                   (max(pos) + 4 - min(pos) + 1)::BIGINT AS span_tokens
+            FROM isl GROUP BY doc_id, island
+        """,
+        "dup_span_stats": r"""
+            WITH d AS (
+              SELECT doc_id,
+                     string_split_regex(lower(trim(text)), '\s+') AS toks
+              FROM documents
+            ),
+            sh0 AS (
+              SELECT doc_id, unnest(range(0, len(toks) - 5 + 1)) AS pos, toks
+              FROM d WHERE len(toks) >= 5
+            ),
+            sh AS (
+              SELECT doc_id, pos,
+                     array_to_string(toks[pos + 1 : pos + 5], ' ') AS g
+              FROM sh0
+            ),
+            cnt AS (SELECT g FROM sh GROUP BY g HAVING count(*) >= 2),
+            dup AS (SELECT doc_id, pos FROM sh JOIN cnt USING (g)),
+            marked AS (
+              SELECT doc_id, pos,
+                CASE WHEN max(pos + 4) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       >= pos - 1
+                     THEN 0 ELSE 1 END AS is_new
+              FROM dup
+            ),
+            isl AS (
+              SELECT doc_id, pos,
+                     sum(is_new) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS UNBOUNDED PRECEDING) AS island
+              FROM marked
+            ),
+            spans AS (
+              SELECT doc_id,
+                     (max(pos) + 4 - min(pos) + 1) AS span_tokens
+              FROM isl GROUP BY doc_id, island
+            ),
+            per_doc AS (
+              SELECT doc_id, count(*)::BIGINT AS n_spans,
+                     sum(span_tokens)::BIGINT AS dup_tokens
+              FROM spans GROUP BY doc_id
+            )
+            SELECT d.doc_id AS record_id,
+                   len(d.toks)::BIGINT AS n_tokens,
+                   coalesce(p.n_spans, 0)::BIGINT AS n_spans,
+                   coalesce(p.dup_tokens, 0)::BIGINT AS dup_tokens,
+                   CASE WHEN len(d.toks) > 0
+                        THEN round(coalesce(p.dup_tokens, 0)::DOUBLE
+                                   / len(d.toks), 6)
+                        ELSE 0.0 END AS dup_token_frac
+            FROM d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
         """,
         "histogram": """
             SELECT bin, 0.0 + bin * 5000.0 AS lo,
