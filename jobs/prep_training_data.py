@@ -94,6 +94,15 @@ def main(argv: list[str] | None = None) -> dict:
     ap.add_argument("--max-dup-ngram-frac", type=float, default=None,
                     help="drop docs whose duplicated word-2-gram char "
                     "fraction exceeds this (e.g. 0.20)")
+    ap.add_argument("--remove-dup-spans", action="store_true",
+                    help="ExactSubstr-style surgery: cut maximal token "
+                    "spans whose --dup-span-ngram windows occur >= "
+                    "--dup-span-min-count times in the corpus, instead "
+                    "of dropping whole documents")
+    ap.add_argument("--dup-span-ngram", type=int, default=50,
+                    help="token window for --remove-dup-spans (Lee et "
+                    "al. 2022 use 50-token windows)")
+    ap.add_argument("--dup-span-min-count", type=int, default=2)
     ap.add_argument("--seed", type=int, default=42)
     args = ap.parse_args(argv)
 
@@ -207,6 +216,20 @@ def main(argv: list[str] | None = None) -> dict:
         ).filter(F.col("dup_ngram_char_frac") > args.max_dup_ngram_frac)
         docs = docs.join(rep.select("record_id"), "record_id", "left_anti")
         counters["after_dup_ngram_filter"] = docs.count()
+
+    # -- duplicated-span surgery (ExactSubstr) ------------------------------
+    if args.remove_dup_spans:
+        from mismo_spark.textqa.spans import remove_duplicated_spans
+
+        docs = remove_duplicated_spans(
+            docs,
+            n=args.dup_span_ngram,
+            min_count=args.dup_span_min_count,
+            id_col="record_id",
+            text_col=args.text_col,
+            out=args.text_col,
+        ).filter(F.length(F.col(args.text_col)) > 0)
+        counters["after_dup_span_removal"] = docs.count()
 
     # -- boilerplate filter (duplicated-ngram fraction) --------------------
     if args.max_boilerplate_frac is not None:

@@ -145,6 +145,38 @@ def test_prep_training_data_c4_and_pii(spark, tmp_path):
     assert "corp.example.com" not in got[0]["text"]
 
 
+def test_prep_training_data_dup_span_removal(spark, tmp_path):
+    src = str(tmp_path / "docs.parquet")
+    boiler = "all rights reserved contact us today for more info now"
+    rows = [
+        (1, f"alpha beta gamma delta {boiler} epsilon zeta.", "en"),
+        (2, f"one two three four five six {boiler} seven.", "en"),
+        (3, "entirely unique words live here with no repeats at all.", "en"),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string"
+    ).write.mode("overwrite").parquet(src)
+
+    out = str(tmp_path / "curated")
+    counters = prep_main([
+        "--input", src,
+        "--output", out,
+        "--id-col", "doc_id",
+        "--min-tokens", "1",
+        "--skip-neardup",
+        "--remove-dup-spans",
+        "--dup-span-ngram", "5",
+    ])
+    assert counters["after_dup_span_removal"] == 3
+    got = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{out}/documents.parquet").collect()
+    }
+    assert boiler not in got[1] and boiler not in got[2]
+    assert "alpha beta gamma delta" in got[1]
+    assert got[3] == rows[2][1].lower()
+
+
 def test_link_records_job(spark, tmp_path):
     """Two-table linkage: a recrawl slice must link back to its source
     pages with the recrawled url as best match."""
