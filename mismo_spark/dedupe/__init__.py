@@ -318,7 +318,21 @@ def ngram_jaccard_pairs(
     min_jaccard: float = 0.5,
 ) -> DataFrame:
     """Character-n-gram Jaccard over pairs blocked by ``blocking_key``
-    (a column spec; default: no blocking guard — caller must block)."""
+    (a column spec).  WITHOUT a blocking key the all-pairs product is
+    avoided too: candidates come from the prefix-filtering
+    set-similarity join (``sets/ssjoin.py``), which is EXACT at the
+    ``min_jaccard`` threshold — same output as the cross join, never
+    its plan."""
+    if blocking_key is None:
+        from mismo_spark.sets.ssjoin import prefix_filter_pairs
+
+        recs = df.select(
+            F.col(id_column).alias("record_id"),
+            ngrams(F.lower(F.col(text_column)), n).alias("grams"),
+        )
+        return prefix_filter_pairs(
+            recs, "grams", threshold=min_jaccard, id_col="record_id"
+        ).select(ID_L, ID_R, F.col("jaccard").alias("jaccard_sim"))
     recs = df.select(
         F.col(id_column).alias("record_id"),
         F.array_distinct(ngrams(F.lower(F.col(text_column)), n)).alias("grams"),

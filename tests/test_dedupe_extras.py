@@ -91,6 +91,29 @@ def test_ngram_jaccard_pairs(spark):
     assert got == {(1, 2)}
 
 
+def test_ngram_jaccard_pairs_unblocked_uses_prefix_filter(spark):
+    """No blocking key: same pairs as the (single-block) equi-join path,
+    but via the exact prefix-filter join — never a cartesian product."""
+    df = spark.createDataFrame(
+        [(1, "abcdef", "g"), (2, "abcdxf", "g"), (3, "zzzzzz", "g")],
+        "record_id long, text string, grp string",
+    )
+    unblocked = ngram_jaccard_pairs(df, n=3, min_jaccard=0.2)
+    plan = unblocked._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    got = {
+        (r["record_id_l"], r["record_id_r"]): r["jaccard_sim"]
+        for r in unblocked.collect()
+    }
+    blocked = {
+        (r["record_id_l"], r["record_id_r"]): r["jaccard_sim"]
+        for r in ngram_jaccard_pairs(
+            df, n=3, blocking_key="grp", min_jaccard=0.2
+        ).collect()
+    }
+    assert got == blocked
+
+
 def test_textqa_functions(spark):
     df = spark.createDataFrame(
         [
