@@ -707,6 +707,18 @@ def q_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_blocking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reduction ratio / pairs completeness / pairs quality of the
+    (lang, source) blocker against exact-text-duplicate ground truth."""
+    from mismo_spark.linker.eval import blocking_metrics
+    from mismo_spark.linker.key import KeyLinker
+
+    docs = _docs(spark, sf_dir)
+    cand = KeyLinker(["lang", "source"], task="dedupe")(docs).links
+    true = KeyLinker(["text"], task="dedupe")(docs).links
+    return blocking_metrics(cand, true, n_left=docs.count())
+
+
 def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """profile.histogram: distributed equi-width histogram (map +
     one groupBy with partial aggregation), fixed bounds."""
@@ -1531,6 +1543,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pr_curve": q_pr_curve,
         "dup_token_spans": q_dup_token_spans,
         "dup_span_stats": q_dup_span_stats,
+        "blocking_metrics": q_blocking_metrics,
         "histogram": q_histogram,
         "gopher_rules": q_gopher_rules,
         "quantize_embeddings": q_quantize_embeddings,
@@ -2182,6 +2195,44 @@ def oracle_sql() -> dict[str, str]:
                                    / len(d.toks), 6)
                         ELSE 0.0 END AS dup_token_frac
             FROM d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+        """,
+        "blocking_metrics": """
+            WITH cand AS (
+              SELECT DISTINCT least(a.doc_id, b.doc_id) AS l,
+                              greatest(a.doc_id, b.doc_id) AS r
+              FROM documents a JOIN documents b
+                ON a.lang = b.lang AND a.source = b.source
+               AND a.doc_id < b.doc_id
+            ),
+            troo AS (
+              SELECT DISTINCT least(a.doc_id, b.doc_id) AS l,
+                              greatest(a.doc_id, b.doc_id) AS r
+              FROM documents a JOIN documents b
+                ON a.text = b.text AND a.doc_id < b.doc_id
+            ),
+            counts AS (
+              SELECT
+                (SELECT (count(*) * (count(*) - 1)) // 2 FROM documents)
+                  AS n_naive,
+                (SELECT count(*) FROM cand) AS n_candidates,
+                (SELECT count(*) FROM troo) AS n_true,
+                (SELECT count(*) FROM cand JOIN troo USING (l, r)) AS n_found
+            )
+            SELECT n_naive::BIGINT AS n_naive,
+                   n_candidates::BIGINT AS n_candidates,
+                   n_true::BIGINT AS n_true,
+                   n_found::BIGINT AS n_found,
+                   CASE WHEN n_naive > 0
+                        THEN round((n_naive - n_candidates)::DOUBLE
+                                   / n_naive, 6) ELSE 0.0 END
+                     AS reduction_ratio,
+                   CASE WHEN n_true > 0
+                        THEN round(n_found::DOUBLE / n_true, 6)
+                        ELSE 0.0 END AS pairs_completeness,
+                   CASE WHEN n_candidates > 0
+                        THEN round(n_found::DOUBLE / n_candidates, 6)
+                        ELSE 0.0 END AS pairs_quality
+            FROM counts
         """,
         "histogram": """
             SELECT bin, 0.0 + bin * 5000.0 AS lo,
