@@ -719,6 +719,24 @@ def q_blocking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return blocking_metrics(cand, true, n_left=docs.count())
 
 
+def q_incremental_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental connected components: fold (source, n_chars bucket)
+    links into an existing (lang, source) clustering.  The oracle runs
+    CC from scratch over the UNION graph with a recursive-CTE closure —
+    checking the incremental==full-recompute identity itself."""
+    from mismo_spark.cluster.cc import connected_components
+    from mismo_spark.cluster.incremental import incremental_components
+    from mismo_spark.linker.key import KeyLinker
+
+    docs = _docs(spark, sf_dir)
+    old = KeyLinker(["lang", "source"], task="dedupe")(docs).links
+    assignments = connected_components(old, docs.select("record_id"))
+    new = KeyLinker(
+        ["source", F.floor(F.col("n_chars") / F.lit(200))], task="dedupe"
+    )(docs).links
+    return incremental_components(assignments, new)
+
+
 def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """profile.histogram: distributed equi-width histogram (map +
     one groupBy with partial aggregation), fixed bounds."""
@@ -1544,6 +1562,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_token_spans": q_dup_token_spans,
         "dup_span_stats": q_dup_span_stats,
         "blocking_metrics": q_blocking_metrics,
+        "incremental_cc": q_incremental_cc,
         "histogram": q_histogram,
         "gopher_rules": q_gopher_rules,
         "quantize_embeddings": q_quantize_embeddings,
@@ -2233,6 +2252,31 @@ def oracle_sql() -> dict[str, str]:
                         THEN round(n_found::DOUBLE / n_candidates, 6)
                         ELSE 0.0 END AS pairs_quality
             FROM counts
+        """,
+        "incremental_cc": """
+            WITH RECURSIVE
+            d AS (
+              SELECT doc_id, lang, source, n_chars // 200 AS bkt
+              FROM documents
+            ),
+            e AS (
+              SELECT a.doc_id AS u, b.doc_id AS v FROM d a JOIN d b
+                ON a.lang = b.lang AND a.source = b.source
+               AND a.doc_id <> b.doc_id
+              UNION
+              SELECT a.doc_id, b.doc_id FROM d a JOIN d b
+                ON a.source = b.source AND a.bkt = b.bkt
+               AND a.doc_id <> b.doc_id
+            ),
+            reach(u, v) AS (
+              SELECT u, v FROM e
+              UNION
+              SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u
+            ),
+            mins AS (SELECT u, min(v) AS mn FROM reach GROUP BY u)
+            SELECT d.doc_id AS record_id,
+                   least(d.doc_id, coalesce(m.mn, d.doc_id)) AS component
+            FROM d LEFT JOIN mins m ON m.u = d.doc_id
         """,
         "histogram": """
             SELECT bin, 0.0 + bin * 5000.0 AS lo,
