@@ -737,6 +737,54 @@ def q_incremental_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_components(assignments, new)
 
 
+def q_monge_elkan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monge-Elkan hybrid token similarity over blocked pairs (first 12
+    tokens a side) — nested HOFs around the JVM levenshtein kernel."""
+    from mismo_spark.linker.key import KeyLinker
+    from mismo_spark.text.features import tokenize
+    from mismo_spark.text.similarity import monge_elkan
+    from mismo_spark.types.linkage import Linkage
+
+    docs = _docs(spark, sf_dir).select(
+        "record_id",
+        "lang",
+        "source",
+        F.slice(tokenize(F.lower(F.col("text"))), 1, 12).alias("toks"),
+    )
+    lk = KeyLinker(["lang", "source"], task="dedupe")(docs)
+    pairs = Linkage(docs, docs, lk.links).links_with_both()
+    return pairs.select(
+        "record_id_l",
+        "record_id_r",
+        F.round(monge_elkan(F.col("toks_l"), F.col("toks_r")), 6).alias("me_sim"),
+    )
+
+
+def q_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship: one canonical row per (lang, source) cluster under
+    deterministic merge rules (longest text, representative's source,
+    modal lang, max n_chars)."""
+    from pyspark.sql import Window
+
+    from mismo_spark.cluster.golden import golden_record
+
+    docs = _docs(spark, sf_dir)
+    assignments = docs.select(
+        "record_id",
+        F.min("record_id")
+        .over(Window.partitionBy("lang", "source"))
+        .alias("component"),
+    )
+    out = golden_record(
+        docs.drop("doc_id"),
+        assignments,
+        {"text": "longest", "source": "first", "lang": "mode", "n_chars": "max"},
+    )
+    return out.select(
+        "component", "n_records", "text", "source", "lang", "n_chars"
+    )
+
+
 def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """profile.histogram: distributed equi-width histogram (map +
     one groupBy with partial aggregation), fixed bounds."""
@@ -1563,6 +1611,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_span_stats": q_dup_span_stats,
         "blocking_metrics": q_blocking_metrics,
         "incremental_cc": q_incremental_cc,
+        "monge_elkan": q_monge_elkan,
+        "golden_record": q_golden_record,
         "histogram": q_histogram,
         "gopher_rules": q_gopher_rules,
         "quantize_embeddings": q_quantize_embeddings,
@@ -2277,6 +2327,76 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id AS record_id,
                    least(d.doc_id, coalesce(m.mn, d.doc_id)) AS component
             FROM d LEFT JOIN mins m ON m.u = d.doc_id
+        """,
+        "monge_elkan": r"""
+            WITH d AS (
+              SELECT doc_id, lang, source,
+                     list_slice(
+                       string_split_regex(lower(trim(text)), '\s+'), 1, 12
+                     ) AS toks
+              FROM documents
+            ),
+            pairs AS (
+              SELECT a.doc_id AS record_id_l, b.doc_id AS record_id_r,
+                     a.toks AS tl, b.toks AS tr
+              FROM d a JOIN d b
+                ON a.lang = b.lang AND a.source = b.source
+               AND a.doc_id < b.doc_id
+            )
+            SELECT record_id_l, record_id_r,
+                   round(
+                     list_sum(list_transform(tl, x ->
+                       list_max(list_transform(tr, y ->
+                         CASE WHEN greatest(length(x), length(y)) = 0
+                              THEN 1.0
+                              ELSE 1.0 - levenshtein(x, y)::DOUBLE
+                                   / greatest(length(x), length(y))
+                         END))))
+                     / len(tl), 6) AS me_sim
+            FROM pairs
+        """,
+        "golden_record": """
+            WITH a AS (
+              SELECT doc_id,
+                     min(doc_id) OVER (PARTITION BY lang, source)
+                       AS component,
+                     text, lang, source, n_chars
+              FROM documents
+            ),
+            base AS (
+              SELECT component, count(*)::BIGINT AS n_records,
+                     max(n_chars) AS n_chars
+              FROM a GROUP BY component
+            ),
+            longest AS (
+              SELECT component, text FROM (
+                SELECT component, text, row_number() OVER (
+                  PARTITION BY component
+                  ORDER BY coalesce(length(text), -1) DESC, text DESC) AS rn
+                FROM a) WHERE rn = 1
+            ),
+            first_s AS (
+              SELECT component, source FROM (
+                SELECT component, source, row_number() OVER (
+                  PARTITION BY component ORDER BY doc_id ASC) AS rn
+                FROM a) WHERE rn = 1
+            ),
+            mcounts AS (
+              SELECT component, lang, count(*) AS c
+              FROM a WHERE lang IS NOT NULL GROUP BY component, lang
+            ),
+            m AS (
+              SELECT component, lang FROM (
+                SELECT component, lang, row_number() OVER (
+                  PARTITION BY component ORDER BY c DESC, lang ASC) AS rn
+                FROM mcounts) WHERE rn = 1
+            )
+            SELECT base.component, base.n_records, longest.text,
+                   first_s.source, m.lang, base.n_chars
+            FROM base
+            LEFT JOIN longest ON base.component = longest.component
+            LEFT JOIN first_s ON base.component = first_s.component
+            LEFT JOIN m ON base.component = m.component
         """,
         "histogram": """
             SELECT bin, 0.0 + bin * 5000.0 AS lo,

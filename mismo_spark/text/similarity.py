@@ -246,3 +246,31 @@ def damerau_levenshtein_ratio(a: Column, b: Column) -> Column:
     return F.when(mx == 0, F.lit(float("nan"))).otherwise(
         (mx - damerau_levenshtein(a, b)) / mx
     )
+
+
+def monge_elkan(a: Column, b: Column) -> Column:
+    """Monge-Elkan hybrid similarity of two TOKEN ARRAYS: the mean, over
+    tokens of ``a``, of each token's best Levenshtein-ratio match in
+    ``b`` (Monge & Elkan 1996).  Not in the reference — the standard
+    hybrid comparer for multi-token fields (names, addresses) that
+    neither pure token-set (Jaccard) nor pure edit-distance handles.
+
+    Pure nested higher-order functions around the JVM ``levenshtein``
+    kernel — no UDFs, stays in codegen.  Asymmetric by definition; take
+    ``greatest(monge_elkan(a, b), monge_elkan(b, a))`` for a symmetric
+    score.  NULL if either array is NULL; 0.0 if either is empty.
+    Pass plain column references (HOF lambdas re-evaluate non-attribute
+    expressions per element — materialize computed arrays first).
+    """
+    tok_sim = lambda x, y: F.when(  # noqa: E731
+        F.greatest(F.length(x), F.length(y)) == 0, F.lit(1.0)
+    ).otherwise(
+        1.0
+        - F.levenshtein(x, y)
+        / F.greatest(F.length(x), F.length(y)).cast("double")
+    )
+    best = F.transform(a, lambda x: F.array_max(F.transform(b, lambda y: tok_sim(x, y))))
+    mean = F.aggregate(best, F.lit(0.0), lambda acc, s: acc + s) / F.size(a)
+    return F.when(a.isNull() | b.isNull(), F.lit(None).cast("double")).otherwise(
+        F.when((F.size(a) == 0) | (F.size(b) == 0), F.lit(0.0)).otherwise(mean)
+    )
