@@ -114,3 +114,36 @@ def test_norm_whitespace(spark):
 
 def test_strip_accents(spark):
     assert one(spark, strip_accents(F.lit("café Ünïcode"))) == "cafe Unicode"
+
+
+def test_monge_elkan(spark):
+    from mismo_spark.text.similarity import monge_elkan
+
+    df = spark.createDataFrame(
+        [
+            (["john", "smith"], ["jon", "smyth", "extra"]),
+            (["abc"], ["abc"]),
+            ([], ["x"]),
+            (None, ["x"]),
+        ],
+        "a array<string>, b array<string>",
+    )
+    vals = [
+        r["v"]
+        for r in df.select(
+            monge_elkan(F.col("a"), F.col("b")).alias("v")
+        ).collect()
+    ]
+    # john~jon: 1-1/4=0.75 (best in b); smith~smyth: 1-1/5=0.8 -> mean .775
+    assert vals[0] == pytest.approx(0.775)
+    assert vals[1] == pytest.approx(1.0)
+    assert vals[2] == 0.0
+    assert vals[3] is None
+    # asymmetry: mean over a's 1 token vs mean over b's 3 tokens
+    one = spark.createDataFrame(
+        [(["abc"], ["abc", "zzz", "qqq"])], "a array<string>, b array<string>"
+    )
+    fwd = one.select(monge_elkan(F.col("a"), F.col("b")).alias("v")).first()["v"]
+    rev = one.select(monge_elkan(F.col("b"), F.col("a")).alias("v")).first()["v"]
+    assert fwd == pytest.approx(1.0)
+    assert rev < fwd
