@@ -60,6 +60,11 @@ def main(argv: list[str] | None = None) -> dict:
     ap.add_argument("--lsh-n-bands", type=int, default=16)
     ap.add_argument("--min-jaccard", type=float, default=0.7)
     ap.add_argument("--skip-neardup", action="store_true")
+    ap.add_argument("--neardup-keep", choices=("first", "longest"),
+                    default="first",
+                    help="survivor per near-dup cluster: 'first' = "
+                    "smallest record id, 'longest' = longest text "
+                    "(ties -> smallest id)")
     ap.add_argument("--benchmark", default=None,
                     help="parquet of eval/benchmark docs to decontaminate "
                     "against (column --benchmark-text-col)")
@@ -167,9 +172,28 @@ def main(argv: list[str] | None = None) -> dict:
             docs.select("record_id"),
             algorithm="star",
         )
-        keep_ids = comps.groupBy("component").agg(
-            F.min("record_id").alias("record_id")
-        )
+        if args.neardup_keep == "longest":
+            # survivor = longest text, ties -> smallest id (total order)
+            keep_ids = (
+                comps.join(
+                    docs.select("record_id", F.length(text).alias("__len")),
+                    "record_id",
+                )
+                .groupBy("component")
+                .agg(
+                    F.max_by(
+                        "record_id",
+                        F.struct(
+                            F.coalesce(F.col("__len"), F.lit(-1)).alias("l"),
+                            (-F.col("record_id")).alias("i"),
+                        ),
+                    ).alias("record_id")
+                )
+            )
+        else:
+            keep_ids = comps.groupBy("component").agg(
+                F.min("record_id").alias("record_id")
+            )
         docs = docs.join(keep_ids.select("record_id"), "record_id", "left_semi")
         counters["after_neardup_dedupe"] = docs.count()
 

@@ -145,6 +145,32 @@ def test_prep_training_data_c4_and_pii(spark, tmp_path):
     assert "corp.example.com" not in got[0]["text"]
 
 
+def test_prep_training_data_neardup_keep_longest(spark, tmp_path):
+    src = str(tmp_path / "docs.parquet")
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, base + ".", "en"),                      # shorter near-dup
+        (2, base + " with an extra long tail.", "en"),  # longest -> survives
+        (3, "completely different content lives here.", "en"),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string"
+    ).write.mode("overwrite").parquet(src)
+
+    out = str(tmp_path / "curated")
+    counters = prep_main([
+        "--input", src,
+        "--output", out,
+        "--id-col", "doc_id",
+        "--min-tokens", "1",
+        "--min-jaccard", "0.5",
+        "--neardup-keep", "longest",
+    ])
+    assert counters["after_neardup_dedupe"] == 2
+    kept = {r["doc_id"] for r in spark.read.parquet(f"{out}/documents.parquet").collect()}
+    assert kept == {2, 3}
+
+
 def test_prep_training_data_dup_span_removal(spark, tmp_path):
     src = str(tmp_path / "docs.parquet")
     boiler = "all rights reserved contact us today for more info now"
