@@ -785,6 +785,34 @@ def q_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment |A∩B|/|A| + Szymkiewicz-Simpson overlap
+    over blocked pairs — the quoted-page signal Jaccard misses."""
+    from mismo_spark.linker.key import KeyLinker
+    from mismo_spark.sets.compare import containment, overlap_coefficient
+    from mismo_spark.text.features import tokenize
+    from mismo_spark.types.linkage import Linkage
+
+    docs = _docs(spark, sf_dir).select(
+        "record_id",
+        "lang",
+        "source",
+        F.array_distinct(tokenize(F.lower(F.col("text")))).alias("tokens"),
+    )
+    lk = KeyLinker(["lang", "source"], task="dedupe")(docs)
+    pairs = Linkage(docs, docs, lk.links).links_with_both()
+    return pairs.select(
+        "record_id_l",
+        "record_id_r",
+        F.round(containment(F.col("tokens_l"), F.col("tokens_r")), 6).alias(
+            "containment_lr"
+        ),
+        F.round(
+            overlap_coefficient(F.col("tokens_l"), F.col("tokens_r")), 6
+        ).alias("overlap_coef"),
+    )
+
+
 def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """profile.histogram: distributed equi-width histogram (map +
     one groupBy with partial aggregation), fixed bounds."""
@@ -1613,6 +1641,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_cc": q_incremental_cc,
         "monge_elkan": q_monge_elkan,
         "golden_record": q_golden_record,
+        "containment": q_containment,
         "histogram": q_histogram,
         "gopher_rules": q_gopher_rules,
         "quantize_embeddings": q_quantize_embeddings,
@@ -2397,6 +2426,27 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN longest ON base.component = longest.component
             LEFT JOIN first_s ON base.component = first_s.component
             LEFT JOIN m ON base.component = m.component
+        """,
+        "containment": f"""
+            WITH d AS (
+              SELECT doc_id, lang, source, {_TOKENS} AS tokens FROM documents
+            ),
+            pairs AS (
+              SELECT a.doc_id AS record_id_l, b.doc_id AS record_id_r,
+                     a.tokens AS tl, b.tokens AS tr
+              FROM d a JOIN d b
+                ON a.lang = b.lang AND a.source = b.source
+               AND a.doc_id < b.doc_id
+            )
+            SELECT record_id_l, record_id_r,
+                   CASE WHEN len(tl) = 0 THEN 0.0
+                        ELSE round(len(list_intersect(tl, tr))::DOUBLE
+                                   / len(tl), 6) END AS containment_lr,
+                   CASE WHEN least(len(tl), len(tr)) = 0 THEN 0.0
+                        ELSE round(len(list_intersect(tl, tr))::DOUBLE
+                                   / least(len(tl), len(tr)), 6)
+                   END AS overlap_coef
+            FROM pairs
         """,
         "histogram": """
             SELECT bin, 0.0 + bin * 5000.0 AS lo,

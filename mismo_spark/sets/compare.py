@@ -33,3 +33,25 @@ def jaccard_distinct(a: Column, b: Column) -> Column:
     return F.when(inter == 0, F.lit(0.0)).otherwise(
         inter.cast("double") / union.cast("double")
     )
+
+
+def containment(a: Column, b: Column) -> Column:
+    """|a∩b| / |a| over DISTINCT elements — how much of ``a`` lies inside
+    ``b`` (asymmetric; the web-dedup signal Jaccard misses: a short page
+    quoted wholesale inside a long one scores ~1.0 here but low Jaccard).
+    0.0 when ``a`` is empty; NULL if either side is NULL."""
+    inter = F.size(F.array_intersect(a, b))
+    na = F.size(F.array_distinct(a))
+    return F.when(a.isNull() | b.isNull(), F.lit(None).cast("double")).otherwise(
+        F.when(na == 0, F.lit(0.0)).otherwise(inter.cast("double") / na)
+    )
+
+
+def overlap_coefficient(a: Column, b: Column) -> Column:
+    """|a∩b| / min(|a|, |b|) over DISTINCT elements (Szymkiewicz-Simpson).
+    0.0 when either side is empty; NULL if either side is NULL."""
+    inter = F.size(F.array_intersect(a, b))
+    mn = F.least(F.size(F.array_distinct(a)), F.size(F.array_distinct(b)))
+    return F.when(a.isNull() | b.isNull(), F.lit(None).cast("double")).otherwise(
+        F.when(mn == 0, F.lit(0.0)).otherwise(inter.cast("double") / mn)
+    )

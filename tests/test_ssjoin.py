@@ -128,3 +128,26 @@ def test_tfidf_cosine_df_cap_drops_stopwords(spark):
         if v >= 0.01
     }
     assert got == want
+
+
+def test_containment_and_overlap(spark):
+    from pyspark.sql import functions as F
+
+    from mismo_spark.sets.compare import containment, overlap_coefficient
+
+    df = spark.createDataFrame(
+        [
+            (["a", "b"], ["a", "b", "c", "d"]),   # a fully inside b
+            (["a", "b", "c", "d"], ["a", "b"]),   # reverse: half inside
+            (["x"], ["y"]),                        # disjoint
+            ([], ["y"]),                           # empty probe
+            (None, ["y"]),                         # null
+        ],
+        "a array<string>, b array<string>",
+    )
+    rows = df.select(
+        containment(F.col("a"), F.col("b")).alias("c"),
+        overlap_coefficient(F.col("a"), F.col("b")).alias("o"),
+    ).collect()
+    assert [r["c"] for r in rows] == [1.0, 0.5, 0.0, 0.0, None]
+    assert [r["o"] for r in rows] == [1.0, 1.0, 0.0, 0.0, None]
