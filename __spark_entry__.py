@@ -813,6 +813,19 @@ def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (SIGMOD'03) partial-overlap candidate pairs: per-doc
+    k-gram md5 sequence -> sliding-window minima (rightmost tie) ->
+    fingerprint equi-join with a boilerplate df cap.  Hash-matching
+    n_shared validates the whole select-then-join chain."""
+    from mismo_spark.textqa.winnow import winnow_candidate_pairs
+
+    docs = _docs(spark, sf_dir)
+    return winnow_candidate_pairs(docs, k=5, w=4, max_df=50).select(
+        "id_l", "id_r", "n_shared"
+    )
+
+
 def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """profile.histogram: distributed equi-width histogram (map +
     one groupBy with partial aggregation), fixed bounds."""
@@ -1642,6 +1655,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "monge_elkan": q_monge_elkan,
         "golden_record": q_golden_record,
         "containment": q_containment,
+        "winnow_pairs": q_winnow_pairs,
         "histogram": q_histogram,
         "gopher_rules": q_gopher_rules,
         "quantize_embeddings": q_quantize_embeddings,
@@ -2447,6 +2461,40 @@ def oracle_sql() -> dict[str, str]:
                                    / least(len(tl), len(tr)), 6)
                    END AS overlap_coef
             FROM pairs
+        """,
+        "winnow_pairs": r"""
+            WITH d AS (
+              SELECT doc_id,
+                     string_split_regex(lower(trim(text)), '\s+') AS toks
+              FROM documents
+            ),
+            g0 AS (
+              SELECT doc_id, unnest(range(0, len(toks) - 5 + 1)) AS pos,
+                     toks, len(toks) - 5 + 1 AS nh
+              FROM d WHERE len(toks) >= 5 + 4 - 1
+            ),
+            g AS (
+              SELECT doc_id, pos, nh,
+                     md5(array_to_string(toks[pos + 1 : pos + 5], ' ')) AS h
+              FROM g0
+            ),
+            wmin AS (
+              SELECT doc_id, pos, nh,
+                     min(h || lpad(CAST(1000000000 - pos AS VARCHAR), 10, '0'))
+                       OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS okey
+              FROM g
+            ),
+            sel AS (
+              SELECT DISTINCT doc_id, substr(okey, 1, 32) AS fp
+              FROM wmin WHERE pos <= nh - 4
+            ),
+            ok AS (SELECT fp FROM sel GROUP BY fp HAVING count(*) <= 50)
+            SELECT a.doc_id AS id_l, b.doc_id AS id_r,
+                   count(*)::BIGINT AS n_shared
+            FROM sel a JOIN ok USING (fp) JOIN sel b USING (fp)
+            WHERE a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
         """,
         "histogram": """
             SELECT bin, 0.0 + bin * 5000.0 AS lo,
