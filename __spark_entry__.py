@@ -737,6 +737,34 @@ def q_incremental_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_components(assignments, new)
 
 
+def q_cc_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decremental cluster maintenance: delete every edge with
+    (id_l + id_r) % 3 == 0 from the union graph and re-cluster ONLY the
+    touched components from their surviving edges (splits included).
+    The oracle recomputes CC from scratch over the remaining edges —
+    checking the maintain==full-recompute identity itself."""
+    from mismo_spark.cluster.cc import connected_components
+    from mismo_spark.cluster.decremental import decremental_components
+    from mismo_spark.linker.key import KeyLinker
+
+    docs = _docs(spark, sf_dir)
+    links = (
+        KeyLinker(["lang", "source"], task="dedupe")(docs)
+        .links.unionByName(
+            KeyLinker(
+                ["source", F.floor(F.col("n_chars") / F.lit(200))],
+                task="dedupe",
+            )(docs).links
+        )
+        .distinct()
+    )
+    assignments = connected_components(links, docs.select("record_id"))
+    removed = links.where(
+        (F.col("record_id_l") + F.col("record_id_r")) % 3 == 0
+    )
+    return decremental_components(assignments, links, removed)
+
+
 def q_monge_elkan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Monge-Elkan hybrid token similarity over blocked pairs (first 12
     tokens a side) — nested HOFs around the JVM levenshtein kernel."""
@@ -1652,6 +1680,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_span_stats": q_dup_span_stats,
         "blocking_metrics": q_blocking_metrics,
         "incremental_cc": q_incremental_cc,
+        "cc_maintain": q_cc_maintain,
         "monge_elkan": q_monge_elkan,
         "golden_record": q_golden_record,
         "containment": q_containment,
@@ -2361,6 +2390,32 @@ def oracle_sql() -> dict[str, str]:
                 ON a.source = b.source AND a.bkt = b.bkt
                AND a.doc_id <> b.doc_id
             ),
+            reach(u, v) AS (
+              SELECT u, v FROM e
+              UNION
+              SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u
+            ),
+            mins AS (SELECT u, min(v) AS mn FROM reach GROUP BY u)
+            SELECT d.doc_id AS record_id,
+                   least(d.doc_id, coalesce(m.mn, d.doc_id)) AS component
+            FROM d LEFT JOIN mins m ON m.u = d.doc_id
+        """,
+        "cc_maintain": """
+            WITH RECURSIVE
+            d AS (
+              SELECT doc_id, lang, source, n_chars // 200 AS bkt
+              FROM documents
+            ),
+            e0 AS (
+              SELECT a.doc_id AS u, b.doc_id AS v FROM d a JOIN d b
+                ON a.lang = b.lang AND a.source = b.source
+               AND a.doc_id <> b.doc_id
+              UNION
+              SELECT a.doc_id, b.doc_id FROM d a JOIN d b
+                ON a.source = b.source AND a.bkt = b.bkt
+               AND a.doc_id <> b.doc_id
+            ),
+            e AS (SELECT u, v FROM e0 WHERE (u + v) % 3 <> 0),
             reach(u, v) AS (
               SELECT u, v FROM e
               UNION
