@@ -719,6 +719,29 @@ def q_blocking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return blocking_metrics(cand, true, n_left=docs.count())
 
 
+def q_blocking_schemes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scheme-selection scorecard: three candidate blocking keys scored
+    against exact-text-duplicate ground truth in one DataFrame — the
+    'pick the cheapest key that keeps completeness' loop."""
+    from mismo_spark.linker.eval import compare_blocking_schemes
+    from mismo_spark.linker.key import KeyLinker
+
+    docs = _docs(spark, sf_dir)
+    schemes = {
+        "lang_source": KeyLinker(["lang", "source"], task="dedupe")(
+            docs
+        ).links,
+        "source_len200": KeyLinker(
+            ["source", F.floor(F.col("n_chars") / F.lit(200))], task="dedupe"
+        )(docs).links,
+        "lang_len100": KeyLinker(
+            ["lang", F.floor(F.col("n_chars") / F.lit(100))], task="dedupe"
+        )(docs).links,
+    }
+    true = KeyLinker(["text"], task="dedupe")(docs).links
+    return compare_blocking_schemes(schemes, true, n_left=docs.count())
+
+
 def q_incremental_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental connected components: fold (source, n_chars bucket)
     links into an existing (lang, source) clustering.  The oracle runs
@@ -1679,6 +1702,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_token_spans": q_dup_token_spans,
         "dup_span_stats": q_dup_span_stats,
         "blocking_metrics": q_blocking_metrics,
+        "blocking_schemes": q_blocking_schemes,
         "incremental_cc": q_incremental_cc,
         "cc_maintain": q_cc_maintain,
         "monge_elkan": q_monge_elkan,
@@ -1724,6 +1748,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 
 _TOKENS = "list_distinct(string_split_regex(lower(trim(text)), '\\s+'))"
+
+
+def _scheme_metrics_sql(name: str, cond: str) -> str:
+    """One scorecard row (scheme, n_naive, ..., pairs_quality) for a
+    blocking join condition over the documents self-join — mirrors
+    mismo_spark.linker.eval.blocking_metrics."""
+    return f"""
+            SELECT '{name}' AS scheme, n_naive::BIGINT AS n_naive,
+                   n_candidates::BIGINT AS n_candidates,
+                   n_true::BIGINT AS n_true, n_found::BIGINT AS n_found,
+                   CASE WHEN n_naive > 0
+                        THEN round((n_naive - n_candidates)::DOUBLE
+                                   / n_naive, 6) ELSE 0.0 END
+                     AS reduction_ratio,
+                   CASE WHEN n_true > 0
+                        THEN round(n_found::DOUBLE / n_true, 6)
+                        ELSE 0.0 END AS pairs_completeness,
+                   CASE WHEN n_candidates > 0
+                        THEN round(n_found::DOUBLE / n_candidates, 6)
+                        ELSE 0.0 END AS pairs_quality
+            FROM (
+              WITH cand AS (
+                SELECT DISTINCT a.doc_id AS l, b.doc_id AS r
+                FROM documents a JOIN documents b
+                  ON {cond} AND a.doc_id < b.doc_id
+              ),
+              troo AS (
+                SELECT DISTINCT a.doc_id AS l, b.doc_id AS r
+                FROM documents a JOIN documents b
+                  ON a.text = b.text AND a.doc_id < b.doc_id
+              )
+              SELECT
+                (SELECT (count(*) * (count(*) - 1)) // 2 FROM documents)
+                  AS n_naive,
+                (SELECT count(*) FROM cand) AS n_candidates,
+                (SELECT count(*) FROM troo) AS n_true,
+                (SELECT count(*) FROM cand JOIN troo USING (l, r)) AS n_found
+            )
+    """
 
 
 def _lang_markers_sql(words: list[str]) -> str:
@@ -2375,6 +2438,21 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 0.0 END AS pairs_quality
             FROM counts
         """,
+        "blocking_schemes": (
+            _scheme_metrics_sql(
+                "lang_source", "a.lang = b.lang AND a.source = b.source"
+            )
+            + " UNION ALL "
+            + _scheme_metrics_sql(
+                "source_len200",
+                "a.source = b.source AND a.n_chars // 200 = b.n_chars // 200",
+            )
+            + " UNION ALL "
+            + _scheme_metrics_sql(
+                "lang_len100",
+                "a.lang = b.lang AND a.n_chars // 100 = b.n_chars // 100",
+            )
+        ),
         "incremental_cc": """
             WITH RECURSIVE
             d AS (

@@ -85,3 +85,37 @@ def blocking_metrics(
         ratio(F.col("n_found"), F.col("n_true")).alias("pairs_completeness"),
         ratio(F.col("n_found"), F.col("n_candidates")).alias("pairs_quality"),
     )
+
+
+def compare_blocking_schemes(
+    schemes: dict[str, DataFrame],
+    true_pairs: DataFrame,
+    *,
+    n_left: int,
+    n_right: int | None = None,
+    task: str = "dedupe",
+) -> DataFrame:
+    """Scheme-selection scorecard: one row per candidate blocking
+    scheme — (scheme, n_naive, n_candidates, n_true, n_found,
+    reduction_ratio, pairs_completeness, pairs_quality) — against one
+    labeled true-pair set.
+
+    ``schemes`` maps a name to that scheme's candidate links (the
+    ``.links`` of any Linker output).  Each scheme contributes one
+    one-row aggregate (the same plan as ``blocking_metrics``); the
+    rows are unioned lazily, so evaluating k schemes is k independent
+    count-aggregates — no cross-scheme shuffle, trivially parallel,
+    and the true-pair side is re-broadcast per scheme by AQE at these
+    cardinalities.  This is the "try several keys, pick the cheapest
+    one that keeps completeness" loop from Christen ch. 7 as a single
+    DataFrame.
+    """
+    if not schemes:
+        raise ValueError("schemes must be a non-empty dict")
+    out: DataFrame | None = None
+    for name, links in schemes.items():
+        row = blocking_metrics(
+            links, true_pairs, n_left=n_left, n_right=n_right, task=task
+        ).select(F.lit(name).alias("scheme"), "*")
+        out = row if out is None else out.unionByName(row)
+    return out

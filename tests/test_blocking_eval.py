@@ -57,3 +57,32 @@ def test_blocking_metrics_empty_sets(spark):
     assert r["pairs_completeness"] == 0.0 and r["n_true"] == 0
     r2 = blocking_metrics(empty, cand, n_left=3).first()
     assert r2["pairs_quality"] == 0.0 and r2["n_candidates"] == 0
+
+
+def test_compare_blocking_schemes(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from mismo_spark.linker.eval import compare_blocking_schemes
+
+    links_a = spark.createDataFrame(
+        [(1, 2), (3, 4)], "record_id_l long, record_id_r long"
+    )
+    links_b = spark.createDataFrame(
+        [(1, 2)], "record_id_l long, record_id_r long"
+    )
+    true = spark.createDataFrame(
+        [(1, 2), (5, 6)], "record_id_l long, record_id_r long"
+    )
+    out = compare_blocking_schemes(
+        {"a": links_a, "b": links_b}, true, n_left=10
+    )
+    rows = {r["scheme"]: r for r in out.collect()}
+    assert set(rows) == {"a", "b"}
+    assert rows["a"]["n_candidates"] == 2 and rows["a"]["n_found"] == 1
+    assert rows["a"]["pairs_completeness"] == 0.5
+    assert rows["b"]["n_candidates"] == 1
+    assert rows["b"]["pairs_quality"] == 1.0
+    assert rows["a"]["n_naive"] == 45
+    with pytest.raises(ValueError):
+        compare_blocking_schemes({}, true, n_left=10)
