@@ -788,6 +788,31 @@ def q_cc_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decremental_components(assignments, links, removed)
 
 
+def q_cluster_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster drift telemetry between two assignment snapshots:
+    old = (lang, source) graph, new = union graph minus every edge with
+    (id_l + id_r) % 3 == 0 — so the event matrix exercises merges
+    (added bkt edges) AND splits (removed lang-source edges)."""
+    from mismo_spark.cluster.cc import connected_components
+    from mismo_spark.cluster.crosswalk import cluster_events
+    from mismo_spark.linker.key import KeyLinker
+
+    docs = _docs(spark, sf_dir)
+    old_links = KeyLinker(["lang", "source"], task="dedupe")(docs).links
+    union_links = old_links.unionByName(
+        KeyLinker(
+            ["source", F.floor(F.col("n_chars") / F.lit(200))], task="dedupe"
+        )(docs).links
+    ).distinct()
+    new_links = union_links.where(
+        (F.col("record_id_l") + F.col("record_id_r")) % 3 != 0
+    )
+    recs = docs.select("record_id")
+    old = connected_components(old_links, recs)
+    new = connected_components(new_links, recs)
+    return cluster_events(old, new)
+
+
 def q_monge_elkan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Monge-Elkan hybrid token similarity over blocked pairs (first 12
     tokens a side) — nested HOFs around the JVM levenshtein kernel."""
@@ -1705,6 +1730,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blocking_schemes": q_blocking_schemes,
         "incremental_cc": q_incremental_cc,
         "cc_maintain": q_cc_maintain,
+        "cluster_events": q_cluster_events,
         "monge_elkan": q_monge_elkan,
         "golden_record": q_golden_record,
         "containment": q_containment,
@@ -2503,6 +2529,89 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id AS record_id,
                    least(d.doc_id, coalesce(m.mn, d.doc_id)) AS component
             FROM d LEFT JOIN mins m ON m.u = d.doc_id
+        """,
+        "cluster_events": """
+            WITH RECURSIVE
+            d AS (
+              SELECT doc_id, lang, source, n_chars // 200 AS bkt
+              FROM documents
+            ),
+            e_old AS (
+              SELECT a.doc_id AS u, b.doc_id AS v FROM d a JOIN d b
+                ON a.lang = b.lang AND a.source = b.source
+               AND a.doc_id <> b.doc_id
+            ),
+            reach_old(u, v) AS (
+              SELECT u, v FROM e_old
+              UNION
+              SELECT r.u, e.v FROM reach_old r JOIN e_old e ON r.v = e.u
+            ),
+            old_assign AS (
+              SELECT d.doc_id AS record_id,
+                     least(d.doc_id, coalesce(m.mn, d.doc_id)) AS old_component
+              FROM d LEFT JOIN (
+                SELECT u, min(v) AS mn FROM reach_old GROUP BY u
+              ) m ON m.u = d.doc_id
+            ),
+            e_new0 AS (
+              SELECT u, v FROM e_old
+              UNION
+              SELECT a.doc_id, b.doc_id FROM d a JOIN d b
+                ON a.source = b.source AND a.bkt = b.bkt
+               AND a.doc_id <> b.doc_id
+            ),
+            e_new AS (SELECT u, v FROM e_new0 WHERE (u + v) % 3 <> 0),
+            reach_new(u, v) AS (
+              SELECT u, v FROM e_new
+              UNION
+              SELECT r.u, e.v FROM reach_new r JOIN e_new e ON r.v = e.u
+            ),
+            new_assign AS (
+              SELECT d.doc_id AS record_id,
+                     least(d.doc_id, coalesce(m.mn, d.doc_id)) AS new_component
+              FROM d LEFT JOIN (
+                SELECT u, min(v) AS mn FROM reach_new GROUP BY u
+              ) m ON m.u = d.doc_id
+            ),
+            xw AS (
+              SELECT o.old_component, n.new_component,
+                     count(*) AS n_records
+              FROM old_assign o JOIN new_assign n USING (record_id)
+              GROUP BY 1, 2
+            ),
+            fanout AS (
+              SELECT old_component,
+                     count(DISTINCT coalesce(new_component, -1)) AS n_dests
+              FROM xw WHERE old_component IS NOT NULL GROUP BY 1
+            ),
+            contrib AS (
+              SELECT xw.old_component, xw.new_component, xw.n_records,
+                     f.n_dests
+              FROM xw LEFT JOIN fanout f USING (old_component)
+              WHERE xw.new_component IS NOT NULL
+            ),
+            agg AS (
+              SELECT new_component,
+                     sum(n_records)::BIGINT AS n_records,
+                     count(DISTINCT old_component)::BIGINT
+                       AS n_old_components,
+                     sum(CASE WHEN old_component IS NULL THEN n_records
+                              ELSE 0 END)::BIGINT AS n_new_records,
+                     max(CASE WHEN n_dests > 1 THEN 1 ELSE 0 END) = 1
+                       AS is_split
+              FROM contrib GROUP BY new_component
+            )
+            SELECT new_component, n_records, n_old_components,
+                   n_new_records,
+                   n_old_components >= 2 AS is_merge, is_split,
+                   CASE WHEN n_old_components = 0 THEN 'new'
+                        WHEN n_old_components >= 2 AND is_split
+                          THEN 'merge+split'
+                        WHEN n_old_components >= 2 THEN 'merge'
+                        WHEN is_split THEN 'split'
+                        WHEN n_new_records > 0 THEN 'grew'
+                        ELSE 'stable' END AS event
+            FROM agg
         """,
         "monge_elkan": r"""
             WITH d AS (
