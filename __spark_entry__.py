@@ -836,6 +836,29 @@ def q_monge_elkan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_soft_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SoftTFIDF (Cohen et al. 2003) over blocked pairs, first 8 tokens
+    a side: rare-token-weighted Jaro-Winkler soft matches — pure
+    DataFrame composition over the Arrow JW kernel."""
+    from mismo_spark.linker.key import KeyLinker
+    from mismo_spark.text.features import tokenize
+    from mismo_spark.text.soft_tfidf import soft_tfidf_pairs
+
+    docs = _docs(spark, sf_dir).select(
+        "record_id",
+        "lang",
+        "source",
+        F.slice(tokenize(F.lower(F.col("text"))), 1, 8).alias("tokens"),
+    )
+    pairs = KeyLinker(["lang", "source"], task="dedupe")(docs).links
+    out = soft_tfidf_pairs(pairs, docs, threshold=0.85)
+    return out.select(
+        "record_id_l",
+        "record_id_r",
+        F.round("soft_tfidf", 6).alias("soft_tfidf"),
+    )
+
+
 def q_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Survivorship: one canonical row per (lang, source) cluster under
     deterministic merge rules (longest text, representative's source,
@@ -1732,6 +1755,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_maintain": q_cc_maintain,
         "cluster_events": q_cluster_events,
         "monge_elkan": q_monge_elkan,
+        "soft_tfidf": q_soft_tfidf,
         "golden_record": q_golden_record,
         "containment": q_containment,
         "winnow_pairs": q_winnow_pairs,
@@ -2639,6 +2663,63 @@ def oracle_sql() -> dict[str, str]:
                          END))))
                      / len(tl), 6) AS me_sim
             FROM pairs
+        """,
+        "soft_tfidf": r"""
+            WITH d AS (
+              SELECT doc_id, lang, source,
+                     list_slice(
+                       string_split_regex(lower(trim(text)), '\s+'), 1, 8
+                     ) AS toks
+              FROM documents
+            ),
+            tok AS (SELECT doc_id, unnest(toks) AS token FROM d),
+            tf AS (
+              SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2
+            ),
+            dfx AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+            n AS (SELECT count(*) AS n FROM d),
+            raw AS (
+              SELECT tf.doc_id, tf.token,
+                     (1.0 + ln(tf.tf)) * ln(n.n::DOUBLE / dfx.df) AS raw
+              FROM tf JOIN dfx USING (token) CROSS JOIN n
+            ),
+            nrm AS (
+              SELECT doc_id, sqrt(sum(raw * raw)) AS nrm
+              FROM raw GROUP BY 1
+            ),
+            w AS (
+              SELECT raw.doc_id, raw.token,
+                     CASE WHEN nrm.nrm > 0 THEN raw.raw / nrm.nrm
+                          ELSE 0.0 END AS v
+              FROM raw JOIN nrm USING (doc_id)
+            ),
+            pairs AS (
+              SELECT a.doc_id AS l, b.doc_id AS r FROM d a JOIN d b
+                ON a.lang = b.lang AND a.source = b.source
+               AND a.doc_id < b.doc_id
+            ),
+            tp AS (
+              SELECT p.l, p.r, wl.token AS wtok, wl.v AS vl,
+                     wr.token AS utok, wr.v AS vr,
+                     jaro_winkler_similarity(wl.token, wr.token) AS jw
+              FROM pairs p
+              JOIN w wl ON wl.doc_id = p.l
+              JOIN w wr ON wr.doc_id = p.r
+            ),
+            ranked AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY l, r, wtok ORDER BY jw DESC, utok ASC
+              ) AS rn
+              FROM tp
+            ),
+            best AS (
+              SELECT l, r, vl * vr * jw AS c
+              FROM ranked WHERE rn = 1 AND jw >= 0.85
+            ),
+            sums AS (SELECT l, r, sum(c) AS s FROM best GROUP BY 1, 2)
+            SELECT p.l AS record_id_l, p.r AS record_id_r,
+                   round(coalesce(s.s, 0.0), 6) AS soft_tfidf
+            FROM pairs p LEFT JOIN sums s ON p.l = s.l AND p.r = s.r
         """,
         "golden_record": """
             WITH a AS (
