@@ -912,6 +912,42 @@ def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _docs_with_footer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents with a synthesized per-source boilerplate footer line
+    (the raw corpus is single-line), so corpus line dedup has real
+    repeated lines to remove."""
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit("\nshared footer line for "),
+            F.col("source"),
+        ).alias("text"),
+    )
+
+
+def q_dup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus boilerplate inventory: every line (>= 3 words) occurring
+    >= 2 times corpus-wide, keyed by md5 of its trimmed text."""
+    from mismo_spark.textqa.line_dedupe import duplicated_lines
+
+    return duplicated_lines(
+        _docs_with_footer(spark, sf_dir), min_words=3, min_count=2
+    )
+
+
+def q_line_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb/C4-style corpus line dedup: all occurrences of a
+    repeated eligible line except the first (smallest (doc, line_no))
+    are removed; the keep rule is one min(struct) aggregation per line
+    digest (skew-proof)."""
+    from mismo_spark.textqa.line_dedupe import corpus_line_dedupe
+
+    return corpus_line_dedupe(
+        _docs_with_footer(spark, sf_dir), min_words=3, min_count=2
+    )
+
+
 def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing (SIGMOD'03) partial-overlap candidate pairs: per-doc
     k-gram md5 sequence -> sliding-window minima (rightmost tie) ->
@@ -1759,6 +1795,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "golden_record": q_golden_record,
         "containment": q_containment,
         "winnow_pairs": q_winnow_pairs,
+        "dup_lines": q_dup_lines,
+        "line_dedupe": q_line_dedupe,
         "histogram": q_histogram,
         "gopher_rules": q_gopher_rules,
         "quantize_embeddings": q_quantize_embeddings,
@@ -2784,6 +2822,77 @@ def oracle_sql() -> dict[str, str]:
                                    / least(len(tl), len(tr)), 6)
                    END AS overlap_coef
             FROM pairs
+        """,
+        "dup_lines": r"""
+            WITH d AS (
+              SELECT doc_id,
+                     text || chr(10) || 'shared footer line for ' || source
+                       AS text
+              FROM documents
+            ),
+            l0 AS (
+              SELECT doc_id, string_split(text, chr(10)) AS ls FROM d
+            ),
+            l1 AS (
+              SELECT doc_id, unnest(range(0, len(ls))) AS line_no, ls
+              FROM l0
+            ),
+            lr AS (
+              SELECT doc_id, line_no, ls[line_no + 1] AS line FROM l1
+            ),
+            eligible AS (
+              SELECT doc_id, md5(trim(line)) AS line_key, trim(line) AS tl
+              FROM lr
+              WHERE len(string_split_regex(trim(line), '\s+')) >= 3
+            )
+            SELECT line_key, count(*)::BIGINT AS n_occurrences,
+                   count(DISTINCT doc_id)::BIGINT AS n_docs,
+                   min(tl) AS example
+            FROM eligible GROUP BY line_key
+            HAVING count(*) >= 2
+        """,
+        "line_dedupe": r"""
+            WITH d AS (
+              SELECT doc_id,
+                     text || chr(10) || 'shared footer line for ' || source
+                       AS text
+              FROM documents
+            ),
+            l0 AS (
+              SELECT doc_id, string_split(text, chr(10)) AS ls FROM d
+            ),
+            l1 AS (
+              SELECT doc_id, unnest(range(0, len(ls))) AS line_no, ls
+              FROM l0
+            ),
+            keyed AS (
+              SELECT doc_id, line_no, ls[line_no + 1] AS line,
+                     CASE WHEN len(string_split_regex(
+                                    trim(ls[line_no + 1]), '\s+')) >= 3
+                          THEN md5(trim(ls[line_no + 1])) END AS key
+              FROM l1
+            ),
+            stats AS (
+              SELECT key, count(*) AS n,
+                     min(doc_id * 1000000000 + line_no) AS first_k
+              FROM keyed WHERE key IS NOT NULL GROUP BY key
+              HAVING count(*) >= 2
+            ),
+            marked AS (
+              SELECT k.doc_id, k.line_no, k.line,
+                     (s.key IS NULL
+                      OR k.doc_id * 1000000000 + k.line_no = s.first_k)
+                       AS keep
+              FROM keyed k LEFT JOIN stats s ON k.key = s.key
+            )
+            SELECT doc_id,
+                   coalesce(
+                     string_agg(CASE WHEN keep THEN line END, chr(10)
+                                ORDER BY line_no),
+                     '') AS text,
+                   sum(CASE WHEN keep THEN 0 ELSE 1 END)::BIGINT
+                     AS n_lines_removed
+            FROM marked GROUP BY doc_id
         """,
         "winnow_pairs": r"""
             WITH d AS (
