@@ -241,6 +241,59 @@ def q_fs_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fs_score_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter with Splink-style term-frequency adjustment: the
+    exact n_chars level's odds become m/f_v (value-specific Bayes
+    factor) via one record-level frequency join — no pair shuffle."""
+    from mismo_spark.compare.enum import EnumComparer, compare
+    from mismo_spark.fs.tf_adjust import score_compared_tf
+    from mismo_spark.fs.weights import ComparerWeights, LevelWeights, Weights
+    from mismo_spark.linker.key import KeyLinker
+    from mismo_spark.tf import add_frequencies
+    from mismo_spark.types.linkage import Linkage
+
+    docs = add_frequencies(_docs(spark, sf_dir), "n_chars")
+    lk = KeyLinker(["lang", "source"], task="dedupe")(docs)
+    pairs = Linkage(docs, docs, lk.links).links_with_both()
+    comparers = [
+        EnumComparer(
+            "len_cmp",
+            [
+                ("exact", lambda df: df["n_chars_l"] == df["n_chars_r"]),
+                (
+                    "close",
+                    lambda df: F.abs(df["n_chars_l"] - df["n_chars_r"]) <= 20,
+                ),
+            ],
+        ),
+    ]
+    weights = Weights(
+        [
+            ComparerWeights(
+                "len_cmp",
+                [
+                    LevelWeights("exact", m=0.6, u=0.01),
+                    LevelWeights("close", m=0.3, u=0.09),
+                    LevelWeights("else", m=0.1, u=0.9),
+                ],
+            )
+        ]
+    )
+    freq = F.greatest(
+        F.col("n_chars_frequency_l"), F.col("n_chars_frequency_r")
+    )
+    scored = score_compared_tf(
+        weights, compare(pairs, comparers), {"len_cmp": freq}
+    )
+    return scored.select(
+        "record_id_l",
+        "record_id_r",
+        F.col("len_cmp").cast("long").alias("len_cmp"),
+        F.round("odds", 6).alias("odds"),
+        F.round("match_probability", 6).alias("match_probability"),
+    )
+
+
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mismo_spark.textqa import token_count
 
@@ -1760,6 +1813,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "with_linked_values": q_with_linked_values,
         "connected_components": q_connected_components,
         "fs_score": q_fs_score,
+        "fs_score_tf": q_fs_score_tf,
         "token_counts": q_token_counts,
         "lang_id": q_lang_id,
         "quality": q_quality,
@@ -3040,6 +3094,46 @@ def oracle_sql() -> dict[str, str]:
             odds_t AS (
               SELECT *, CASE len_cmp
                           WHEN 0 THEN 0.6 / 0.01
+                          WHEN 1 THEN 0.3 / 0.09
+                          ELSE 0.1 / 0.9 END AS raw_odds
+              FROM labelled
+            )
+            SELECT record_id_l, record_id_r, len_cmp::BIGINT AS len_cmp,
+                   round(raw_odds, 6) AS odds,
+                   round(raw_odds / (1 + raw_odds), 6) AS match_probability
+            FROM odds_t
+        """,
+        "fs_score_tf": """
+            WITH stats AS (
+              SELECT n_chars AS v,
+                     count(*)::DOUBLE / (SELECT count(*) FROM documents)
+                       AS f
+              FROM documents GROUP BY n_chars
+            ),
+            d AS (
+              SELECT doc_id, lang, source, n_chars, f AS nf
+              FROM documents JOIN stats ON n_chars = v
+            ),
+            pairs AS (
+              SELECT a.doc_id AS record_id_l, b.doc_id AS record_id_r,
+                     a.n_chars AS ncl, b.n_chars AS ncr,
+                     greatest(a.nf, b.nf) AS freq
+              FROM d a JOIN d b
+                ON a.lang = b.lang AND a.source = b.source
+               AND a.doc_id < b.doc_id
+            ),
+            labelled AS (
+              SELECT record_id_l, record_id_r,
+                     CASE WHEN ncl = ncr THEN 0
+                          WHEN abs(ncl - ncr) <= 20 THEN 1
+                          ELSE 2 END AS len_cmp,
+                     freq
+              FROM pairs
+            ),
+            odds_t AS (
+              SELECT *, CASE len_cmp
+                          WHEN 0 THEN (0.6 / 0.01)
+                               * pow(0.01 / greatest(freq, 0.000001), 1.0)
                           WHEN 1 THEN 0.3 / 0.09
                           ELSE 0.1 / 0.9 END AS raw_odds
               FROM labelled
