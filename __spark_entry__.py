@@ -294,6 +294,57 @@ def q_fs_score_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_label_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic uncertainty-band labeling sample over FS-scored
+    pairs: equi-width probability bands, md5-ranked top-n per band —
+    the same corpus + seed always yields the same labeling queue."""
+    from mismo_spark.fs.labeling import sample_pairs_for_labeling
+
+    from mismo_spark.compare.enum import EnumComparer, compare
+    from mismo_spark.fs.weights import ComparerWeights, LevelWeights, Weights
+    from mismo_spark.linker.key import KeyLinker
+    from mismo_spark.types.linkage import Linkage
+
+    docs = _docs(spark, sf_dir)
+    lk = KeyLinker(["lang", "source"], task="dedupe")(docs)
+    pairs = Linkage(docs, docs, lk.links).links_with_both()
+    comparers = [
+        EnumComparer(
+            "len_cmp",
+            [
+                ("exact", lambda df: df["n_chars_l"] == df["n_chars_r"]),
+                (
+                    "close",
+                    lambda df: F.abs(df["n_chars_l"] - df["n_chars_r"]) <= 20,
+                ),
+            ],
+        ),
+    ]
+    weights = Weights(
+        [
+            ComparerWeights(
+                "len_cmp",
+                [
+                    LevelWeights("exact", m=0.6, u=0.01),
+                    LevelWeights("close", m=0.3, u=0.09),
+                    LevelWeights("else", m=0.1, u=0.9),
+                ],
+            )
+        ]
+    )
+    scored = weights.score_compared(compare(pairs, comparers))
+    out = sample_pairs_for_labeling(
+        scored, n_per_band=10, n_bands=5, seed=42
+    )
+    return out.select(
+        "record_id_l",
+        "record_id_r",
+        F.col("band").cast("long").alias("band"),
+        F.col("rank").cast("long").alias("rank"),
+        F.round("match_probability", 6).alias("match_probability"),
+    )
+
+
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mismo_spark.textqa import token_count
 
@@ -1814,6 +1865,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "connected_components": q_connected_components,
         "fs_score": q_fs_score,
         "fs_score_tf": q_fs_score_tf,
+        "label_sample": q_label_sample,
         "token_counts": q_token_counts,
         "lang_id": q_lang_id,
         "quality": q_quality,
@@ -3142,6 +3194,42 @@ def oracle_sql() -> dict[str, str]:
                    round(raw_odds, 6) AS odds,
                    round(raw_odds / (1 + raw_odds), 6) AS match_probability
             FROM odds_t
+        """,
+        "label_sample": f"""
+            WITH pairs AS ({pair_block}),
+            labelled AS (
+              SELECT record_id_l, record_id_r,
+                     CASE WHEN n_chars_l = n_chars_r THEN 0
+                          WHEN abs(n_chars_l - n_chars_r) <= 20 THEN 1
+                          ELSE 2 END AS len_cmp
+              FROM pairs
+            ),
+            odds_t AS (
+              SELECT *, CASE len_cmp
+                          WHEN 0 THEN 0.6 / 0.01
+                          WHEN 1 THEN 0.3 / 0.09
+                          ELSE 0.1 / 0.9 END AS raw_odds
+              FROM labelled
+            ),
+            banded AS (
+              SELECT record_id_l, record_id_r,
+                     raw_odds / (1 + raw_odds) AS p,
+                     least(CAST(floor((raw_odds / (1 + raw_odds)) * 5)
+                                AS INT), 4) AS band,
+                     md5(record_id_l::VARCHAR || '|'
+                         || record_id_r::VARCHAR || '|42') AS rk
+              FROM odds_t
+            ),
+            ranked AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY band ORDER BY rk
+              ) AS rank
+              FROM banded
+            )
+            SELECT record_id_l, record_id_r, band::BIGINT AS band,
+                   rank::BIGINT AS rank,
+                   round(p, 6) AS match_probability
+            FROM ranked WHERE rank <= 10
         """,
         "token_counts": f"""
             SELECT doc_id AS record_id,
