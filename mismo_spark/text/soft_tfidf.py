@@ -95,6 +95,7 @@ def soft_tfidf_pairs(
     token_col: str = "tokens",
     id_l: str = "record_id_l",
     id_r: str = "record_id_r",
+    broadcast_weights: bool | None = None,
 ) -> DataFrame:
     """→ DataFrame(id_l, id_r, soft_tfidf): the SoftTFIDF score of
     each candidate pair, soft-matching LEFT tokens against RIGHT
@@ -103,10 +104,22 @@ def soft_tfidf_pairs(
     Pairs where either side has no tokens (or nothing matches) score
     0.0.  Deterministic: the argmax right-token breaks JW ties by the
     lexicographically smallest token string.
+
+    ``broadcast_weights`` (default: byte-gated auto via
+    ``should_broadcast``) hash-broadcasts the narrow (id, token, v)
+    weights table into both pair joins so the PAIR table is never
+    shuffled — the same policy as the pipeline's pair-feature joins;
+    pass False to force shuffle joins when the vocabulary is huge.
     """
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    from mismo_spark._util import should_broadcast
+
     w = tfidf_weights(records, id_col=id_col, token_col=token_col)
+    if broadcast_weights is None:
+        broadcast_weights = should_broadcast(w)
+    if broadcast_weights:
+        w = F.broadcast(w)
     wl = w.select(
         F.col(id_col).alias(id_l),
         F.col("token").alias("__wtok"),
