@@ -83,3 +83,43 @@ def test_param_validation(spark):
         winnow_fingerprints(df, k=0)
     with pytest.raises(ValueError):
         winnow_fingerprints(df, w=0)
+
+
+# -- property coverage of the algorithm semantics (pure Python mirror,
+#    no JVM per example; Spark parity is pinned by
+#    test_matches_python_reference above) ------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_tok = st.text(
+    alphabet=st.characters(min_codepoint=ord("a"), max_codepoint=ord("z")),
+    min_size=1,
+    max_size=5,
+)
+_doc = st.lists(_tok, min_size=0, max_size=30)
+
+
+@settings(max_examples=150, deadline=None)
+@given(_doc, _doc, st.lists(_tok, min_size=8, max_size=8))
+def test_property_shared_run_guarantee(prefix_a, prefix_b, run):
+    """Planting the same (w + k - 1)-token run in two documents always
+    yields >= 1 shared fingerprint (k=4, w=5)."""
+    k, w = 4, 5
+    a = " ".join(prefix_a + run)
+    b = " ".join(prefix_b + run)
+    fa = {fp for _, fp in _py_winnow(a, k, w)}
+    fb = {fp for _, fp in _py_winnow(b, k, w)}
+    assert fa & fb
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(_tok, min_size=8, max_size=40))
+def test_property_every_window_covered(toks):
+    """Winnowing's coverage invariant: each w-window of the k-gram
+    sequence contains at least one selected position (k=3, w=4)."""
+    k, w = 3, 4
+    sel = {pos for pos, _ in _py_winnow(" ".join(toks), k, w)}
+    n_hashes = len(toks) - k + 1
+    for start in range(n_hashes - w + 1):
+        assert any(start <= p < start + w for p in sel)
