@@ -3560,7 +3560,7 @@ def oracle_sql() -> dict[str, str]:
             FROM marked
             GROUP BY user_id, sid
         """,
-        "strings_norm": """
+        "strings_norm": r"""
             SELECT c_custkey,
               trim(regexp_replace(strip_accents(
                 '  ' || translate(c_name, 'aeiou', 'áéíôü') || ' ' || chr(9)
