@@ -917,6 +917,101 @@ def q_cluster_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cluster_events(old, new)
 
 
+def _fs_weights_len():
+    from mismo_spark.fs.weights import ComparerWeights, LevelWeights, Weights
+
+    return Weights(
+        [
+            ComparerWeights(
+                "len_cmp",
+                [
+                    LevelWeights("exact", m=0.6, u=0.01),
+                    LevelWeights("close", m=0.3, u=0.09),
+                    LevelWeights("else", m=0.1, u=0.9),
+                ],
+            )
+        ]
+    )
+
+
+def _len_comparers():
+    from mismo_spark.compare.enum import EnumComparer
+
+    return [
+        EnumComparer(
+            "len_cmp",
+            [
+                ("exact", lambda df: df["n_chars_l"] == df["n_chars_r"]),
+                (
+                    "close",
+                    lambda df: F.abs(df["n_chars_l"] - df["n_chars_r"]) <= 20,
+                ),
+            ],
+        ),
+    ]
+
+
+def q_cluster_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster QA: per-component intra-link odds distribution, weak-link
+    count, and link density vs the complete graph — the 'one dubious
+    bridge' detector run before survivorship."""
+    from mismo_spark.cluster.cc import connected_components
+    from mismo_spark.cluster.review import cluster_cohesion
+    from mismo_spark.compare.enum import compare
+    from mismo_spark.linker.key import KeyLinker
+    from mismo_spark.types.linkage import Linkage
+
+    docs = _docs(spark, sf_dir)
+    lk = KeyLinker(["lang", "source"], task="dedupe")(docs)
+    assignments = connected_components(lk.links, docs.select("record_id"))
+    pairs = Linkage(docs, docs, lk.links).links_with_both()
+    scored = _fs_weights_len().score_compared(
+        compare(pairs, _len_comparers())
+    )
+    out = cluster_cohesion(assignments, scored, weak_odds=1.0)
+    return out.select(
+        "component",
+        "n_records",
+        "n_links",
+        "n_weak_links",
+        F.round("min_odds", 6).alias("min_odds"),
+        F.round("avg_odds", 6).alias("avg_odds"),
+        F.round("density", 6).alias("density"),
+    )
+
+
+def q_missed_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall review queue: (source, len-bucket) pairs scored >= 50
+    whose endpoints landed in different (lang, source) components —
+    merges the clustering graph never saw."""
+    from mismo_spark.cluster.cc import connected_components
+    from mismo_spark.cluster.review import missed_merges
+    from mismo_spark.compare.enum import compare
+    from mismo_spark.linker.key import KeyLinker
+    from mismo_spark.types.linkage import Linkage
+
+    docs = _docs(spark, sf_dir)
+    assignments = connected_components(
+        KeyLinker(["lang", "source"], task="dedupe")(docs).links,
+        docs.select("record_id"),
+    )
+    other = KeyLinker(
+        ["source", F.floor(F.col("n_chars") / F.lit(200))], task="dedupe"
+    )(docs)
+    pairs = Linkage(docs, docs, other.links).links_with_both()
+    scored = _fs_weights_len().score_compared(
+        compare(pairs, _len_comparers())
+    )
+    out = missed_merges(assignments, scored, min_odds=50.0)
+    return out.select(
+        "record_id_l",
+        "record_id_r",
+        F.round("odds", 6).alias("odds"),
+        "component_l",
+        "component_r",
+    )
+
+
 def q_monge_elkan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Monge-Elkan hybrid token similarity over blocked pairs (first 12
     tokens a side) — nested HOFs around the JVM levenshtein kernel."""
@@ -1896,6 +1991,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_cc": q_incremental_cc,
         "cc_maintain": q_cc_maintain,
         "cluster_events": q_cluster_events,
+        "cluster_cohesion": q_cluster_cohesion,
+        "missed_merges": q_missed_merges,
         "monge_elkan": q_monge_elkan,
         "soft_tfidf": q_soft_tfidf,
         "golden_record": q_golden_record,
@@ -2780,6 +2877,112 @@ def oracle_sql() -> dict[str, str]:
                         WHEN n_new_records > 0 THEN 'grew'
                         ELSE 'stable' END AS event
             FROM agg
+        """,
+        "cluster_cohesion": """
+            WITH RECURSIVE
+            d AS (SELECT doc_id, lang, source, n_chars FROM documents),
+            e AS (
+              SELECT a.doc_id AS u, b.doc_id AS v FROM d a JOIN d b
+                ON a.lang = b.lang AND a.source = b.source
+               AND a.doc_id <> b.doc_id
+            ),
+            reach(u, v) AS (
+              SELECT u, v FROM e
+              UNION
+              SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u
+            ),
+            assign AS (
+              SELECT d.doc_id AS record_id,
+                     least(d.doc_id, coalesce(m.mn, d.doc_id)) AS component
+              FROM d LEFT JOIN (
+                SELECT u, min(v) AS mn FROM reach GROUP BY u
+              ) m ON m.u = d.doc_id
+            ),
+            pairs AS (
+              SELECT a.doc_id AS record_id_l, b.doc_id AS record_id_r,
+                     a.n_chars AS ncl, b.n_chars AS ncr
+              FROM d a JOIN d b
+                ON a.lang = b.lang AND a.source = b.source
+               AND a.doc_id < b.doc_id
+            ),
+            scored AS (
+              SELECT record_id_l, record_id_r,
+                     CASE WHEN ncl = ncr THEN 0.6 / 0.01
+                          WHEN abs(ncl - ncr) <= 20 THEN 0.3 / 0.09
+                          ELSE 0.1 / 0.9 END AS odds
+              FROM pairs
+            ),
+            j AS (
+              SELECT s.odds, a1.component AS cl, a2.component AS cr
+              FROM scored s
+              JOIN assign a1 ON s.record_id_l = a1.record_id
+              JOIN assign a2 ON s.record_id_r = a2.record_id
+            ),
+            sizes AS (
+              SELECT component, count(*) AS n_records
+              FROM assign GROUP BY 1 HAVING count(*) >= 2
+            ),
+            intra AS (
+              SELECT cl AS component, count(*) AS n_links,
+                     sum(CASE WHEN odds < 1.0 THEN 1 ELSE 0 END)
+                       AS n_weak_links,
+                     min(odds) AS mn, avg(odds) AS av
+              FROM j WHERE cl = cr GROUP BY 1
+            )
+            SELECT s.component, s.n_records::BIGINT AS n_records,
+                   coalesce(i.n_links, 0)::BIGINT AS n_links,
+                   coalesce(i.n_weak_links, 0)::BIGINT AS n_weak_links,
+                   round(i.mn, 6) AS min_odds, round(i.av, 6) AS avg_odds,
+                   round(coalesce(i.n_links, 0)
+                         / (s.n_records * (s.n_records - 1) / 2.0), 6)
+                     AS density
+            FROM sizes s LEFT JOIN intra i USING (component)
+        """,
+        "missed_merges": """
+            WITH RECURSIVE
+            d AS (
+              SELECT doc_id, lang, source, n_chars,
+                     n_chars // 200 AS bkt
+              FROM documents
+            ),
+            e AS (
+              SELECT a.doc_id AS u, b.doc_id AS v FROM d a JOIN d b
+                ON a.lang = b.lang AND a.source = b.source
+               AND a.doc_id <> b.doc_id
+            ),
+            reach(u, v) AS (
+              SELECT u, v FROM e
+              UNION
+              SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u
+            ),
+            assign AS (
+              SELECT d.doc_id AS record_id,
+                     least(d.doc_id, coalesce(m.mn, d.doc_id)) AS component
+              FROM d LEFT JOIN (
+                SELECT u, min(v) AS mn FROM reach GROUP BY u
+              ) m ON m.u = d.doc_id
+            ),
+            pairs AS (
+              SELECT a.doc_id AS record_id_l, b.doc_id AS record_id_r,
+                     a.n_chars AS ncl, b.n_chars AS ncr
+              FROM d a JOIN d b
+                ON a.source = b.source AND a.bkt = b.bkt
+               AND a.doc_id < b.doc_id
+            ),
+            scored AS (
+              SELECT record_id_l, record_id_r,
+                     CASE WHEN ncl = ncr THEN 0.6 / 0.01
+                          WHEN abs(ncl - ncr) <= 20 THEN 0.3 / 0.09
+                          ELSE 0.1 / 0.9 END AS odds
+              FROM pairs
+            )
+            SELECT s.record_id_l, s.record_id_r,
+                   round(s.odds, 6) AS odds,
+                   a1.component AS component_l, a2.component AS component_r
+            FROM scored s
+            JOIN assign a1 ON s.record_id_l = a1.record_id
+            JOIN assign a2 ON s.record_id_r = a2.record_id
+            WHERE s.odds >= 50.0 AND a1.component <> a2.component
         """,
         "monge_elkan": r"""
             WITH d AS (
