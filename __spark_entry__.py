@@ -496,6 +496,27 @@ def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster embedding centroids + member cosine-to-centroid
+    (ascending = review order) over a deterministic vec_id%40
+    clustering — the content-side false-merge detector."""
+    from mismo_spark.cluster.centroid import embedding_outliers
+
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    assignments = emb.select(
+        F.col("vec_id").alias("record_id"),
+        (F.col("vec_id") % 40).alias("component"),
+    )
+    out = embedding_outliers(assignments, emb, id_col="vec_id")
+    return out.select(
+        "record_id",
+        "component",
+        F.round("cosine_to_centroid", 6).alias("cosine_to_centroid"),
+    )
+
+
 def q_minhash_lsh_block(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Minhash-LSH blocking, md5 hash family: the full pipeline
     (shingle → minhash signature → band bucket join → exact-Jaccard
@@ -1973,6 +1994,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaro_winkler": q_jaro_winkler,
         "cosine_topk": q_cosine_topk,
         "embedding_norms": q_embedding_norms,
+        "embedding_outliers": q_embedding_outliers,
         "minhash_lsh_block": q_minhash_lsh_block,
         "simhash_pairs": q_simhash_pairs,
         "clean_phone": q_clean_phone,
@@ -3578,6 +3600,29 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, neighbour_id, round(cosine, 6) AS cosine
             FROM ranked WHERE rn <= 5
+        """,
+        "embedding_outliers": """
+            WITH a AS (
+              SELECT vec_id AS record_id, vec_id % 40 AS component,
+                     embedding::DOUBLE[] AS v
+              FROM embeddings
+            ),
+            dims AS (
+              SELECT component, unnest(range(0, len(v))) AS d, v FROM a
+            ),
+            dv AS (SELECT component, d, v[d + 1] AS x FROM dims),
+            per_dim AS (
+              SELECT component, d, avg(x) AS m, count(*) AS n
+              FROM dv GROUP BY 1, 2
+            ),
+            cents AS (
+              SELECT component, list(m ORDER BY d) AS centroid
+              FROM per_dim GROUP BY component HAVING max(n) >= 2
+            )
+            SELECT a.record_id, a.component,
+                   round(list_cosine_similarity(a.v, c.centroid), 6)
+                     AS cosine_to_centroid
+            FROM a JOIN cents c USING (component)
         """,
         "embedding_norms": """
             SELECT vec_id,
