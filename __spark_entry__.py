@@ -1168,6 +1168,30 @@ def q_line_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom membership prefilter for incremental dedup: filter built
+    over text-md5 fingerprints (one bit_or groupBy), probed by members
+    (never falsely False) and shifted outsiders (FP-rate hits only)."""
+    from mismo_spark.dedupe.bloom import bloom_build, bloom_might_contain
+
+    docs = _docs(spark, sf_dir)
+    kw = dict(n_bits=1 << 14, n_hashes=3, seed=42)
+    fps = docs.select(F.md5("text").alias("fp"))
+    bloom = bloom_build(fps, "fp", **kw)
+    members = docs.select("record_id", F.md5("text").alias("fp"))
+    outsiders = docs.select(
+        "record_id",
+        F.md5(F.concat(F.col("text"), F.lit("|outsider"))).alias("fp"),
+    )
+    m = bloom_might_contain(
+        members, bloom, "fp", out="member_hit", **kw
+    ).select("record_id", "member_hit")
+    o = bloom_might_contain(
+        outsiders, bloom, "fp", out="outsider_hit", **kw
+    ).select("record_id", "outsider_hit")
+    return m.join(o, "record_id")
+
+
 def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing (SIGMOD'03) partial-overlap candidate pairs: per-doc
     k-gram md5 sequence -> sliding-window minima (rightmost tie) ->
@@ -2020,6 +2044,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "golden_record": q_golden_record,
         "containment": q_containment,
         "winnow_pairs": q_winnow_pairs,
+        "bloom_prefilter": q_bloom_prefilter,
         "dup_lines": q_dup_lines,
         "line_dedupe": q_line_dedupe,
         "histogram": q_histogram,
@@ -3153,6 +3178,58 @@ def oracle_sql() -> dict[str, str]:
                                    / least(len(tl), len(tr)), 6)
                    END AS overlap_coef
             FROM pairs
+        """,
+        "bloom_prefilter": """
+            WITH keys AS (SELECT DISTINCT md5(text) AS k FROM documents),
+            kpos AS (SELECT k, unnest([0, 1, 2]) AS i FROM keys),
+            kpp AS (
+              SELECT (('0x' || substr(md5(k || ':42:' || i), 1, 8))::BIGINT
+                      % 16384) AS p
+              FROM kpos
+            ),
+            bloom AS (
+              SELECT (p >> 5) AS word_idx,
+                     bit_or(1::BIGINT << CAST(p % 32 AS INT)) AS bits
+              FROM kpp GROUP BY 1
+            ),
+            mk AS (SELECT doc_id, md5(text) AS k FROM documents),
+            ok AS (
+              SELECT doc_id, md5(text || '|outsider') AS k FROM documents
+            ),
+            mpp AS (
+              SELECT doc_id,
+                     (('0x' || substr(md5(k || ':42:' || i), 1, 8))::BIGINT
+                      % 16384) AS p
+              FROM (SELECT doc_id, k, unnest([0, 1, 2]) AS i FROM mk)
+            ),
+            opp AS (
+              SELECT doc_id,
+                     (('0x' || substr(md5(k || ':42:' || i), 1, 8))::BIGINT
+                      % 16384) AS p
+              FROM (SELECT doc_id, k, unnest([0, 1, 2]) AS i FROM ok)
+            ),
+            mhit AS (
+              SELECT mpp.doc_id,
+                     min(CASE WHEN b.bits IS NOT NULL
+                              AND (b.bits
+                                   & (1::BIGINT << CAST(mpp.p % 32 AS INT)))
+                                  = (1::BIGINT << CAST(mpp.p % 32 AS INT))
+                              THEN 1 ELSE 0 END) = 1 AS member_hit
+              FROM mpp LEFT JOIN bloom b ON b.word_idx = (mpp.p >> 5)
+              GROUP BY mpp.doc_id
+            ),
+            ohit AS (
+              SELECT opp.doc_id,
+                     min(CASE WHEN b.bits IS NOT NULL
+                              AND (b.bits
+                                   & (1::BIGINT << CAST(opp.p % 32 AS INT)))
+                                  = (1::BIGINT << CAST(opp.p % 32 AS INT))
+                              THEN 1 ELSE 0 END) = 1 AS outsider_hit
+              FROM opp LEFT JOIN bloom b ON b.word_idx = (opp.p >> 5)
+              GROUP BY opp.doc_id
+            )
+            SELECT m.doc_id AS record_id, m.member_hit, o.outsider_hit
+            FROM mhit m JOIN ohit o ON m.doc_id = o.doc_id
         """,
         "dup_lines": r"""
             WITH d AS (
