@@ -10,6 +10,9 @@ DataFrame transform with a recorded row counter:
       -> near-dup dedup, keep-first (dedupe.minhash_near_duplicates ->
                                      cluster.connected_components ->
                                      keep min doc per component)
+      -> corpus line dedup           (textqa.line_dedupe, opt-in via
+                                      --dedup-lines: every repeated line
+                                      keeps only its first occurrence)
       -> boilerplate filter          (textqa.duplicated_ngram_fraction,
                                       opt-in via --max-boilerplate-frac)
       -> benchmark decontamination   (textqa.ngram_contamination against
@@ -93,6 +96,12 @@ def main(argv: list[str] | None = None) -> dict:
                     "(lorem ipsum, curly braces)")
     ap.add_argument("--redact-pii", action="store_true",
                     help="mask emails/phones/IPv4s in the text column")
+    ap.add_argument("--dedup-lines", action="store_true",
+                    help="corpus-level line dedup (C4 s2.2/RefinedWeb): "
+                         "drop every occurrence but the first of any "
+                         "repeated eligible line")
+    ap.add_argument("--dedup-line-min-words", type=int, default=3)
+    ap.add_argument("--dedup-line-min-count", type=int, default=2)
     ap.add_argument("--max-dup-line-frac", type=float, default=None,
                     help="Gopher-style repetition filter: drop docs whose "
                     "duplicate-line fraction exceeds this (e.g. 0.30)")
@@ -221,6 +230,27 @@ def main(argv: list[str] | None = None) -> dict:
         from mismo_spark.textqa.clean import redact_pii
 
         docs = docs.withColumn(args.text_col, redact_pii(F.col(args.text_col)))
+
+    # -- corpus-level line dedup (C4 §2.2 / RefinedWeb) ---------------------
+    if args.dedup_lines:
+        from mismo_spark.textqa.line_dedupe import corpus_line_dedupe
+
+        deduped = corpus_line_dedupe(
+            docs,
+            min_words=args.dedup_line_min_words,
+            min_count=args.dedup_line_min_count,
+            id_col="record_id",
+            text_col=args.text_col,
+        )
+        # count removals BEFORE dropping emptied docs, or a fully-
+        # boilerplate doc's removals vanish from the funnel
+        counters["lines_removed_corpus_dedup"] = int(
+            deduped.agg(F.sum("n_lines_removed")).collect()[0][0] or 0
+        )
+        docs = deduped.drop("n_lines_removed").filter(
+            F.length(F.col(args.text_col)) > 0
+        )
+        counters["after_line_dedup"] = docs.count()
 
     # -- within-doc repetition filters (Gopher A1.1) -----------------------
     if args.max_dup_line_frac is not None:

@@ -286,3 +286,38 @@ def test_prep_training_data_gopher(spark, tmp_path):
     ])
     assert counters["after_gopher_rules"] == 1
     assert counters["written_docs"] == 1
+
+
+def test_prep_training_data_dedup_lines(spark, tmp_path):
+    src = str(tmp_path / "docs.parquet")
+    footer = "all rights reserved by example industries"
+    rows = [
+        (1, f"alpha unique body one\n{footer}", "en"),
+        (2, f"beta unique body two\n{footer}", "en"),
+        (3, f"gamma unique body three\n{footer}", "en"),
+        (4, footer, "en"),  # footer-only doc: emptied then dropped
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string"
+    ).write.mode("overwrite").parquet(src)
+
+    out = str(tmp_path / "curated")
+    counters = prep_main([
+        "--input", src,
+        "--output", out,
+        "--id-col", "doc_id",
+        "--min-tokens", "1",
+        "--skip-neardup",
+        "--dedup-lines",
+    ])
+    # first occurrence (doc 1) keeps the footer; docs 2-3 lose it;
+    # doc 4 becomes empty and is dropped from the corpus
+    assert counters["lines_removed_corpus_dedup"] == 3
+    assert counters["after_line_dedup"] == 3
+    got = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{out}/documents.parquet").collect()
+    }
+    assert set(got) == {1, 2, 3}
+    assert footer in got[1]
+    assert footer not in got[2] and footer not in got[3]
