@@ -1205,6 +1205,32 @@ def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix quota: at most 5 docs per source, preferring the
+    longest, md5-hash tie-broken — deterministic domain balancing."""
+    from mismo_spark.mix import top_k_per_group
+
+    docs = _docs(spark, sf_dir).select("record_id", "source", "n_chars")
+    return top_k_per_group(
+        docs, ["source"], k=5, order_by=[F.col("n_chars").desc()]
+    )
+
+
+def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix budget: fill 500 tokens per language in
+    deterministic md5 order; the crossing doc is included and
+    tokens_before records the audit trail."""
+    from mismo_spark.mix import token_budget_sample
+    from mismo_spark.textqa import token_count
+
+    docs = _docs(spark, sf_dir).select(
+        "record_id",
+        "lang",
+        token_count(F.col("text")).cast("long").alias("n_tokens"),
+    )
+    return token_budget_sample(docs, 500, by=["lang"], id_col="record_id")
+
+
 def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """profile.histogram: distributed equi-width histogram (map +
     one groupBy with partial aggregation), fixed bounds."""
@@ -2047,6 +2073,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_prefilter": q_bloom_prefilter,
         "dup_lines": q_dup_lines,
         "line_dedupe": q_line_dedupe,
+        "domain_quota": q_domain_quota,
+        "token_budget": q_token_budget,
         "histogram": q_histogram,
         "gopher_rules": q_gopher_rules,
         "quantize_embeddings": q_quantize_embeddings,
@@ -3335,6 +3363,39 @@ def oracle_sql() -> dict[str, str]:
             FROM sel a JOIN ok USING (fp) JOIN sel b USING (fp)
             WHERE a.doc_id < b.doc_id
             GROUP BY a.doc_id, b.doc_id
+        """,
+        "domain_quota": """
+            WITH ranked AS (
+              SELECT doc_id AS record_id, source, n_chars,
+                     row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY n_chars DESC,
+                                md5(doc_id::VARCHAR || '|42') ASC
+                     ) AS rn
+              FROM documents
+            )
+            SELECT record_id, source, n_chars FROM ranked WHERE rn <= 5
+        """,
+        "token_budget": r"""
+            WITH d AS (
+              SELECT doc_id AS record_id, lang,
+                     (CASE WHEN text IS NULL THEN NULL
+                           WHEN trim(text) = '' THEN 0
+                           ELSE len(string_split_regex(trim(text), '\s+'))
+                      END)::BIGINT AS n_tokens,
+                     md5(doc_id::VARCHAR || '|42') AS rk
+              FROM documents
+            ),
+            c AS (
+              SELECT record_id, lang, n_tokens,
+                     coalesce(sum(n_tokens) OVER (
+                       PARTITION BY lang ORDER BY rk
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ), 0)::BIGINT AS tokens_before
+              FROM d
+            )
+            SELECT record_id, lang, n_tokens, tokens_before
+            FROM c WHERE tokens_before < 500
         """,
         "histogram": """
             SELECT bin, 0.0 + bin * 5000.0 AS lo,
