@@ -539,6 +539,24 @@ def q_minhash_lsh_block(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """minhash near-dup with verify='estimate' (md5 family): Jaccard
+    from the 16-component sketch agreement instead of a shingle-array
+    rejoin — the O(n_hashes)-per-pair screen for 10^12 docs."""
+    from mismo_spark.dedupe import minhash_near_duplicates
+
+    docs = _docs(spark, sf_dir)
+    out = minhash_near_duplicates(
+        docs, shingle_size=2, band_size=2, n_bands=8, min_jaccard=0.2,
+        hasher="md5", verify="estimate",
+    )
+    return out.select(
+        "record_id_l",
+        "record_id_r",
+        F.round("jaccard_est", 6).alias("jaccard_est"),
+    )
+
+
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup, md5_32 hash family (oracle replays the whole
     explode → per-bit majority → block-permutation join → hamming filter
@@ -2046,6 +2064,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_norms": q_embedding_norms,
         "embedding_outliers": q_embedding_outliers,
         "minhash_lsh_block": q_minhash_lsh_block,
+        "minhash_estimate": q_minhash_estimate,
         "simhash_pairs": q_simhash_pairs,
         "clean_phone": q_clean_phone,
         "clean_url": q_clean_url,
@@ -2265,6 +2284,70 @@ def _minhash_oracle_sql(
         SELECT l AS record_id_l, r AS record_id_r,
                round(jaccard_sim, 6) AS jaccard_sim
         FROM jac WHERE jaccard_sim >= {min_jaccard}
+    """
+
+
+def _minhash_estimate_oracle_sql(
+    *,
+    shingle_size: int = 2,
+    band_size: int = 2,
+    n_bands: int = 8,
+    seed: int = 42,
+    min_jaccard: float = 0.2,
+) -> str:
+    """DuckDB replay of minhash_near_duplicates(verify='estimate',
+    hasher='md5'): same shingle/signature/band chain, but the verify
+    step is the agreeing-component fraction of the sketches."""
+    k = shingle_size
+    n_hashes = band_size * n_bands
+    mins = ",\n                   ".join(
+        f"min(md5(s || ':{seed + i}')) AS m{i}" for i in range(n_hashes)
+    )
+    bands_union = "\n              UNION ALL\n              ".join(
+        f"SELECT doc_id, {b} AS band, "
+        + " || '|' || ".join(f"m{b * band_size + j}" for j in range(band_size))
+        + " AS key FROM mins"
+        for b in range(n_bands)
+    )
+    agree = " + ".join(
+        f"CASE WHEN ma.m{i} = mb.m{i} THEN 1 ELSE 0 END"
+        for i in range(n_hashes)
+    )
+    return f"""
+        WITH d AS (
+          SELECT doc_id,
+                 string_split_regex(lower(trim(text)), '\\s+') AS toks
+          FROM documents
+        ),
+        sets AS (
+          SELECT doc_id,
+                 list_distinct(
+                   CASE WHEN len(toks) < {k}
+                        THEN [array_to_string(toks, ' ')]
+                        ELSE list_transform(
+                               range(1, len(toks) - {k} + 2),
+                               i -> array_to_string(toks[i:i + {k - 1}], ' '))
+                   END) AS sh
+          FROM d
+        ),
+        ex AS (SELECT doc_id, unnest(sh) AS s FROM sets),
+        mins AS (SELECT doc_id,
+                   {mins}
+                 FROM ex GROUP BY doc_id),
+        bands AS (
+              {bands_union}
+        ),
+        cand AS (SELECT DISTINCT a.doc_id AS l, b.doc_id AS r
+                 FROM bands a JOIN bands b
+                   ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+        est AS (SELECT c.l, c.r,
+                       ({agree})::DOUBLE / {n_hashes} AS jaccard_est
+                FROM cand c
+                JOIN mins ma ON ma.doc_id = c.l
+                JOIN mins mb ON mb.doc_id = c.r)
+        SELECT l AS record_id_l, r AS record_id_r,
+               round(jaccard_est, 6) AS jaccard_est
+        FROM est WHERE jaccard_est >= {min_jaccard}
     """
 
 
@@ -4385,6 +4468,9 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY doc_id
         """,
         "minhash_lsh_block": _minhash_oracle_sql(
+            shingle_size=2, band_size=2, n_bands=8, seed=42, min_jaccard=0.2
+        ),
+        "minhash_estimate": _minhash_estimate_oracle_sql(
             shingle_size=2, band_size=2, n_bands=8, seed=42, min_jaccard=0.2
         ),
         "simhash_pairs": _simhash_oracle_sql(

@@ -69,12 +69,25 @@ def minhash_near_duplicates(
     hasher: str = "xxhash64",
     broadcast_records: bool | None = None,
     broadcast_max_bytes: int = 512 << 20,
+    verify: str = "exact",
 ) -> DataFrame:
     """Shingle → minhash → band → bucket-join near-dup detection.
 
-    Candidate pairs come from LSH (recall-oriented), then the exact
-    token-shingle Jaccard filters to ``min_jaccard`` (precision).
-    → (record_id_l, record_id_r, jaccard_sim).
+    Candidate pairs come from LSH (recall-oriented), then a verify
+    step filters to ``min_jaccard`` (precision):
+
+    * ``verify="exact"`` — true token-shingle Jaccard, joining the
+      (record_id, shingles) table back onto the pairs
+      → (record_id_l, record_id_r, jaccard_sim)
+    * ``verify="estimate"`` — Jaccard estimated from the
+      ``band_size × n_bands``-component minhash sketch (agreeing
+      fraction, SE ~ sqrt(j(1-j)/n)): the rejoin table shrinks from
+      KB-sized shingle arrays to ~8·n_hashes bytes per record, so it
+      broadcasts at corpus sizes where shingles cannot, and the
+      per-pair cost is O(n_hashes) instead of a set intersection —
+      the scalable screen at 10^12 documents (follow with an exact
+      pass on the survivors if the boundary matters)
+      → (record_id_l, record_id_r, jaccard_est).
 
     ``broadcast_records`` controls the pair↔shingles join strategy for
     the Jaccard recheck: ``True`` hash-broadcasts the narrow
@@ -106,6 +119,32 @@ def minhash_near_duplicates(
         task="dedupe",
         hasher=hasher,
     )(recs)
+    if verify == "estimate":
+        sigs = recs.select(
+            "record_id",
+            minhash_signature(
+                F.col("shingles"),
+                n_hashes=band_size * n_bands,
+                seed=seed,
+                hasher=hasher,
+            ).alias("signature"),
+        )
+        if broadcast_records is None:
+            broadcast_records = should_broadcast(
+                sigs, max_bytes=broadcast_max_bytes
+            )
+        pairs = Linkage(sigs, sigs, lk.links).links_with_both(
+            broadcast_records=broadcast_records
+        )
+        return pairs.select(
+            ID_L,
+            ID_R,
+            estimated_jaccard(
+                F.col("signature_l"), F.col("signature_r")
+            ).alias("jaccard_est"),
+        ).filter(F.col("jaccard_est") >= min_jaccard)
+    if verify != "exact":
+        raise ValueError(f"verify must be 'exact' or 'estimate', got {verify!r}")
     if broadcast_records is None:
         recs = recs.persist()  # shingling runs once for gate + bands + recheck
         broadcast_records = should_broadcast(recs, max_bytes=broadcast_max_bytes)
@@ -354,3 +393,44 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard_sim") >= min_jaccard)
     )
+
+
+def minhash_signature(
+    terms: Column, *, n_hashes: int, seed: int = 42, hasher: str = "xxhash64"
+) -> Column:
+    """The n-component minhash sketch of an array-of-terms column —
+    same hash family (and seeds) as ``MinhashLshLinker``, so bands and
+    sketch agree.  xxhash64 → array<long>; md5 → array<string>
+    (lexicographic minima of ``md5(term || ':' || seed+i)``, the
+    ANSI-SQL-replayable family).  Empty/null term sets → NULL."""
+    if n_hashes < 1:
+        raise ValueError(f"n_hashes must be >= 1, got {n_hashes}")
+    if hasher == "xxhash64":
+        def hash_fn(s: int):
+            return lambda t: F.xxhash64(t, F.lit(s))
+    elif hasher == "md5":
+        def hash_fn(s: int):
+            return lambda t: F.md5(F.concat(t, F.lit(f":{s}")))
+    else:
+        raise ValueError(f"unknown hasher {hasher!r}")
+    mins = [
+        F.array_min(F.transform(terms, hash_fn(seed + i)))
+        for i in range(n_hashes)
+    ]
+    return F.when(F.size(terms) > 0, F.array(*mins))
+
+
+def estimated_jaccard(sig_l: Column, sig_r: Column) -> Column:
+    """Jaccard ESTIMATE from two equal-length minhash sketches: the
+    fraction of agreeing components (standard error ~sqrt(j(1-j)/n)).
+    NULL if either sketch is NULL."""
+    agree = F.aggregate(
+        F.zip_with(
+            sig_l, sig_r, lambda a, b: F.when(a == b, 1).otherwise(0)
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    return F.when(
+        sig_l.isNull() | sig_r.isNull(), F.lit(None).cast("double")
+    ).otherwise(agree.cast("double") / F.size(sig_l))

@@ -201,3 +201,69 @@ def test_frame_sample_plan(spark):
         frames.setdefault(r["record_id"], []).append(r["frame_ts"])
     assert sorted(frames[1]) == [0.0, 1.0, 2.0]
     assert frames[2] == [0.0]
+
+
+def test_minhash_signature_and_estimate(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from mismo_spark.dedupe import estimated_jaccard, minhash_signature
+
+    df = spark.createDataFrame(
+        [
+            (["a", "b", "c", "d"], ["a", "b", "c", "d"]),  # identical
+            (["a", "b", "c", "d"], ["w", "x", "y", "z"]),  # disjoint
+            ([], ["a"]),                                    # empty -> NULL
+        ],
+        "s array<string>, t array<string>",
+    )
+    out = df.select(
+        estimated_jaccard(
+            minhash_signature(F.col("s"), n_hashes=64),
+            minhash_signature(F.col("t"), n_hashes=64),
+        ).alias("est")
+    ).collect()
+    assert out[0]["est"] == pytest.approx(1.0)
+    assert out[1]["est"] < 0.2  # disjoint sets rarely share minima
+    assert out[2]["est"] is None
+    with pytest.raises(ValueError):
+        minhash_signature(F.col("s"), n_hashes=0)
+
+
+def test_minhash_near_duplicates_estimate_matches_exact(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from mismo_spark.dedupe import minhash_near_duplicates
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [(i, base + f" tail{i % 3}") for i in range(12)] + [
+        (100 + i, f"completely different document number {i} about trains") for i in range(6)
+    ]
+    docs = spark.createDataFrame(rows, "record_id long, text string")
+    kw = dict(shingle_size=2, band_size=2, n_bands=16, min_jaccard=0.5, seed=7)
+    exact = {
+        (r["record_id_l"], r["record_id_r"]): r["jaccard_sim"]
+        for r in minhash_near_duplicates(docs, **kw).collect()
+    }
+    est = {
+        (r["record_id_l"], r["record_id_r"]): r["jaccard_est"]
+        for r in minhash_near_duplicates(docs, verify="estimate", **kw).collect()
+    }
+    assert exact, "planted near-dups must be found"
+    # identical-text pairs (same tail group) are certain in BOTH paths;
+    # borderline pairs near the threshold may flip under sketch noise
+    planted = {
+        (l, r)
+        for l in range(12)
+        for r in range(l + 1, 12)
+        if l % 3 == r % 3
+    }
+    assert planted <= set(exact) and planted <= set(est)
+    for k in planted:
+        assert est[k] == pytest.approx(1.0)
+    # on the common pairs the estimate sits within sketch tolerance
+    for k in set(est) & set(exact):
+        assert est[k] == pytest.approx(exact[k], abs=0.35)
+    with pytest.raises(ValueError):
+        minhash_near_duplicates(docs, verify="nope", **kw)
