@@ -63,6 +63,12 @@ def main(argv: list[str] | None = None) -> dict:
     ap.add_argument("--lsh-n-bands", type=int, default=16)
     ap.add_argument("--min-jaccard", type=float, default=0.7)
     ap.add_argument("--skip-neardup", action="store_true")
+    ap.add_argument("--neardup-verify", choices=("exact", "estimate"),
+                    default="exact",
+                    help="candidate verify: 'exact' = shingle-set "
+                    "Jaccard rejoin; 'estimate' = sketch-agreement "
+                    "fraction (O(n_hashes)/pair, broadcasts at corpus "
+                    "sizes where shingle arrays cannot)")
     ap.add_argument("--neardup-keep", choices=("first", "longest"),
                     default="first",
                     help="survivor per near-dup cluster: 'first' = "
@@ -175,6 +181,7 @@ def main(argv: list[str] | None = None) -> dict:
             n_bands=args.lsh_n_bands,
             min_jaccard=args.min_jaccard,
             seed=args.seed,
+            verify=args.neardup_verify,
         )
         comps = connected_components(
             pairs.select("record_id_l", "record_id_r"),

@@ -321,3 +321,27 @@ def test_prep_training_data_dedup_lines(spark, tmp_path):
     assert set(got) == {1, 2, 3}
     assert footer in got[1]
     assert footer not in got[2] and footer not in got[3]
+
+
+def test_prep_training_data_neardup_estimate(spark, tmp_path):
+    src = str(tmp_path / "docs.parquet")
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, base, "en") for i in range(4)] + [
+        (10, "a totally different document about locomotives and rail", "en")
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string"
+    ).write.mode("overwrite").parquet(src)
+
+    out = str(tmp_path / "curated")
+    counters = prep_main([
+        "--input", src,
+        "--output", out,
+        "--id-col", "doc_id",
+        "--min-tokens", "1",
+        "--neardup-verify", "estimate",
+    ])
+    # identical docs collapse to one survivor either way; exact dedupe
+    # already removes the byte-identical copies here, so the estimate
+    # path must not reintroduce or over-drop anything
+    assert counters["written_docs"] == 2
