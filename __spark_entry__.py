@@ -294,6 +294,31 @@ def q_fs_score_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_score_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-pair evidence breakdown (splink waterfall data): one row per
+    (pair, dimension) with fired level, odds, log2 Bayes factor, plus a
+    'total' row — a pure unpivot of score_compared's columns."""
+    from mismo_spark.compare.enum import compare
+    from mismo_spark.fs.weights import score_waterfall
+    from mismo_spark.linker.key import KeyLinker
+    from mismo_spark.types.linkage import Linkage
+
+    docs = _docs(spark, sf_dir)
+    lk = KeyLinker(["lang", "source"], task="dedupe")(docs)
+    pairs = Linkage(docs, docs, lk.links).links_with_both()
+    weights = _fs_weights_len()
+    scored = weights.score_compared(compare(pairs, _len_comparers()))
+    out = score_waterfall(scored, weights)
+    return out.select(
+        "record_id_l",
+        "record_id_r",
+        "dimension",
+        "level",
+        F.round("odds", 6).alias("odds"),
+        F.round("log2_bf", 6).alias("log2_bf"),
+    )
+
+
 def q_label_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic uncertainty-band labeling sample over FS-scored
     pairs: equi-width probability bands, md5-ranked top-n per band —
@@ -2050,6 +2075,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fs_score": q_fs_score,
         "fs_score_tf": q_fs_score_tf,
         "label_sample": q_label_sample,
+        "score_waterfall": q_score_waterfall,
         "token_counts": q_token_counts,
         "lang_id": q_lang_id,
         "quality": q_quality,
@@ -3639,6 +3665,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT record_id_l, record_id_r, len_cmp::BIGINT AS len_cmp,
                    round(raw_odds, 6) AS odds,
                    round(raw_odds / (1 + raw_odds), 6) AS match_probability
+            FROM odds_t
+        """,
+        "score_waterfall": f"""
+            WITH pairs AS ({pair_block}),
+            labelled AS (
+              SELECT record_id_l, record_id_r,
+                     CASE WHEN n_chars_l = n_chars_r THEN 0
+                          WHEN abs(n_chars_l - n_chars_r) <= 20 THEN 1
+                          ELSE 2 END AS len_cmp
+              FROM pairs
+            ),
+            odds_t AS (
+              SELECT *, CASE len_cmp
+                          WHEN 0 THEN 0.6 / 0.01
+                          WHEN 1 THEN 0.3 / 0.09
+                          ELSE 0.1 / 0.9 END AS raw_odds
+              FROM labelled
+            )
+            SELECT record_id_l, record_id_r, 'len_cmp' AS dimension,
+                   len_cmp::BIGINT AS level,
+                   round(raw_odds, 6) AS odds,
+                   round(log2(raw_odds), 6) AS log2_bf
+            FROM odds_t
+            UNION ALL
+            SELECT record_id_l, record_id_r, 'total' AS dimension,
+                   NULL::BIGINT AS level,
+                   round(raw_odds, 6) AS odds,
+                   round(log2(raw_odds), 6) AS log2_bf
             FROM odds_t
         """,
         "label_sample": f"""

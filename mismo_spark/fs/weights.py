@@ -139,3 +139,40 @@ class Weights:
             with open(s_or_path) as f:
                 d = json.load(f)
         return Weights.from_dict(d)
+
+
+def score_waterfall(scored: DataFrame, weights: "Weights") -> DataFrame:
+    """Long-format per-dimension evidence breakdown of a scored pair
+    table (splink's waterfall-chart data): one row per (pair,
+    dimension) with the fired level's index, its odds, and the log2
+    Bayes factor, plus one 'total' row per pair.
+
+    Pure unpivot of columns ``score_compared`` already computed — a
+    stack projection, no shuffle, no re-scoring.
+    """
+    from pyspark.sql import functions as F
+
+    parts = []
+    for cw in weights:
+        parts.append(
+            scored.select(
+                "record_id_l",
+                "record_id_r",
+                F.lit(cw.name).alias("dimension"),
+                F.col(cw.name).cast("long").alias("level"),
+                F.col(f"{cw.name}_odds").alias("odds"),
+                F.log2(f"{cw.name}_odds").alias("log2_bf"),
+            )
+        )
+    total = scored.select(
+        "record_id_l",
+        "record_id_r",
+        F.lit("total").alias("dimension"),
+        F.lit(None).cast("long").alias("level"),
+        F.col("odds").alias("odds"),
+        F.log2("odds").alias("log2_bf"),
+    )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.unionByName(total)

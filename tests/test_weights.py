@@ -116,3 +116,44 @@ def test_enum_comparer_labels(spark):
     got = {(r["record_id_l"], r["name"]) for r in cmp(pairs).collect()}
     assert got == {(1, 0), (3, 1), (5, 2)}
     assert cmp.level_names == ["exact", "close", "else"]
+
+
+def test_score_waterfall(spark):
+    import math
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from mismo_spark.fs.weights import (
+        ComparerWeights,
+        LevelWeights,
+        Weights,
+        score_waterfall,
+    )
+
+    w = Weights(
+        [
+            ComparerWeights(
+                "a_cmp",
+                [LevelWeights("exact", m=0.8, u=0.1), LevelWeights("else", m=0.2, u=0.9)],
+            ),
+            ComparerWeights(
+                "b_cmp",
+                [LevelWeights("exact", m=0.5, u=0.25), LevelWeights("else", m=0.5, u=0.75)],
+            ),
+        ]
+    )
+    compared = spark.createDataFrame(
+        [(1, 2, 0, 1)], "record_id_l long, record_id_r long, a_cmp int, b_cmp int"
+    )
+    scored = w.score_compared(compared)
+    rows = {r["dimension"]: r for r in score_waterfall(scored, w).collect()}
+    assert set(rows) == {"a_cmp", "b_cmp", "total"}
+    assert rows["a_cmp"]["odds"] == pytest.approx(8.0)
+    assert rows["b_cmp"]["odds"] == pytest.approx(0.5 / 0.75)
+    assert rows["total"]["odds"] == pytest.approx(8.0 * 0.5 / 0.75)
+    # the waterfall property: per-dimension log2 contributions sum to total
+    assert rows["a_cmp"]["log2_bf"] + rows["b_cmp"]["log2_bf"] == pytest.approx(
+        rows["total"]["log2_bf"]
+    )
+    assert rows["total"]["level"] is None and rows["a_cmp"]["level"] == 0
