@@ -270,3 +270,43 @@ def keep_latest(
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def write_sized_parquet(
+    df: DataFrame,
+    path: str,
+    *,
+    target_mb: int = 256,
+    compression_ratio: float = 3.0,
+    max_partitions: int = 200_000,
+    mode: str = "overwrite",
+) -> int:
+    """Write ``df`` as parquet with output files sized ~``target_mb``
+    — the small-files guard.  Returns the partition count used.
+
+    A 10^12-row job that ends in 200k shuffle partitions writes 200k
+    tiny files; the NEXT job then pays 200k file opens and the
+    metastore 200k entries.  This helper estimates the in-memory bytes
+    (sampled average row size × count — the byte-gated policy shared
+    with ``should_broadcast``), divides by ``target_mb`` adjusted for
+    parquet's columnar compression (``compression_ratio``, ~3× on
+    text-heavy web tables), and repartitions to that many output
+    files before writing.
+
+    Shrinking uses ``coalesce`` (no shuffle — map tasks just write
+    fewer, larger files); growing uses ``repartition`` (one round-
+    robin shuffle, only worth it when upstream produced a handful of
+    giant partitions)."""
+    n_rows = df.count()
+    if n_rows == 0:
+        df.limit(0).write.mode(mode).parquet(path)
+        return 1
+    est = estimate_broadcast_bytes(df, n_rows=n_rows)
+    n_parts = max(1, round(est / compression_ratio / (target_mb << 20)))
+    n_parts = min(n_parts, max_partitions)
+    current = df.rdd.getNumPartitions()
+    sized = df.coalesce(n_parts) if n_parts < current else (
+        df if n_parts == current else df.repartition(n_parts)
+    )
+    sized.write.mode(mode).parquet(path)
+    return n_parts

@@ -107,3 +107,35 @@ def test_stratified_sample_deterministic_and_rated(spark):
     # map-only: no exchange in the plan
     plan = s1._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_write_sized_parquet(spark, tmp_path):
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from mismo_spark._util import write_sized_parquet
+
+    df = spark.range(10_000).select(
+        "id", F.repeat(F.lit("x"), 200).alias("pad")
+    ).repartition(64)
+    path = str(tmp_path / "sized")
+    # ~10k * ~220B ≈ 2.2MB raw -> far below one 256MB target file
+    n = write_sized_parquet(df, path, target_mb=256)
+    assert n == 1
+    files = glob.glob(f"{path}/part-*.parquet")
+    assert len(files) == 1
+    assert spark.read.parquet(path).count() == 10_000
+
+    # tiny target forces multiple files, growing past the current 2
+    df2 = df.coalesce(2)
+    path2 = str(tmp_path / "sized2")
+    n2 = write_sized_parquet(df2, path2, target_mb=1, compression_ratio=1.0)
+    assert n2 >= 2
+    assert len(glob.glob(f"{path2}/part-*.parquet")) == n2
+    assert spark.read.parquet(path2).count() == 10_000
+
+    # empty frame still writes a readable dataset
+    path3 = str(tmp_path / "sized3")
+    assert write_sized_parquet(df.where(F.lit(False)), path3) == 1
+    assert spark.read.parquet(path3).count() == 0
