@@ -1248,6 +1248,22 @@ def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM self-perplexity (the CCNet-style quality screen with
+    an in-engine MLE instead of KenLM): vocab-sized LM broadcast into
+    one token join, per-doc mean -log p."""
+    from mismo_spark.textqa.lm import unigram_perplexity
+
+    docs = _docs(spark, sf_dir)
+    out = unigram_perplexity(docs, id_col="doc_id")
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        F.round("cross_entropy", 6).alias("cross_entropy"),
+        F.round("perplexity", 6).alias("perplexity"),
+    )
+
+
 def q_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-mix quota: at most 5 docs per source, preferring the
     longest, md5-hash tie-broken — deterministic domain balancing."""
@@ -2118,6 +2134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_prefilter": q_bloom_prefilter,
         "dup_lines": q_dup_lines,
         "line_dedupe": q_line_dedupe,
+        "perplexity": q_perplexity,
         "domain_quota": q_domain_quota,
         "token_budget": q_token_budget,
         "histogram": q_histogram,
@@ -3472,6 +3489,33 @@ def oracle_sql() -> dict[str, str]:
             FROM sel a JOIN ok USING (fp) JOIN sel b USING (fp)
             WHERE a.doc_id < b.doc_id
             GROUP BY a.doc_id, b.doc_id
+        """,
+        "perplexity": r"""
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(string_split_regex(lower(trim(text)), '\s+'))
+                       AS token
+              FROM documents WHERE trim(text) <> ''
+            ),
+            counts AS (SELECT token, count(*) AS n FROM tok GROUP BY 1),
+            tot AS (
+              SELECT sum(n) AS total, count(*) AS vocab FROM counts
+            ),
+            lm AS (
+              SELECT token,
+                     ln((n + 1.0) / (total + 1.0 * (vocab + 1))) AS logp
+              FROM counts CROSS JOIN tot
+            ),
+            sc AS (SELECT t.doc_id, lm.logp FROM tok t JOIN lm USING (token)),
+            per AS (
+              SELECT doc_id, count(*) AS n_tokens, -avg(logp) AS ce
+              FROM sc GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   coalesce(per.n_tokens, 0)::BIGINT AS n_tokens,
+                   round(per.ce, 6) AS cross_entropy,
+                   round(exp(per.ce), 6) AS perplexity
+            FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
         """,
         "domain_quota": """
             WITH ranked AS (
