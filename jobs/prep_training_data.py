@@ -108,6 +108,10 @@ def main(argv: list[str] | None = None) -> dict:
                          "repeated eligible line")
     ap.add_argument("--dedup-line-min-words", type=int, default=3)
     ap.add_argument("--dedup-line-min-count", type=int, default=2)
+    ap.add_argument("--max-perplexity", type=float, default=None,
+                    help="drop docs whose unigram-LM self-perplexity "
+                    "exceeds this (CCNet-style screen; the LM is "
+                    "trained on the surviving corpus itself)")
     ap.add_argument("--max-dup-line-frac", type=float, default=None,
                     help="Gopher-style repetition filter: drop docs whose "
                     "duplicate-line fraction exceeds this (e.g. 0.30)")
@@ -258,6 +262,16 @@ def main(argv: list[str] | None = None) -> dict:
             F.length(F.col(args.text_col)) > 0
         )
         counters["after_line_dedup"] = docs.count()
+
+    # -- unigram-LM perplexity screen ---------------------------------------
+    if args.max_perplexity is not None:
+        from mismo_spark.textqa.lm import unigram_perplexity
+
+        ppl = unigram_perplexity(
+            docs, id_col="record_id", text_col=args.text_col
+        ).where(F.col("perplexity") > args.max_perplexity)
+        docs = docs.join(ppl.select("record_id"), "record_id", "left_anti")
+        counters["after_perplexity_filter"] = docs.count()
 
     # -- within-doc repetition filters (Gopher A1.1) -----------------------
     if args.max_dup_line_frac is not None:

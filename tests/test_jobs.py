@@ -345,3 +345,32 @@ def test_prep_training_data_neardup_estimate(spark, tmp_path):
     # already removes the byte-identical copies here, so the estimate
     # path must not reintroduce or over-drop anything
     assert counters["written_docs"] == 2
+
+
+def test_prep_training_data_perplexity_filter(spark, tmp_path):
+    src = str(tmp_path / "docs.parquet")
+    common = "the cat sat on the mat and the dog sat on the rug"
+    rows = [(i, common, "en") for i in range(5)] + [
+        (10, common + f" variant{i}", "en") for i in range(3)
+    ] + [
+        (20, "zyx qwv jkl pqr mno abc def ghi stu", "en")  # gibberish
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string"
+    ).write.mode("overwrite").parquet(src)
+
+    out = str(tmp_path / "curated")
+    base = [
+        "--input", src, "--output", out, "--id-col", "doc_id",
+        "--min-tokens", "1", "--skip-neardup",
+    ]
+    import shutil
+
+    no_filter = prep_main(base)
+    shutil.rmtree(out)
+    filtered = prep_main(base + ["--max-perplexity", "30"])
+    assert "after_perplexity_filter" in filtered
+    # the gibberish doc scores far above the common-word docs and drops
+    assert filtered["written_docs"] == no_filter["written_docs"] - 1
+    kept = {r["doc_id"] for r in spark.read.parquet(f"{out}/documents.parquet").collect()}
+    assert 20 not in kept
