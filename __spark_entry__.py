@@ -207,30 +207,8 @@ def q_fs_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     lk = KeyLinker(["lang", "source"], task="dedupe")(docs)
     pairs = Linkage(docs, docs, lk.links).links_with_both()
-    comparers = [
-        EnumComparer(
-            "len_cmp",
-            [
-                ("exact", lambda df: df["n_chars_l"] == df["n_chars_r"]),
-                (
-                    "close",
-                    lambda df: F.abs(df["n_chars_l"] - df["n_chars_r"]) <= 20,
-                ),
-            ],
-        ),
-    ]
-    weights = Weights(
-        [
-            ComparerWeights(
-                "len_cmp",
-                [
-                    LevelWeights("exact", m=0.6, u=0.01),
-                    LevelWeights("close", m=0.3, u=0.09),
-                    LevelWeights("else", m=0.1, u=0.9),
-                ],
-            )
-        ]
-    )
+    comparers = _len_comparers()
+    weights = _fs_weights_len()
     scored = weights.score_compared(compare(pairs, comparers))
     return scored.select(
         "record_id_l",
@@ -255,30 +233,8 @@ def q_fs_score_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = add_frequencies(_docs(spark, sf_dir), "n_chars")
     lk = KeyLinker(["lang", "source"], task="dedupe")(docs)
     pairs = Linkage(docs, docs, lk.links).links_with_both()
-    comparers = [
-        EnumComparer(
-            "len_cmp",
-            [
-                ("exact", lambda df: df["n_chars_l"] == df["n_chars_r"]),
-                (
-                    "close",
-                    lambda df: F.abs(df["n_chars_l"] - df["n_chars_r"]) <= 20,
-                ),
-            ],
-        ),
-    ]
-    weights = Weights(
-        [
-            ComparerWeights(
-                "len_cmp",
-                [
-                    LevelWeights("exact", m=0.6, u=0.01),
-                    LevelWeights("close", m=0.3, u=0.09),
-                    LevelWeights("else", m=0.1, u=0.9),
-                ],
-            )
-        ]
-    )
+    comparers = _len_comparers()
+    weights = _fs_weights_len()
     freq = F.greatest(
         F.col("n_chars_frequency_l"), F.col("n_chars_frequency_r")
     )
@@ -333,30 +289,8 @@ def q_label_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     lk = KeyLinker(["lang", "source"], task="dedupe")(docs)
     pairs = Linkage(docs, docs, lk.links).links_with_both()
-    comparers = [
-        EnumComparer(
-            "len_cmp",
-            [
-                ("exact", lambda df: df["n_chars_l"] == df["n_chars_r"]),
-                (
-                    "close",
-                    lambda df: F.abs(df["n_chars_l"] - df["n_chars_r"]) <= 20,
-                ),
-            ],
-        ),
-    ]
-    weights = Weights(
-        [
-            ComparerWeights(
-                "len_cmp",
-                [
-                    LevelWeights("exact", m=0.6, u=0.01),
-                    LevelWeights("close", m=0.3, u=0.09),
-                    LevelWeights("else", m=0.1, u=0.9),
-                ],
-            )
-        ]
-    )
+    comparers = _len_comparers()
+    weights = _fs_weights_len()
     scored = weights.score_compared(compare(pairs, comparers))
     out = sample_pairs_for_labeling(
         scored, n_per_band=10, n_bands=5, seed=42
@@ -802,30 +736,8 @@ def q_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     lk = KeyLinker(["lang", "source"], task="dedupe")(docs)
     pairs = Linkage(docs, docs, lk.links).links_with_both()
-    comparers = [
-        EnumComparer(
-            "len_cmp",
-            [
-                ("exact", lambda df: df["n_chars_l"] == df["n_chars_r"]),
-                (
-                    "close",
-                    lambda df: F.abs(df["n_chars_l"] - df["n_chars_r"]) <= 20,
-                ),
-            ],
-        ),
-    ]
-    weights = Weights(
-        [
-            ComparerWeights(
-                "len_cmp",
-                [
-                    LevelWeights("exact", m=0.6, u=0.01),
-                    LevelWeights("close", m=0.3, u=0.09),
-                    LevelWeights("else", m=0.1, u=0.9),
-                ],
-            )
-        ]
-    )
+    comparers = _len_comparers()
+    weights = _fs_weights_len()
     scored = weights.score_compared(compare(pairs, comparers)).withColumn(
         "is_match", F.col("text_l") == F.col("text_r")
     )
@@ -1337,30 +1249,8 @@ def q_best_match_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     lk = KeyLinker(["lang", "source"], task="dedupe")(docs)
     pairs = Linkage(docs, docs, lk.links).links_with_both()
-    comparers = [
-        EnumComparer(
-            "len_cmp",
-            [
-                ("exact", lambda df: df["n_chars_l"] == df["n_chars_r"]),
-                (
-                    "close",
-                    lambda df: F.abs(df["n_chars_l"] - df["n_chars_r"]) <= 20,
-                ),
-            ],
-        ),
-    ]
-    weights = Weights(
-        [
-            ComparerWeights(
-                "len_cmp",
-                [
-                    LevelWeights("exact", m=0.6, u=0.01),
-                    LevelWeights("close", m=0.3, u=0.09),
-                    LevelWeights("else", m=0.1, u=0.9),
-                ],
-            )
-        ]
-    )
+    comparers = _len_comparers()
+    weights = _fs_weights_len()
     scored = weights.score_compared(compare(pairs, comparers))
     best = Linkage(docs, docs, scored).best_match_per_right("odds")
     return best.links.select(

@@ -280,6 +280,7 @@ def write_sized_parquet(
     compression_ratio: float = 3.0,
     max_partitions: int = 200_000,
     mode: str = "overwrite",
+    n_rows: int | None = None,
 ) -> int:
     """Write ``df`` as parquet with output files sized ~``target_mb``
     — the small-files guard.  Returns the partition count used.
@@ -296,8 +297,22 @@ def write_sized_parquet(
     Shrinking uses ``coalesce`` (no shuffle — map tasks just write
     fewer, larger files); growing uses ``repartition`` (one round-
     robin shuffle, only worth it when upstream produced a handful of
-    giant partitions)."""
-    n_rows = df.count()
+    giant partitions).
+
+    Sizing needs a count + row-size sample, so the upstream plan runs
+    once for the estimate and once for the write — persist ``df`` (or
+    pass a known ``n_rows``) when the upstream compute is expensive.
+    """
+    if target_mb < 1:
+        raise ValueError(f"target_mb must be >= 1, got {target_mb}")
+    if compression_ratio <= 0:
+        raise ValueError(
+            f"compression_ratio must be > 0, got {compression_ratio}"
+        )
+    if max_partitions < 1:
+        raise ValueError(f"max_partitions must be >= 1, got {max_partitions}")
+    if n_rows is None:
+        n_rows = df.count()
     if n_rows == 0:
         df.limit(0).write.mode(mode).parquet(path)
         return 1

@@ -120,6 +120,9 @@ def minhash_near_duplicates(
         hasher=hasher,
     )(recs)
     if verify == "estimate":
+        # shingling feeds the band join, the sketch, and the gate count
+        # — persist it once, same as the exact path does
+        recs = recs.persist()
         sigs = recs.select(
             "record_id",
             minhash_signature(
@@ -128,7 +131,7 @@ def minhash_near_duplicates(
                 seed=seed,
                 hasher=hasher,
             ).alias("signature"),
-        )
+        ).persist()
         if broadcast_records is None:
             broadcast_records = should_broadcast(
                 sigs, max_bytes=broadcast_max_bytes
@@ -423,7 +426,8 @@ def minhash_signature(
 def estimated_jaccard(sig_l: Column, sig_r: Column) -> Column:
     """Jaccard ESTIMATE from two equal-length minhash sketches: the
     fraction of agreeing components (standard error ~sqrt(j(1-j)/n)).
-    NULL if either sketch is NULL."""
+    NULL if either sketch is NULL or empty (no information — never a
+    silent NaN that poisons downstream aggregates)."""
     agree = F.aggregate(
         F.zip_with(
             sig_l, sig_r, lambda a, b: F.when(a == b, 1).otherwise(0)
@@ -432,5 +436,9 @@ def estimated_jaccard(sig_l: Column, sig_r: Column) -> Column:
         lambda acc, v: acc + v,
     )
     return F.when(
-        sig_l.isNull() | sig_r.isNull(), F.lit(None).cast("double")
+        sig_l.isNull()
+        | sig_r.isNull()
+        | (F.size(sig_l) == 0)
+        | (F.size(sig_r) == 0),
+        F.lit(None).cast("double"),
     ).otherwise(agree.cast("double") / F.size(sig_l))

@@ -82,31 +82,36 @@ def score_compared_tf(
     ``add_frequencies`` on the record table).
 
     Adds `{dim}_odds` (adjusted), `odds`, `match_probability`,
-    `log_odds` — same contract and same single-projection plan as the
-    unadjusted scorer (mismo/fs/_weights.py:269-331).
+    `log_odds` — same contract and the SAME scoring loop as the
+    unadjusted scorer (``weights._score_compared``), so the two cannot
+    drift.  Every ``adjustments`` key must name a comparer — a typo'd
+    key would otherwise silently produce unadjusted scores.
     """
-    df = compared
-    total = F.lit(1.0)
-    for cw in weights:
-        odds = cw.odds_column(F.col(cw.name))
-        if cw.name in adjustments:
-            fc = adjustments[cw.name]
-            fc = F.col(fc) if isinstance(fc, str) else fc
-            odds = odds * tf_adjustment_column(
-                cw,
-                F.col(cw.name),
-                fc,
-                level=level,
-                tf_weight=tf_weight,
-                min_frequency=min_frequency,
-            )
-        df = df.withColumn(f"{cw.name}_odds", odds)
-        total = total * F.col(f"{cw.name}_odds")
-    df = df.withColumn("odds", total)
-    df = df.withColumn(
-        "match_probability", F.col("odds") / (F.lit(1.0) + F.col("odds"))
-    )
-    return df.withColumn("log_odds", F.log10(F.col("odds")))
+    from mismo_spark.fs.weights import _score_compared
+
+    names = {cw.name for cw in weights}
+    unknown = sorted(set(adjustments) - names)
+    if unknown:
+        raise ValueError(
+            f"adjustments name unknown comparer(s) {unknown}; "
+            f"weights have {sorted(names)}"
+        )
+
+    def _adjust(cw, odds):
+        if cw.name not in adjustments:
+            return odds
+        fc = adjustments[cw.name]
+        fc = F.col(fc) if isinstance(fc, str) else fc
+        return odds * tf_adjustment_column(
+            cw,
+            F.col(cw.name),
+            fc,
+            level=level,
+            tf_weight=tf_weight,
+            min_frequency=min_frequency,
+        )
+
+    return _score_compared(weights, compared, odds_adjust=_adjust)
 
 
 def expected_u_from_frequencies(stats: DataFrame) -> DataFrame:

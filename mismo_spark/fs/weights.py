@@ -92,17 +92,7 @@ class Weights:
         (mismo/fs/_weights.py:269-331, mismo/fs/_util.py:37-60).
         One projection; no shuffle.
         """
-        from pyspark.sql import functions as F
-
-        df = compared
-        total = F.lit(1.0)
-        for cw in self.comparers:
-            df = df.withColumn(f"{cw.name}_odds", cw.odds_column(F.col(cw.name)))
-            total = total * F.col(f"{cw.name}_odds")
-        df = df.withColumn("odds", total)
-        df = df.withColumn("match_probability", F.col("odds") / (F.lit(1.0) + F.col("odds")))
-        df = df.withColumn("log_odds", F.log10(F.col("odds")))
-        return df
+        return _score_compared(self, compared)
 
     # -- JSON serde (mismo/fs/_weights.py:349-391) -----------------------
 
@@ -139,6 +129,28 @@ class Weights:
             with open(s_or_path) as f:
                 d = json.load(f)
         return Weights.from_dict(d)
+
+
+def _score_compared(weights: "Weights", compared, odds_adjust=None):
+    """The one scoring loop behind ``Weights.score_compared`` and
+    ``fs.tf_adjust.score_compared_tf`` — ``odds_adjust(cw, odds)`` may
+    wrap each comparer's odds column (e.g. TF adjustment) so the two
+    scorers cannot drift."""
+    from pyspark.sql import functions as F
+
+    df = compared
+    total = F.lit(1.0)
+    for cw in weights:
+        odds = cw.odds_column(F.col(cw.name))
+        if odds_adjust is not None:
+            odds = odds_adjust(cw, odds)
+        df = df.withColumn(f"{cw.name}_odds", odds)
+        total = total * F.col(f"{cw.name}_odds")
+    df = df.withColumn("odds", total)
+    df = df.withColumn(
+        "match_probability", F.col("odds") / (F.lit(1.0) + F.col("odds"))
+    )
+    return df.withColumn("log_odds", F.log10(F.col("odds")))
 
 
 def score_waterfall(scored: DataFrame, weights: "Weights") -> DataFrame:

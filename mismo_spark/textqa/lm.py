@@ -14,11 +14,16 @@ Plan shape: the LM is one (token, logp) aggregation over the TRAINING
 corpus (groupBy token, map-side combine); scoring explodes the target
 docs once and joins the LM — broadcast-able (vocabulary-sized, not
 corpus-sized) — then one per-doc average.  No UDFs.
+
+LM table contract: one row per seen token, plus ONE sentinel row with
+``token IS NULL`` whose ``logp`` is the smoothed unseen-token
+log-probability ln(k / (total + k·(vocab+1))).  Carrying the unseen
+mass as data keeps foreign-LM scoring exact — recovering it from
+1 − Σ exp(logp) would be catastrophically cancellative at real
+vocabulary sizes (the sum's float error exceeds the unseen mass).
 """
 
 from __future__ import annotations
-
-import math
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -33,12 +38,12 @@ def unigram_lm(
     k_smoothing: float = 1.0,
 ) -> DataFrame:
     """→ DataFrame(token, logp): add-k-smoothed unigram MLE over the
-    corpus's lowercase whitespace tokens.  The companion
-    ``unseen_logp`` (for tokens absent from this LM) is
-    ln(k / (total + k·(vocab+1))) — derive it with the same constants,
-    as ``unigram_perplexity`` does internally."""
+    corpus's lowercase whitespace tokens, plus the sentinel
+    ``token IS NULL`` row carrying the exact unseen-token logp (see
+    module docstring — never recovered from the probability mass)."""
     if k_smoothing <= 0:
         raise ValueError(f"k_smoothing must be > 0, got {k_smoothing}")
+    k = float(k_smoothing)
     toks = docs.select(
         F.explode(tokenize(F.lower(F.col(text_col)))).alias("token")
     )
@@ -46,16 +51,16 @@ def unigram_lm(
     totals = counts.agg(
         F.sum("__n").alias("__total"), F.count(F.lit(1)).alias("__vocab")
     )
-    return counts.crossJoin(F.broadcast(totals)).select(
+    denom = F.col("__total") + F.lit(k) * (F.col("__vocab") + 1)
+    seen = counts.crossJoin(F.broadcast(totals)).select(
         "token",
-        F.log(
-            (F.col("__n") + F.lit(float(k_smoothing)))
-            / (
-                F.col("__total")
-                + F.lit(float(k_smoothing)) * (F.col("__vocab") + 1)
-            )
-        ).alias("logp"),
+        F.log((F.col("__n") + F.lit(k)) / denom).alias("logp"),
     )
+    unseen = totals.select(
+        F.lit(None).cast("string").alias("token"),
+        F.log(F.lit(k) / denom).alias("logp"),
+    )
+    return seen.unionByName(unseen)
 
 
 def unigram_perplexity(
@@ -72,34 +77,33 @@ def unigram_perplexity(
     ``lm`` (default: an LM trained on ``docs`` itself — self-scoring,
     useful for outlier screens) and its exponential.
 
-    Tokens absent from the LM get the smoothed unseen probability, so
-    scoring a corpus against a FOREIGN reference LM (the CCNet setup)
-    is well-defined.  Documents with no tokens get NULL scores.
+    ``lm`` follows the ``unigram_lm`` contract: (token, logp) rows
+    plus the ``token IS NULL`` sentinel for unseen tokens, so scoring
+    a corpus against a FOREIGN reference LM (the CCNet setup) is
+    exact.  An LM without the sentinel treats unseen tokens as if
+    absent from the document (legacy tables); documents with no tokens
+    get NULL scores.
+
+    A self-trained LM is persisted for the duration of the call — the
+    corpus-wide token aggregation would otherwise run once for the
+    sentinel extraction and again for the scoring join.
     """
-    if lm is None:
+    self_trained = lm is None
+    if self_trained:
         lm = unigram_lm(docs, text_col=text_col, k_smoothing=k_smoothing)
-    stats = lm.agg(
-        F.sum(F.exp("logp")).alias("__mass"), F.count(F.lit(1)).alias("__vocab")
+        lm = lm.persist()
+    seen = lm.where(F.col("token").isNotNull())
+    unseen = lm.where(F.col("token").isNull()).select(
+        F.col("logp").alias("__unseen_logp")
     )
-    # recover ln p(unseen) from the LM itself: with add-k MLE the
-    # leftover mass is k/(total + k·(vocab+1)) = (1 - Σp)/1 … but the
-    # algebra needs total; carry it via one tiny collect-free join is
-    # overkill — recompute from the mass identity:
-    #   Σ_seen p = (total + k·vocab)/(total + k·(vocab+1))
-    #   p_unseen = 1 - Σ_seen p      (exactly the remaining mass)
-    unseen = stats.select(
-        F.log(F.greatest(F.lit(1.0) - F.col("__mass"), F.lit(1e-300))).alias(
-            "__unseen_logp"
-        )
-    )
-    b = F.broadcast(lm) if broadcast_lm else lm
+    b = F.broadcast(seen) if broadcast_lm else seen
     toks = docs.select(
         F.col(id_col),
         F.explode(tokenize(F.lower(F.col(text_col)))).alias("token"),
     )
     scored = (
         toks.join(b, "token", "left")
-        .crossJoin(F.broadcast(unseen))
+        .join(F.broadcast(unseen), F.lit(True), "left")
         .select(
             id_col,
             F.coalesce(F.col("logp"), F.col("__unseen_logp")).alias("__lp"),

@@ -267,3 +267,17 @@ def test_minhash_near_duplicates_estimate_matches_exact(spark):
         assert est[k] == pytest.approx(exact[k], abs=0.35)
     with pytest.raises(ValueError):
         minhash_near_duplicates(docs, verify="nope", **kw)
+
+
+def test_estimated_jaccard_empty_sketch_is_null(spark):
+    from pyspark.sql import functions as F
+
+    from mismo_spark.dedupe import estimated_jaccard
+
+    df = spark.createDataFrame([(1,)], "x int")
+    row = df.select(
+        estimated_jaccard(
+            F.array().cast("array<string>"), F.array().cast("array<string>")
+        ).alias("e")
+    ).collect()[0]
+    assert row["e"] is None

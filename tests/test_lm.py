@@ -32,7 +32,9 @@ def _py_lm(texts, k=1.0):
 def test_lm_matches_python(spark):
     df = spark.createDataFrame(DOCS, "doc_id long, text string")
     got = {r["token"]: r["logp"] for r in unigram_lm(df).collect()}
-    want, _ = _py_lm([t for _, t in DOCS])
+    want, unseen = _py_lm([t for _, t in DOCS])
+    # the LM carries the exact unseen logp as the token-NULL sentinel
+    assert got.pop(None) == pytest.approx(unseen, abs=1e-12)
     assert set(got) == set(want)
     for w in want:
         assert got[w] == pytest.approx(want[w], abs=1e-12)
@@ -66,9 +68,9 @@ def test_foreign_lm_unseen_tokens(spark):
     row = unigram_perplexity(target, lm).collect()[0]
     lm_py, unseen = _py_lm([t for _, t in DOCS])
     want_ce = -(lm_py["the"] + unseen + lm_py["sat"]) / 3
-    # the unseen mass is recovered as 1 - sum(p_seen), equal to the
-    # closed form up to float summation error
-    assert row["cross_entropy"] == pytest.approx(want_ce, rel=1e-6)
+    # the sentinel row carries the CLOSED-FORM unseen logp — exact,
+    # not a cancellative 1 - sum(exp(logp)) recovery
+    assert row["cross_entropy"] == pytest.approx(want_ce, rel=1e-12)
 
 
 def test_k_validation(spark):

@@ -96,3 +96,9 @@ def test_expected_u_from_frequencies(spark):
     )
     u = expected_u_from_frequencies(value_stats(df, "v")).collect()[0]["u"]
     assert u == pytest.approx(0.6**2 + 0.3**2 + 0.1**2)
+
+
+def test_unknown_adjustment_key_raises(spark):
+    w = _weights()
+    with pytest.raises(ValueError, match="name_comp"):
+        score_compared_tf(w, _compared(spark), {"name_comp": "freq"})
