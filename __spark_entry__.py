@@ -1160,6 +1160,27 @@ def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cluster_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test assignment: the split is the md5
+    hash of the dedup COMPONENT, so near-duplicates never straddle a
+    boundary — deterministic run-to-run (no rand())."""
+    from mismo_spark.cluster.cc import connected_components
+    from mismo_spark.linker.key import KeyLinker
+    from mismo_spark.splits import cluster_safe_splits
+
+    docs = _docs(spark, sf_dir)
+    assignments = connected_components(
+        KeyLinker(["lang", "source"], task="dedupe")(docs).links,
+        docs.select("record_id"),
+    )
+    out = cluster_safe_splits(
+        docs.select("record_id"),
+        assignments,
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+    )
+    return out.select("record_id", "component", "split")
+
+
 def q_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-LM self-perplexity (the CCNet-style quality screen with
     an in-engine MLE instead of KenLM): vocab-sized LM broadcast into
@@ -2024,6 +2045,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_prefilter": q_bloom_prefilter,
         "dup_lines": q_dup_lines,
         "line_dedupe": q_line_dedupe,
+        "cluster_splits": q_cluster_splits,
         "perplexity": q_perplexity,
         "domain_quota": q_domain_quota,
         "token_budget": q_token_budget,
@@ -3379,6 +3401,38 @@ def oracle_sql() -> dict[str, str]:
             FROM sel a JOIN ok USING (fp) JOIN sel b USING (fp)
             WHERE a.doc_id < b.doc_id
             GROUP BY a.doc_id, b.doc_id
+        """,
+        "cluster_splits": """
+            WITH RECURSIVE
+            d AS (SELECT doc_id, lang, source FROM documents),
+            e AS (
+              SELECT a.doc_id AS u, b.doc_id AS v FROM d a JOIN d b
+                ON a.lang = b.lang AND a.source = b.source
+               AND a.doc_id <> b.doc_id
+            ),
+            reach(u, v) AS (
+              SELECT u, v FROM e
+              UNION
+              SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u
+            ),
+            assign AS (
+              SELECT d.doc_id AS record_id,
+                     least(d.doc_id, coalesce(m.mn, d.doc_id)) AS component
+              FROM d LEFT JOIN (
+                SELECT u, min(v) AS mn FROM reach GROUP BY u
+              ) m ON m.u = d.doc_id
+            ),
+            hashed AS (
+              SELECT record_id, component,
+                     ('0x' || substr(md5(component::VARCHAR || '|42'),
+                                     1, 8))::BIGINT / 4294967296.0 AS u
+              FROM assign
+            )
+            SELECT record_id, component,
+                   CASE WHEN u < 0.8 THEN 'train'
+                        WHEN u < 0.9 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM hashed
         """,
         "perplexity": r"""
             WITH tok AS (
