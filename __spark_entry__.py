@@ -1160,6 +1160,29 @@ def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cluster_thresholds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assignments at two odds thresholds via the high-to-low
+    incremental fold (lowering a threshold only ADDS edges, so each
+    step folds just the new band) — oracle recomputes each threshold
+    from scratch, checking the fold==full identity itself."""
+    from mismo_spark.cluster.thresholds import components_at_thresholds
+    from mismo_spark.compare.enum import compare
+    from mismo_spark.linker.key import KeyLinker
+    from mismo_spark.types.linkage import Linkage
+
+    docs = _docs(spark, sf_dir)
+    lk = KeyLinker(["lang", "source"], task="dedupe")(docs)
+    pairs = Linkage(docs, docs, lk.links).links_with_both()
+    scored = _fs_weights_len().score_compared(
+        compare(pairs, _len_comparers())
+    )
+    return components_at_thresholds(
+        scored.select("record_id_l", "record_id_r", "odds"),
+        [50.0, 1.0],
+        docs.select("record_id"),
+    )
+
+
 def q_cluster_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-safe train/val/test assignment: the split is the md5
     hash of the dedup COMPONENT, so near-duplicates never straddle a
@@ -2045,6 +2068,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_prefilter": q_bloom_prefilter,
         "dup_lines": q_dup_lines,
         "line_dedupe": q_line_dedupe,
+        "cluster_thresholds": q_cluster_thresholds,
         "cluster_splits": q_cluster_splits,
         "perplexity": q_perplexity,
         "domain_quota": q_domain_quota,
@@ -3401,6 +3425,48 @@ def oracle_sql() -> dict[str, str]:
             FROM sel a JOIN ok USING (fp) JOIN sel b USING (fp)
             WHERE a.doc_id < b.doc_id
             GROUP BY a.doc_id, b.doc_id
+        """,
+        "cluster_thresholds": """
+            WITH RECURSIVE
+            d AS (SELECT doc_id, lang, source, n_chars FROM documents),
+            e50 AS (
+              SELECT a.doc_id AS u, b.doc_id AS v FROM d a JOIN d b
+                ON a.lang = b.lang AND a.source = b.source
+               AND a.n_chars = b.n_chars AND a.doc_id <> b.doc_id
+            ),
+            r50(u, v) AS (
+              SELECT u, v FROM e50
+              UNION
+              SELECT r.u, e.v FROM r50 r JOIN e50 e ON r.v = e.u
+            ),
+            a50 AS (
+              SELECT d.doc_id AS record_id,
+                     least(d.doc_id, coalesce(m.mn, d.doc_id)) AS component
+              FROM d LEFT JOIN (
+                SELECT u, min(v) AS mn FROM r50 GROUP BY u
+              ) m ON m.u = d.doc_id
+            ),
+            e1 AS (
+              SELECT a.doc_id AS u, b.doc_id AS v FROM d a JOIN d b
+                ON a.lang = b.lang AND a.source = b.source
+               AND abs(a.n_chars - b.n_chars) <= 20
+               AND a.doc_id <> b.doc_id
+            ),
+            r1(u, v) AS (
+              SELECT u, v FROM e1
+              UNION
+              SELECT r.u, e.v FROM r1 r JOIN e1 e ON r.v = e.u
+            ),
+            a1 AS (
+              SELECT d.doc_id AS record_id,
+                     least(d.doc_id, coalesce(m.mn, d.doc_id)) AS component
+              FROM d LEFT JOIN (
+                SELECT u, min(v) AS mn FROM r1 GROUP BY u
+              ) m ON m.u = d.doc_id
+            )
+            SELECT 50.0 AS threshold, record_id, component FROM a50
+            UNION ALL
+            SELECT 1.0 AS threshold, record_id, component FROM a1
         """,
         "cluster_splits": """
             WITH RECURSIVE
