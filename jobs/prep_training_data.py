@@ -17,6 +17,9 @@ DataFrame transform with a recorded row counter:
                                       opt-in via --max-boilerplate-frac)
       -> benchmark decontamination   (textqa.ngram_contamination against
                                       --benchmark, broadcast eval n-grams)
+      -> leakage-safe splits         (cluster_safe_splits over the
+                                      near-dup graph, opt-in via
+                                      --splits train=0.8,val=0.1,...)
       -> curated parquet + counters.json
 
 Usage (cluster):
@@ -127,6 +130,14 @@ def main(argv: list[str] | None = None) -> dict:
                     help="token window for --remove-dup-spans (Lee et "
                     "al. 2022 use 50-token windows)")
     ap.add_argument("--dup-span-min-count", type=int, default=2)
+    ap.add_argument("--splits", default=None,
+                    help="leakage-safe split column, e.g. "
+                    "'train=0.8,val=0.1,test=0.1' — assigned by the "
+                    "md5 of the near-dup CLUSTER so near-duplicates "
+                    "never straddle a boundary")
+    ap.add_argument("--split-min-jaccard", type=float, default=0.5,
+                    help="near-dup threshold for the split-clustering "
+                    "graph (looser than dedupe's, to catch survivors)")
     ap.add_argument("--seed", type=int, default=42)
     args = ap.parse_args(argv)
 
@@ -337,6 +348,39 @@ def main(argv: list[str] | None = None) -> dict:
             contaminated.select("record_id"), "record_id", "left_anti"
         )
         counters["after_decontamination"] = docs.count()
+
+    # -- leakage-safe split assignment --------------------------------------
+    if args.splits:
+        from mismo_spark.cluster.cc import connected_components
+        from mismo_spark.dedupe import minhash_near_duplicates
+        from mismo_spark.splits import cluster_safe_splits
+
+        fractions = {}
+        for part in args.splits.split(","):
+            name, _, frac = part.partition("=")
+            fractions[name.strip()] = float(frac)
+        # split by NEAR-DUP cluster so near-duplicates that survived
+        # dedupe thresholds still never straddle a boundary
+        pairs = minhash_near_duplicates(
+            docs,
+            text_column=args.text_col,
+            shingle_size=args.shingle_size,
+            band_size=args.lsh_band_size,
+            n_bands=args.lsh_n_bands,
+            min_jaccard=args.split_min_jaccard,
+            seed=args.seed,
+        )
+        comps = connected_components(
+            pairs.select("record_id_l", "record_id_r"),
+            docs.select("record_id"),
+            algorithm="star",
+        )
+        docs = cluster_safe_splits(docs, comps, fractions, seed=args.seed)
+        for name in fractions:
+            counters[f"split_{name}"] = docs.where(
+                F.col("split") == name
+            ).count()
+        docs = docs.drop("component")
 
     # -- write ------------------------------------------------------------
     out_path = f"{args.output}/documents.parquet"

@@ -374,3 +374,41 @@ def test_prep_training_data_perplexity_filter(spark, tmp_path):
     assert filtered["written_docs"] == no_filter["written_docs"] - 1
     kept = {r["doc_id"] for r in spark.read.parquet(f"{out}/documents.parquet").collect()}
     assert 20 not in kept
+
+
+def test_prep_training_data_splits(spark, tmp_path):
+    import hashlib
+
+    src = str(tmp_path / "docs.parquet")
+    # 30 disjoint near-dup pairs: (g, 100+g) share a unique vocabulary,
+    # no tokens shared across groups
+    rows = []
+    for g in range(30):
+        text = " ".join(f"tok{g}w{j}" for j in range(12))
+        rows.append((g, text, "en"))
+        rows.append((100 + g, text + f" extra{g}", "en"))
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string"
+    ).write.mode("overwrite").parquet(src)
+
+    out = str(tmp_path / "curated")
+    counters = prep_main([
+        "--input", src,
+        "--output", out,
+        "--id-col", "doc_id",
+        "--min-tokens", "1",
+        "--skip-neardup",
+        "--splits", "train=0.8,test=0.2",
+    ])
+    got = spark.read.parquet(f"{out}/documents.parquet").collect()
+    by_id = {r["doc_id"]: r["split"] for r in got}
+    assert counters["split_train"] + counters["split_test"] == len(got) == 60
+    # leakage-safety: each near-dup pair shares a split (30 components)
+    for g in range(30):
+        assert by_id[g] == by_id[100 + g], g
+    # exact replay: component label = min id of the pair = g
+    for g in range(30):
+        h = int(hashlib.md5(f"{g}|42".encode()).hexdigest()[:8], 16)
+        want = "train" if h / float(1 << 32) < 0.8 else "test"
+        assert by_id[g] == want, g
+    assert len(set(by_id.values())) == 2  # both splits used at 30 groups
