@@ -1844,6 +1844,101 @@ def _lsh_topk_oracle_sql(
     """
 
 
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) over planted near-dups: 4
+    seed-centroid cells (the 4 lowest-id vectors — zero Lloyd
+    iterations, so the oracle re-derives the centroids from the table
+    itself), within-cell exact-cosine pairs ≥ 0.95, connected dup
+    groups, and the paper's low-centroid-sim keep rule.  Duplicates are
+    planted as in q_embedding_near_dup (vec_id % 5 == 0 → a copy at
+    id+100000 with element 1 perturbed by +0.05, cosine ≈ 0.9988).
+    mismo_spark/ann/semdedup.py — assignment, pairing, CC and the keep
+    window are ALL value-checked by the recursive-CTE oracle."""
+    from mismo_spark.ann.semdedup import seed_centroids, semdedup
+
+    emb = _emb(spark, sf_dir)
+    v = F.col("embedding").cast("array<double>")
+    base = emb.select("vec_id", v.alias("embedding"))
+    pert = F.concat(
+        F.array(F.element_at(v, 1) + F.lit(0.05)), F.slice(v, 2, 63)
+    )
+    dups = emb.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), pert.alias("embedding")
+    )
+    allv = base.unionByName(dups)
+    cents = seed_centroids(allv, 4)
+    out = semdedup(allv, cents, min_cosine=0.95)
+    return out.select(
+        "vec_id",
+        "cell",
+        F.round("cent_cos", 6).alias("cent_cos"),
+        "component",
+        "keep",
+    )
+
+
+_SEMDEDUP_ORACLE_SQL = """
+    WITH RECURSIVE
+    b AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+    allv AS (
+      SELECT * FROM b
+      UNION ALL
+      SELECT id + 100000, [v[1] + 0.05] || v[2:] FROM b WHERE id % 5 = 0
+    ),
+    cents AS (
+      SELECT row_number() OVER (ORDER BY id) - 1 AS cell, v AS c
+      FROM (SELECT * FROM allv ORDER BY id LIMIT 4)
+    ),
+    sim AS (
+      SELECT a.id, cents.cell,
+             list_dot_product(a.v, cents.c)
+               / (sqrt(list_dot_product(a.v, a.v))
+                  * sqrt(list_dot_product(cents.c, cents.c))) AS cc
+      FROM allv a CROSS JOIN cents
+    ),
+    assign AS (
+      SELECT id, cell, cc AS cent_cos FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY id ORDER BY cc DESC, cell ASC
+        ) AS rn FROM sim
+      ) WHERE rn = 1
+    ),
+    pairs AS (
+      SELECT l.id AS pl, r.id AS pr
+      FROM assign l JOIN assign r ON l.cell = r.cell AND l.id < r.id
+      JOIN allv a ON a.id = l.id
+      JOIN allv c ON c.id = r.id
+      WHERE list_dot_product(a.v, c.v)
+              / (sqrt(list_dot_product(a.v, a.v))
+                 * sqrt(list_dot_product(c.v, c.v))) >= 0.95
+    ),
+    e AS (SELECT pl AS u, pr AS w FROM pairs
+          UNION SELECT pr, pl FROM pairs),
+    reach(u, w) AS (
+      SELECT u, w FROM e
+      UNION
+      SELECT r.u, e.w FROM reach r JOIN e ON r.w = e.u
+    ),
+    comp AS (
+      SELECT a.id, least(a.id, coalesce(m.mn, a.id)) AS component
+      FROM assign a LEFT JOIN (
+        SELECT u, min(w) AS mn FROM reach GROUP BY u
+      ) m ON m.u = a.id
+    ),
+    ranked AS (
+      SELECT a.id, a.cell, a.cent_cos, comp.component,
+             row_number() OVER (
+               PARTITION BY comp.component
+               ORDER BY a.cent_cos ASC, a.id ASC
+             ) AS rn
+      FROM assign a JOIN comp ON comp.id = a.id
+    )
+    SELECT id AS vec_id, cell::INT AS cell, round(cent_cos, 6) AS cent_cos,
+           component, (rn = 1) AS keep
+    FROM ranked
+"""
+
+
 def q_crawl_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time windowed crawl stats (mismo has no streaming; this is
     the engine's watermarked windowed-agg operator run in batch mode,
@@ -2095,6 +2190,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "address_match_level": q_address_match_level,
         "embedding_near_dup": q_embedding_near_dup,
         "lsh_topk": q_lsh_topk,
+        "semdedup": q_semdedup,
         "crawl_stats": q_crawl_stats,
         "unnest_linker": q_unnest_linker,
         "join_linker": q_join_linker,
@@ -4426,6 +4522,7 @@ def oracle_sql() -> dict[str, str]:
         "address_match_level": _address_level_oracle_sql(),
         "embedding_near_dup": _embedding_near_dup_oracle_sql(),
         "lsh_topk": _lsh_topk_oracle_sql(),
+        "semdedup": _SEMDEDUP_ORACLE_SQL,
         "crawl_stats": """
             WITH p AS (
               SELECT 'd' || (o_custkey % 50)::VARCHAR || '.com' AS domain,
