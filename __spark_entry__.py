@@ -1939,6 +1939,89 @@ _SEMDEDUP_ORACLE_SQL = """
 """
 
 
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023): pick the 50 documents
+    whose hashed-n-gram distribution (unigrams + bigrams, md5-hashed
+    into 1000 buckets) best matches the English subset, via importance
+    log-weights against add-1-smoothed bucket LMs and deterministic
+    Gumbel top-k resampling.  mismo_spark/textqa/dsir.py — feature
+    hashing, both LMs, the weights AND the sampled set replay
+    bit-for-bit in the DuckDB oracle (md5 arithmetic only, no
+    rand())."""
+    from mismo_spark.textqa.dsir import dsir_select
+
+    docs = _docs(spark, sf_dir)
+    out = dsir_select(
+        docs,
+        docs.filter(F.col("lang") == "en"),
+        k=50,
+        n_buckets=1000,
+        seed=0,
+        gumbel_seed=42,
+    )
+    return out.select(
+        "doc_id",
+        "n_grams",
+        F.round("log_weight", 6).alias("log_weight"),
+        F.round("key", 6).alias("key"),
+    )
+
+
+_DSIR_ORACLE_SQL = r"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             string_split_regex(lower(trim(text)), '\s+') AS t
+      FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+    ),
+    grams AS (
+      SELECT doc_id, lang, unnest(
+        list_transform(
+          t, x -> ('0x' || substr(md5(x || ':0'), 1, 8))::BIGINT % 1000
+        ) ||
+        list_filter(
+          list_transform(t, (x, i) -> CASE WHEN i < len(t) THEN
+            ('0x' || substr(md5(x || ' ' || t[i + 1] || ':0'),
+                            1, 8))::BIGINT % 1000 END),
+          b -> b IS NOT NULL
+        )
+      ) AS bucket
+      FROM toks
+    ),
+    t_counts AS (
+      SELECT bucket, count(*) AS n FROM grams WHERE lang = 'en' GROUP BY 1
+    ),
+    r_counts AS (SELECT bucket, count(*) AS n FROM grams GROUP BY 1),
+    t_tot AS (SELECT coalesce(sum(n), 0) AS total FROM t_counts),
+    r_tot AS (SELECT coalesce(sum(n), 0) AS total FROM r_counts),
+    score AS (
+      SELECT g.doc_id,
+             ln((coalesce(tc.n, 0) + 1.0) / (t_tot.total + 1000.0))
+               - ln((coalesce(rc.n, 0) + 1.0) / (r_tot.total + 1000.0))
+               AS lw
+      FROM grams g
+      LEFT JOIN t_counts tc USING (bucket)
+      LEFT JOIN r_counts rc USING (bucket)
+      CROSS JOIN t_tot CROSS JOIN r_tot
+    ),
+    per_doc AS (
+      SELECT doc_id, count(*) AS n_grams, sum(lw) AS lwsum
+      FROM score GROUP BY 1
+    ),
+    keyed AS (
+      SELECT d.doc_id, coalesce(p.n_grams, 0) AS n_grams,
+             coalesce(p.lwsum, 0.0) AS lw,
+             coalesce(p.lwsum, 0.0) + -ln(-ln(
+               (('0x' || substr(md5(d.doc_id::VARCHAR || '|42'),
+                               1, 8))::BIGINT + 1) / 4294967297.0
+             )) AS key
+      FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    )
+    SELECT doc_id, n_grams::BIGINT AS n_grams, round(lw, 6) AS log_weight,
+           round(key, 6) AS key
+    FROM keyed ORDER BY key DESC, doc_id LIMIT 50
+"""
+
+
 def q_crawl_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time windowed crawl stats (mismo has no streaming; this is
     the engine's watermarked windowed-agg operator run in batch mode,
@@ -2191,6 +2274,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "lsh_topk": q_lsh_topk,
         "semdedup": q_semdedup,
+        "dsir_select": q_dsir_select,
         "crawl_stats": q_crawl_stats,
         "unnest_linker": q_unnest_linker,
         "join_linker": q_join_linker,
@@ -4523,6 +4607,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dup": _embedding_near_dup_oracle_sql(),
         "lsh_topk": _lsh_topk_oracle_sql(),
         "semdedup": _SEMDEDUP_ORACLE_SQL,
+        "dsir_select": _DSIR_ORACLE_SQL,
         "crawl_stats": """
             WITH p AS (
               SELECT 'd' || (o_custkey % 50)::VARCHAR || '.com' AS domain,
