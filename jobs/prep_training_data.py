@@ -10,6 +10,9 @@ DataFrame transform with a recorded row counter:
       -> near-dup dedup, keep-first (dedupe.minhash_near_duplicates ->
                                      cluster.connected_components ->
                                      keep min doc per component)
+      -> semantic dedup              (ann.semdedup over --semdedup-
+                                      embeddings: within-centroid-cell
+                                      cosine groups, keep one per group)
       -> corpus line dedup           (textqa.line_dedupe, opt-in via
                                       --dedup-lines: every repeated line
                                       keeps only its first occurrence)
@@ -17,6 +20,9 @@ DataFrame transform with a recorded row counter:
                                       opt-in via --max-boilerplate-frac)
       -> benchmark decontamination   (textqa.ngram_contamination against
                                       --benchmark, broadcast eval n-grams)
+      -> DSIR selection              (textqa.dsir against --dsir-target:
+                                      keep the --dsir-k docs that look
+                                      most like the target distribution)
       -> leakage-safe splits         (cluster_safe_splits over the
                                       near-dup graph, opt-in via
                                       --splits train=0.8,val=0.1,...)
@@ -130,6 +136,31 @@ def main(argv: list[str] | None = None) -> dict:
                     help="token window for --remove-dup-spans (Lee et "
                     "al. 2022 use 50-token windows)")
     ap.add_argument("--dup-span-min-count", type=int, default=2)
+    ap.add_argument("--semdedup-embeddings", default=None,
+                    help="parquet of (id, embedding) vectors: enable "
+                    "SemDeDup semantic dedup (Abbas et al. 2023) — "
+                    "within-centroid-cell cosine groups, keep one doc "
+                    "per group (the paper's low-centroid-sim rule)")
+    ap.add_argument("--semdedup-id-col", default="doc_id",
+                    help="id column of --semdedup-embeddings matching "
+                    "the document ids")
+    ap.add_argument("--semdedup-vec-col", default="embedding")
+    ap.add_argument("--semdedup-min-cosine", type=float, default=0.95)
+    ap.add_argument("--semdedup-cells", type=int, default=64,
+                    help="number of k-means centroid cells (trained "
+                    "deterministically on a hash-ordered sample)")
+    ap.add_argument("--dsir-target", default=None,
+                    help="parquet of target-distribution documents: "
+                    "enable DSIR selection (Xie et al. 2023) — keep "
+                    "the --dsir-k docs whose hashed-n-gram "
+                    "distribution best matches this corpus")
+    ap.add_argument("--dsir-k", type=int, default=None,
+                    help="number of documents DSIR keeps (required "
+                    "with --dsir-target)")
+    ap.add_argument("--dsir-buckets", type=int, default=10_000)
+    ap.add_argument("--dsir-target-text-col", default=None,
+                    help="text column of the DSIR target corpus "
+                    "(default: --text-col)")
     ap.add_argument("--splits", default=None,
                     help="leakage-safe split column, e.g. "
                     "'train=0.8,val=0.1,test=0.1' — assigned by the "
@@ -227,6 +258,37 @@ def main(argv: list[str] | None = None) -> dict:
             )
         docs = docs.join(keep_ids.select("record_id"), "record_id", "left_semi")
         counters["after_neardup_dedupe"] = docs.count()
+
+    # -- SemDeDup: embedding-space semantic dedup ---------------------------
+    if args.semdedup_embeddings:
+        from mismo_spark.ann.ivf import train_centroids
+        from mismo_spark.ann.semdedup import semdedup
+
+        emb = spark.read.parquet(args.semdedup_embeddings).select(
+            F.col(args.semdedup_id_col).alias("record_id"),
+            F.col(args.semdedup_vec_col).alias("__v"),
+        )
+        # only surviving docs participate; docs WITHOUT an embedding
+        # pass through untouched (they can't be semantically compared)
+        emb = emb.join(docs.select("record_id"), "record_id", "left_semi")
+        cents = train_centroids(
+            emb,
+            id_column="record_id",
+            vec_column="__v",
+            n_lists=args.semdedup_cells,
+            seed=args.seed,
+        )
+        dropped = semdedup(
+            emb,
+            cents,
+            id_column="record_id",
+            vec_column="__v",
+            min_cosine=args.semdedup_min_cosine,
+        ).filter(~F.col("keep"))
+        docs = docs.join(
+            dropped.select("record_id"), "record_id", "left_anti"
+        )
+        counters["after_semdedup"] = docs.count()
 
     # -- Gopher quality screen ---------------------------------------------
     if args.gopher_rules:
@@ -348,6 +410,30 @@ def main(argv: list[str] | None = None) -> dict:
             contaminated.select("record_id"), "record_id", "left_anti"
         )
         counters["after_decontamination"] = docs.count()
+
+    # -- DSIR target-distribution selection ---------------------------------
+    if args.dsir_target:
+        if not args.dsir_k:
+            raise SystemExit("--dsir-k is required with --dsir-target")
+        from mismo_spark.textqa.dsir import dsir_select
+
+        target = spark.read.parquet(args.dsir_target)
+        tcol = args.dsir_target_text_col or args.text_col
+        selected = dsir_select(
+            docs.select("record_id", F.col(args.text_col).alias("__t")),
+            target.select(F.col(tcol).alias("__t")).withColumn(
+                "record_id", F.monotonically_increasing_id()
+            ),
+            k=args.dsir_k,
+            id_col="record_id",
+            text_col="__t",
+            n_buckets=args.dsir_buckets,
+            gumbel_seed=args.seed,
+        )
+        docs = docs.join(
+            selected.select("record_id"), "record_id", "left_semi"
+        )
+        counters["after_dsir_select"] = docs.count()
 
     # -- leakage-safe split assignment --------------------------------------
     if args.splits:

@@ -412,3 +412,95 @@ def test_prep_training_data_splits(spark, tmp_path):
         want = "train" if h / float(1 << 32) < 0.8 else "test"
         assert by_id[g] == want, g
     assert len(set(by_id.values())) == 2  # both splits used at 30 groups
+
+
+def test_prep_training_data_semdedup(spark, tmp_path):
+    src = str(tmp_path / "docs.parquet")
+    emb_src = str(tmp_path / "emb.parquet")
+    # 20 docs with distinct vocabularies (no minhash/exact dups), of
+    # which ids 0/1 and 2/3 are SEMANTIC duplicates (near-identical
+    # embeddings); ids 16..19 have no embedding at all
+    rows = [
+        (i, " ".join(f"w{i}x{j}" for j in range(12)), "en")
+        for i in range(20)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string"
+    ).write.mode("overwrite").parquet(src)
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    V = rng.randn(16, 8)
+    V[1] = V[0] + 0.01 * rng.randn(8)
+    V[3] = V[2] + 0.01 * rng.randn(8)
+    spark.createDataFrame(
+        [(i, [float(x) for x in V[i]]) for i in range(16)],
+        "doc_id long, embedding array<double>",
+    ).write.mode("overwrite").parquet(emb_src)
+
+    out = str(tmp_path / "curated")
+    counters = prep_main([
+        "--input", src,
+        "--output", out,
+        "--id-col", "doc_id",
+        "--min-tokens", "1",
+        "--skip-neardup",
+        "--semdedup-embeddings", emb_src,
+        "--semdedup-cells", "4",
+        "--semdedup-min-cosine", "0.99",
+    ])
+    # two semantic-dup groups lose one member each; un-embedded docs
+    # (16..19) pass through untouched
+    assert counters["after_semdedup"] == 18
+    got = {r["doc_id"] for r in
+           spark.read.parquet(f"{out}/documents.parquet").collect()}
+    assert {16, 17, 18, 19} <= got
+    assert len(got & {0, 1}) == 1 and len(got & {2, 3}) == 1
+
+
+def test_prep_training_data_dsir(spark, tmp_path):
+    src = str(tmp_path / "docs.parquet")
+    tgt_src = str(tmp_path / "target.parquet")
+    # raw: 20 target-like docs (shared vocab with target) + 20 unlike
+    a_words = ["alpha", "beta", "gamma", "delta"]
+    rows = []
+    for i in range(20):
+        # uniq token keeps the 20 texts distinct through exact dedup
+        text = " ".join(a_words[(i + j) % 4] for j in range(8))
+        rows.append((i, f"{text} uniq{i}", "en"))
+    for i in range(20, 40):
+        rows.append((i, " ".join(f"junk{i}t{j}" for j in range(8)), "en"))
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string"
+    ).write.mode("overwrite").parquet(src)
+    spark.createDataFrame(
+        [(1000 + i, " ".join(a_words[(i + j) % 4] for j in range(6)))
+         for i in range(10)],
+        "doc_id long, text string",
+    ).write.mode("overwrite").parquet(tgt_src)
+
+    out = str(tmp_path / "curated")
+    counters = prep_main([
+        "--input", src,
+        "--output", out,
+        "--id-col", "doc_id",
+        "--min-tokens", "1",
+        "--skip-neardup",
+        "--dsir-target", tgt_src,
+        "--dsir-k", "12",
+        "--dsir-buckets", "200",
+    ])
+    assert counters["after_dsir_select"] == 12
+    got = {r["doc_id"] for r in
+           spark.read.parquet(f"{out}/documents.parquet").collect()}
+    # selection is dominated by target-like docs
+    assert len(got) == 12
+    assert sum(1 for d in got if d < 20) >= 10
+    # --dsir-target without --dsir-k is a usage error
+    import pytest as _pytest
+    with _pytest.raises(SystemExit):
+        prep_main([
+            "--input", src, "--output", str(tmp_path / "c2"),
+            "--id-col", "doc_id", "--skip-neardup",
+            "--dsir-target", tgt_src,
+        ])
