@@ -144,21 +144,33 @@ def semantic_dup_pairs(
     max_cell_size: int | None = None,
     broadcast_vectors: bool | None = None,
     broadcast_max_bytes: int = 512 << 20,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """→ (id_l, id_r, cell, cosine) with id_l < id_r: within-cell pairs
     whose exact cosine ≥ ``min_cosine``.
 
     Slim-exchange shape: the self-join moves (id, cell) rows only;
     vectors come back via ONE broadcast-gated join per side for the
-    ``cosine_pairs`` recheck."""
+    ``cosine_pairs`` recheck.
+
+    ``assigned`` (optional): a precomputed (id_column, cell) DataFrame
+    from :func:`assign_cells` with the SAME centroids — lets callers
+    that already materialized the assignment (``semdedup``, or a corpus
+    stored partitioned by cell) skip a second full matmul pass over the
+    vectors."""
     v = F.col(vec_column).cast("array<double>")
-    assigned = assign_cells(
-        df.select(F.col(id_column).alias("__id"), v.alias("__v")),
-        centroids,
-        vec_column="__v",
-        cell_column="__cell",
-        cos_column="__cc",
-    ).select("__id", "__cell")
+    if assigned is None:
+        assigned = assign_cells(
+            df.select(F.col(id_column).alias("__id"), v.alias("__v")),
+            centroids,
+            vec_column="__v",
+            cell_column="__cell",
+            cos_column="__cc",
+        ).select("__id", "__cell")
+    else:
+        assigned = assigned.select(
+            F.col(id_column).alias("__id"), F.col("cell").alias("__cell")
+        )
     if max_cell_size is not None:
         w = Window.partitionBy("__cell")
         assigned = assigned.withColumn(
@@ -221,10 +233,14 @@ def semdedup(
         )
     from mismo_spark.cluster.cc import connected_components
 
+    # ONE assignment pass feeds both the keep rule (cent_cos) and the
+    # candidate self-join — persisted so the matmul UDF doesn't run
+    # once per consumer (two full corpus passes at scale otherwise)
     assigned = assign_cells(
         df, centroids, vec_column=vec_column,
         cell_column="cell", cos_column="cent_cos",
     ).select(id_column, "cell", "cent_cos")
+    assigned = assigned.persist()
     pairs = semantic_dup_pairs(
         df,
         centroids,
@@ -234,6 +250,7 @@ def semdedup(
         max_cell_size=max_cell_size,
         broadcast_vectors=broadcast_vectors,
         broadcast_max_bytes=broadcast_max_bytes,
+        assigned=assigned.select(id_column, "cell"),
     )
     comps = connected_components(
         pairs.select(

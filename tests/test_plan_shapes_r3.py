@@ -93,3 +93,48 @@ def test_cluster_events_aggregates_crosswalk(spark):
     out = cluster_events(old, new)
     out.collect()  # plan materializes without error; sanity on output
     assert out.count() > 0
+
+
+def test_semdedup_cell_join_carries_no_vectors(spark):
+    """The SemDeDup candidate self-join exchanges (id, cell) rows only:
+    no shuffle exchange in the plan may carry the embedding column —
+    vectors enter exclusively through the (broadcast) recheck joins."""
+    import numpy as np
+
+    from mismo_spark.ann.semdedup import semantic_dup_pairs
+
+    rng = np.random.RandomState(11)
+    V = rng.randn(80, 8)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in V[i]]) for i in range(80)],
+        "vec_id long, embedding array<double>",
+    )
+    out = semantic_dup_pairs(df, V[:4].copy(), min_cosine=0.9)
+    out.collect()
+    for ex in _shuffle_exchanges(out):
+        assert "embedding" not in ex and "__v" not in ex, ex
+
+
+def test_semdedup_single_assignment_pass(spark):
+    """semdedup feeds ONE assign_cells pass to both the keep rule and
+    the pairing (via the assigned= plumbing): the plan contains the
+    assignment UDF struct only where InMemoryTableScan replays it, and
+    the pair branch reuses the persisted assignment rather than
+    re-running ArrowEvalPython over the full corpus twice."""
+    import numpy as np
+
+    from mismo_spark.ann.semdedup import semdedup
+
+    rng = np.random.RandomState(12)
+    V = rng.randn(40, 8)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in V[i]]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    out = semdedup(df, V[:3].copy(), min_cosine=0.9)
+    out.collect()
+    plan = _plan(out)
+    # the persisted assignment appears as InMemoryTableScan on both
+    # consumer branches; the assignment UDF itself is not duplicated
+    # outside the cached plan
+    assert plan.count("InMemoryTableScan") >= 2, plan
