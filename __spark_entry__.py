@@ -1220,6 +1220,85 @@ def q_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram Stupid-Backoff self-scoring (Brants et al. 2007): seen
+    bigrams score ln P(w₂|w₁), unseen back off to α·P_uni(w₂), the
+    first token scores its unigram logp — word-ORDER-sensitive quality
+    screen (scrambled text keeps its unigram profile but loses its
+    bigram fit).  mismo_spark/textqa/lm.py bigram_lm /
+    bigram_perplexity."""
+    from mismo_spark.textqa.lm import bigram_perplexity
+
+    docs = _docs(spark, sf_dir)
+    out = bigram_perplexity(docs, id_col="doc_id")
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        F.round("cross_entropy", 6).alias("cross_entropy"),
+        F.round("perplexity", 6).alias("perplexity"),
+    )
+
+
+_BIGRAM_PPL_ORACLE_SQL = r"""
+    WITH tok AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+      FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+    ),
+    uni AS (SELECT unnest(t) AS token FROM tok),
+    ucounts AS (SELECT token, count(*) AS n FROM uni GROUP BY 1),
+    utot AS (SELECT sum(n) AS total, count(*) AS vocab FROM ucounts),
+    ulm AS (
+      SELECT token, ln((n + 1.0) / (total + 1.0 * (vocab + 1))) AS logp
+      FROM ucounts CROSS JOIN utot
+    ),
+    uunseen AS (
+      SELECT ln(1.0 / (total + 1.0 * (vocab + 1))) AS lp FROM utot
+    ),
+    bpairs AS (
+      SELECT (p).l AS l, (p).r AS r FROM (
+        SELECT unnest(list_filter(
+          list_transform(t, (x, i) -> CASE WHEN i < len(t)
+            THEN {'l': x, 'r': t[i + 1]} END),
+          s -> s IS NOT NULL
+        )) AS p
+        FROM tok
+      )
+    ),
+    c12 AS (SELECT l, r, count(*) AS n12 FROM bpairs GROUP BY 1, 2),
+    c1 AS (SELECT l, count(*) AS n1 FROM bpairs GROUP BY 1),
+    blm AS (
+      SELECT l, r, ln(n12::DOUBLE / n1) AS logp
+      FROM c12 JOIN c1 USING (l)
+    ),
+    stok AS (
+      SELECT doc_id, (s).tok AS tok, (s).prev AS prev FROM (
+        SELECT doc_id, unnest(list_transform(t, (x, i) ->
+          {'tok': x, 'prev': CASE WHEN i > 1 THEN t[i - 1] END})) AS s
+        FROM tok
+      )
+    ),
+    sc AS (
+      SELECT stok.doc_id,
+             CASE WHEN blm.logp IS NOT NULL THEN blm.logp
+                  WHEN stok.prev IS NOT NULL
+                    THEN ln(0.4) + coalesce(ulm.logp, uunseen.lp)
+                  ELSE coalesce(ulm.logp, uunseen.lp) END AS lp
+      FROM stok
+      LEFT JOIN blm ON blm.l = stok.prev AND blm.r = stok.tok
+      LEFT JOIN ulm ON ulm.token = stok.tok
+      CROSS JOIN uunseen
+    ),
+    per AS (
+      SELECT doc_id, count(*) AS n_tokens, -avg(lp) AS ce
+      FROM sc GROUP BY 1
+    )
+    SELECT d.doc_id, coalesce(per.n_tokens, 0)::BIGINT AS n_tokens,
+           round(per.ce, 6) AS cross_entropy,
+           round(exp(per.ce), 6) AS perplexity
+    FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
+"""
+
+
 def q_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-mix quota: at most 5 docs per source, preferring the
     longest, md5-hash tie-broken — deterministic domain balancing."""
@@ -2249,6 +2328,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_thresholds": q_cluster_thresholds,
         "cluster_splits": q_cluster_splits,
         "perplexity": q_perplexity,
+        "bigram_perplexity": q_bigram_perplexity,
         "domain_quota": q_domain_quota,
         "token_budget": q_token_budget,
         "histogram": q_histogram,
@@ -3680,6 +3760,7 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'test' END AS split
             FROM hashed
         """,
+        "bigram_perplexity": _BIGRAM_PPL_ORACLE_SQL,
         "perplexity": r"""
             WITH tok AS (
               SELECT doc_id,

@@ -117,6 +117,10 @@ def main(argv: list[str] | None = None) -> dict:
                          "repeated eligible line")
     ap.add_argument("--dedup-line-min-words", type=int, default=3)
     ap.add_argument("--dedup-line-min-count", type=int, default=2)
+    ap.add_argument("--perplexity-order", type=int, choices=(1, 2),
+                    default=1,
+                    help="LM order for --max-perplexity: 1 = unigram, "
+                    "2 = bigram Stupid Backoff (word-order-sensitive)")
     ap.add_argument("--max-perplexity", type=float, default=None,
                     help="drop docs whose unigram-LM self-perplexity "
                     "exceeds this (CCNet-style screen; the LM is "
@@ -336,11 +340,15 @@ def main(argv: list[str] | None = None) -> dict:
         )
         counters["after_line_dedup"] = docs.count()
 
-    # -- unigram-LM perplexity screen ---------------------------------------
+    # -- LM perplexity screen (unigram or bigram Stupid Backoff) ------------
     if args.max_perplexity is not None:
-        from mismo_spark.textqa.lm import unigram_perplexity
+        from mismo_spark.textqa.lm import bigram_perplexity, unigram_perplexity
 
-        ppl = unigram_perplexity(
+        score_fn = (
+            bigram_perplexity if args.perplexity_order == 2
+            else unigram_perplexity
+        )
+        ppl = score_fn(
             docs, id_col="record_id", text_col=args.text_col
         ).where(F.col("perplexity") > args.max_perplexity)
         docs = docs.join(ppl.select("record_id"), "record_id", "left_anti")

@@ -119,3 +119,135 @@ def unigram_perplexity(
         "cross_entropy",
         F.exp("cross_entropy").alias("perplexity"),
     )
+
+
+def bigram_lm(docs: DataFrame, *, text_col: str = "text") -> DataFrame:
+    """→ DataFrame(token_l, token_r, logp): MLE conditional bigram
+    log-probabilities ``ln(count(w₁w₂) / count(w₁))`` over the corpus's
+    lowercase whitespace tokens.  Unsmoothed on purpose — scoring backs
+    off to the (smoothed) unigram LM for unseen bigrams (Stupid
+    Backoff, Brants et al. 2007: no discounting, just α·P_uni), so the
+    bigram table only needs SEEN bigrams.
+
+    Plan: ONE explode of adjacent token pairs (a higher-order zip, no
+    second corpus pass), groupBy(w₁, w₂) with map-side combine, then a
+    broadcast-able join against the w₁ marginal (itself one groupBy of
+    the same pair table — Spark reuses the exchange)."""
+    toks = tokenize(F.lower(F.col(text_col)))
+    # F.get is 0-based and NULL-safe out of range (no ANSI index traps)
+    pairs_arr = F.filter(
+        F.transform(
+            toks,
+            lambda t, i: F.when(
+                i < F.size(toks) - 1,
+                F.struct(
+                    t.alias("token_l"),
+                    F.get(toks, i + F.lit(1)).alias("token_r"),
+                ),
+            ),
+        ),
+        lambda s: s.isNotNull(),
+    )
+    pairs = docs.select(F.explode(pairs_arr).alias("__p")).select(
+        "__p.token_l", "__p.token_r"
+    )
+    c12 = pairs.groupBy("token_l", "token_r").agg(
+        F.count(F.lit(1)).alias("__n12")
+    )
+    c1 = pairs.groupBy("token_l").agg(F.count(F.lit(1)).alias("__n1"))
+    return c12.join(c1, "token_l").select(
+        "token_l",
+        "token_r",
+        F.log(F.col("__n12") / F.col("__n1")).alias("logp"),
+    )
+
+
+def bigram_perplexity(
+    docs: DataFrame,
+    bigram: DataFrame | None = None,
+    unigram: DataFrame | None = None,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    backoff: float = 0.4,
+    k_smoothing: float = 1.0,
+    broadcast_lm: bool = True,
+) -> DataFrame:
+    """→ DataFrame(id_col, n_tokens, cross_entropy, perplexity):
+    per-document mean negative log Stupid-Backoff score — each token
+    after the first scores ``ln P(w₂|w₁)`` when the bigram was seen,
+    else ``ln α + logp_uni(w₂)``; the document's FIRST token (no left
+    context) scores its unigram logp with no backoff penalty.
+
+    Stupid Backoff scores are unnormalized (Brants et al. 2007 §4 —
+    deliberately not a probability distribution), so "perplexity" here
+    is exp(mean −ln S): a corpus-calibrated quality screen that ranks
+    documents exactly like CCNet's LM filter ranks them, not a true
+    held-out perplexity.  Defaults self-train both LMs on ``docs``;
+    pass foreign ``bigram``/``unigram`` tables (contracts:
+    ``bigram_lm`` / ``unigram_lm``, incl. the unigram NULL sentinel)
+    to replicate the reference-LM setup.
+
+    Scale note: ``broadcast_lm`` broadcasts both tables.  The SEEN
+    bigram table grows with the corpus (unlike the hashed-bucket LMs in
+    ``textqa.dsir``); past executor memory set ``broadcast_lm=False``
+    and the scoring join becomes a sort-merge on (token_l, token_r) —
+    or fit the LM on a sample, which is what a reference-LM deployment
+    does anyway."""
+    if backoff <= 0 or backoff > 1:
+        raise ValueError(f"backoff must be in (0, 1], got {backoff}")
+    if unigram is None:
+        unigram = unigram_lm(docs, text_col=text_col, k_smoothing=k_smoothing)
+        unigram = unigram.persist()
+    if bigram is None:
+        bigram = bigram_lm(docs, text_col=text_col)
+    uni_seen = unigram.where(F.col("token").isNotNull())
+    uni_unseen = unigram.where(F.col("token").isNull()).select(
+        F.col("logp").alias("__unseen_logp")
+    )
+    big = bigram.select(
+        F.col("token_l").alias("__prev"),
+        F.col("token_r").alias("token"),
+        F.col("logp").alias("__blp"),
+    )
+    if broadcast_lm:
+        uni_seen = F.broadcast(uni_seen)
+        big = F.broadcast(big)
+    toks = tokenize(F.lower(F.col(text_col)))
+    with_prev = F.transform(
+        toks,
+        lambda t, i: F.struct(
+            t.alias("token"),
+            # 0-based get(i-1) is NULL at i=0: the first token has no
+            # left context
+            F.get(toks, i - F.lit(1)).alias("prev"),
+        ),
+    )
+    exploded = docs.select(
+        F.col(id_col), F.explode(with_prev).alias("__t")
+    ).select(id_col, "__t.token", F.col("__t.prev").alias("__prev"))
+    scored = (
+        exploded.join(big, ["__prev", "token"], "left")
+        .join(uni_seen.withColumnRenamed("logp", "__ulp"), "token", "left")
+        .join(F.broadcast(uni_unseen), F.lit(True), "left")
+        .select(
+            id_col,
+            F.when(F.col("__blp").isNotNull(), F.col("__blp"))
+            .otherwise(
+                F.when(F.col("__prev").isNotNull(), F.log(F.lit(backoff)))
+                .otherwise(F.lit(0.0))
+                + F.coalesce("__ulp", "__unseen_logp")
+            )
+            .alias("__lp"),
+        )
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        (-F.avg("__lp")).alias("cross_entropy"),
+    )
+    return docs.select(id_col).join(per_doc, id_col, "left").select(
+        id_col,
+        F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+        "cross_entropy",
+        F.exp("cross_entropy").alias("perplexity"),
+    )

@@ -504,3 +504,38 @@ def test_prep_training_data_dsir(spark, tmp_path):
             "--id-col", "doc_id", "--skip-neardup",
             "--dsir-target", tgt_src,
         ])
+
+
+def test_prep_training_data_bigram_perplexity_filter(spark, tmp_path):
+    src = str(tmp_path / "docs.parquet")
+    common = "the cat sat on the mat and the dog sat on the rug"
+    scrambled = "mat the and sat dog the cat rug on the sat on the"
+    rows = [(i, common + f" v{i}", "en") for i in range(6)] + [
+        (20, scrambled, "en")  # same unigrams, broken word order
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string"
+    ).write.mode("overwrite").parquet(src)
+
+    out = str(tmp_path / "curated")
+    base = [
+        "--input", src, "--output", out, "--id-col", "doc_id",
+        "--min-tokens", "1", "--skip-neardup",
+    ]
+    from mismo_spark.textqa.lm import bigram_perplexity, unigram_perplexity
+
+    docs = spark.read.parquet(src).withColumn("record_id", F.col("doc_id"))
+    uni = {r["doc_id"]: r["perplexity"]
+           for r in unigram_perplexity(docs).collect()}
+    big = {r["doc_id"]: r["perplexity"]
+           for r in bigram_perplexity(docs).collect()}
+    # order-2 separates the scrambled doc far better than order-1
+    assert big[20] / big[0] > uni[20] / uni[0]
+    thr = (big[0] + big[20]) / 2
+    counters = prep_main(base + [
+        "--max-perplexity", str(thr), "--perplexity-order", "2",
+    ])
+    assert counters["after_perplexity_filter"] == 6
+    kept = {r["doc_id"] for r in
+            spark.read.parquet(f"{out}/documents.parquet").collect()}
+    assert 20 not in kept
