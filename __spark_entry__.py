@@ -1220,6 +1220,42 @@ def q_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance similarity join (Ed-Join q-gram prefix filtering,
+    mismo_spark/text/edjoin.py): all pairs of 20-char document prefixes
+    within Levenshtein distance 1, recall 1.0 by construction.
+    Near-matches are planted (doc_id % 7 == 0 → a copy at id+100000
+    with the first character substituted); the oracle is the BRUTE
+    FORCE quadratic levenshtein join, so the prefix filter's
+    no-false-negatives guarantee is itself value-checked."""
+    from mismo_spark.text.edjoin import edit_distance_pairs
+
+    docs = _docs(spark, sf_dir)
+    base = docs.select("record_id", F.substring("text", 1, 20).alias("name"))
+    pert = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("record_id") + 100000).alias("record_id"),
+        F.concat(F.lit("x"), F.substring("text", 2, 19)).alias("name"),
+    )
+    allr = base.unionByName(pert)
+    return edit_distance_pairs(allr, "name", max_distance=1, q=2)
+
+
+_EDIT_DISTANCE_ORACLE_SQL = """
+    WITH base AS (
+      SELECT doc_id AS id, substr(text, 1, 20) AS name FROM documents
+    ),
+    pert AS (
+      SELECT doc_id + 100000 AS id, 'x' || substr(text, 2, 19) AS name
+      FROM documents WHERE doc_id % 7 = 0
+    ),
+    allr AS (SELECT * FROM base UNION ALL SELECT * FROM pert)
+    SELECT l.id AS record_id_l, r.id AS record_id_r,
+           levenshtein(l.name, r.name) AS distance
+    FROM allr l JOIN allr r ON l.id < r.id
+    WHERE levenshtein(l.name, r.name) <= 1
+"""
+
+
 def q_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram Stupid-Backoff self-scoring (Brants et al. 2007): seen
     bigrams score ln P(w₂|w₁), unseen back off to α·P_uni(w₂), the
@@ -2329,6 +2365,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_splits": q_cluster_splits,
         "perplexity": q_perplexity,
         "bigram_perplexity": q_bigram_perplexity,
+        "edit_distance_pairs": q_edit_distance,
         "domain_quota": q_domain_quota,
         "token_budget": q_token_budget,
         "histogram": q_histogram,
@@ -3761,6 +3798,7 @@ def oracle_sql() -> dict[str, str]:
             FROM hashed
         """,
         "bigram_perplexity": _BIGRAM_PPL_ORACLE_SQL,
+        "edit_distance_pairs": _EDIT_DISTANCE_ORACLE_SQL,
         "perplexity": r"""
             WITH tok AS (
               SELECT doc_id,

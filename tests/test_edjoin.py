@@ -1,0 +1,104 @@
+"""Edit-distance similarity join (Ed-Join q-gram prefix filtering):
+brute-force parity on random mutated strings (the recall-1.0 guarantee
+itself), short-string routing, the d=0 fast path, nulls, validation.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from mismo_spark.text.edjoin import edit_distance_pairs
+
+
+def _brute(rows, d):
+    """Python reference: full quadratic Levenshtein."""
+
+    def lev(a, b):
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    out = set()
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            (ida, sa), (idb, sb) = rows[i], rows[j]
+            if sa is None or sb is None:
+                continue
+            if lev(sa, sb) <= d:
+                out.add((min(ida, idb), max(ida, idb)))
+    return out
+
+
+def _mutated_corpus(n=120, seed=5):
+    rng = random.Random(seed)
+    alpha = "abcdef"
+    base = ["".join(rng.choice(alpha) for _ in range(rng.randint(4, 12)))
+            for _ in range(n // 3)]
+    rows = []
+    for i in range(n):
+        s = rng.choice(base)
+        # random small mutations: substitute / insert / delete
+        for _ in range(rng.randint(0, 2)):
+            op = rng.choice("sid")
+            p = rng.randrange(len(s)) if s else 0
+            if op == "s" and s:
+                s = s[:p] + rng.choice(alpha) + s[p + 1:]
+            elif op == "i":
+                s = s[:p] + rng.choice(alpha) + s[p:]
+            elif s:
+                s = s[:p] + s[p + 1:]
+        rows.append((i, s))
+    # edge strings exercising the short path
+    rows += [(n, ""), (n + 1, "a"), (n + 2, "a"), (n + 3, "b"),
+             (n + 4, "ab"), (n + 5, None)]
+    return rows
+
+
+@pytest.mark.parametrize("d,q", [(1, 2), (2, 2), (1, 3), (2, 3)])
+def test_edit_distance_pairs_matches_bruteforce(spark, d, q):
+    rows = _mutated_corpus()
+    df = spark.createDataFrame(rows, "record_id long, name string")
+    got = {
+        (r["record_id_l"], r["record_id_r"])
+        for r in edit_distance_pairs(
+            df, "name", max_distance=d, q=q
+        ).collect()
+    }
+    assert got == _brute(rows, d)
+
+
+def test_edit_distance_pairs_distances_exact(spark):
+    rows = [(0, "kitten"), (1, "sitten"), (2, "sitting"), (3, "kitten")]
+    df = spark.createDataFrame(rows, "record_id long, name string")
+    got = {
+        (r["record_id_l"], r["record_id_r"]): r["distance"]
+        for r in edit_distance_pairs(df, "name", max_distance=2).collect()
+    }
+    assert got == {(0, 1): 1, (0, 3): 0, (1, 3): 1, (1, 2): 2}
+
+
+def test_edit_distance_zero_fast_path(spark):
+    rows = [(0, "x"), (1, "x"), (2, "y"), (3, None)]
+    df = spark.createDataFrame(rows, "record_id long, name string")
+    got = edit_distance_pairs(df, "name", max_distance=0).collect()
+    assert [(r["record_id_l"], r["record_id_r"], r["distance"])
+            for r in got] == [(0, 1, 0)]
+
+
+def test_edit_distance_validation(spark):
+    df = spark.createDataFrame([(0, "x")], "record_id long, name string")
+    with pytest.raises(ValueError, match="max_distance"):
+        edit_distance_pairs(df, "name", max_distance=-1)
+    with pytest.raises(ValueError, match="q must"):
+        edit_distance_pairs(df, "name", max_distance=1, q=0)
