@@ -1256,6 +1256,40 @@ _EDIT_DISTANCE_ORACLE_SQL = """
 """
 
 
+def q_edit_distance_link(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-table edit-distance linkage through the linker protocol
+    (mismo_spark/linker/edit.py EditDistanceLinker → text/edjoin.py
+    edit_distance_link): left = 20-char document prefixes, right = the
+    doc_id % 7 == 0 slice with the first character substituted.  Oracle
+    = brute-force quadratic cross-table levenshtein join."""
+    from mismo_spark.linker.edit import EditDistanceLinker
+
+    docs = _docs(spark, sf_dir)
+    left = docs.select("record_id", F.substring("text", 1, 20).alias("name"))
+    right = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("record_id") + 100000).alias("record_id"),
+        F.concat(F.lit("x"), F.substring("text", 2, 19)).alias("title"),
+    )
+    linkage = EditDistanceLinker(("name", "title"), max_distance=1)(
+        left, right
+    )
+    return linkage.links
+
+
+_EDIT_LINK_ORACLE_SQL = """
+    WITH l AS (
+      SELECT doc_id AS id, substr(text, 1, 20) AS name FROM documents
+    ),
+    r AS (
+      SELECT doc_id + 100000 AS id, 'x' || substr(text, 2, 19) AS title
+      FROM documents WHERE doc_id % 7 = 0
+    )
+    SELECT l.id AS record_id_l, r.id AS record_id_r,
+           levenshtein(l.name, r.title) AS distance
+    FROM l JOIN r ON levenshtein(l.name, r.title) <= 1
+"""
+
+
 def q_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram Stupid-Backoff self-scoring (Brants et al. 2007): seen
     bigrams score ln P(w₂|w₁), unseen back off to α·P_uni(w₂), the
@@ -2366,6 +2400,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "perplexity": q_perplexity,
         "bigram_perplexity": q_bigram_perplexity,
         "edit_distance_pairs": q_edit_distance,
+        "edit_distance_link": q_edit_distance_link,
         "domain_quota": q_domain_quota,
         "token_budget": q_token_budget,
         "histogram": q_histogram,
@@ -3799,6 +3834,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bigram_perplexity": _BIGRAM_PPL_ORACLE_SQL,
         "edit_distance_pairs": _EDIT_DISTANCE_ORACLE_SQL,
+        "edit_distance_link": _EDIT_LINK_ORACLE_SQL,
         "perplexity": r"""
             WITH tok AS (
               SELECT doc_id,

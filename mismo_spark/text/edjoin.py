@@ -181,3 +181,142 @@ def edit_distance_pairs(
         )
         .where(F.col("distance") <= d)
     )
+
+
+def edit_distance_link(
+    left: DataFrame,
+    right: DataFrame,
+    left_column,
+    right_column=None,
+    *,
+    max_distance: int,
+    q: int = 2,
+    id_col: str = "record_id",
+    pad_char: str = PAD_CHAR,
+    broadcast_records_max_bytes: int = 512 << 20,
+) -> DataFrame:
+    """Two-table form: all (left, right) pairs with
+    ``levenshtein ≤ max_distance`` — same exact filters as
+    :func:`edit_distance_pairs` (which covers the self-join/dedupe
+    case), with ONE shared global gram order computed over both sides'
+    grams so the prefix lemma holds across tables.
+
+    → (record_id_l, record_id_r, distance) — NOT deduplicated to
+    ``l < r`` (the ids live in different tables)."""
+    d = int(max_distance)
+    if d < 0:
+        raise ValueError(f"max_distance must be >= 0, got {max_distance}")
+    if q < 1:
+        raise ValueError(f"q must be >= 1, got {q}")
+    ls = bind_one(left, left_column)
+    rs = bind_one(right, right_column if right_column is not None else left_column)
+
+    def _recs(df, s):
+        return df.select(
+            F.col(id_col).alias("__id"),
+            s.alias("__s"),
+            F.length(s).alias("__len"),
+            _padded_grams(s, q=q, pad_char=pad_char).alias("__grams"),
+        ).where(F.col("__s").isNotNull())
+
+    lrec, rrec = _recs(left, ls), _recs(right, rs)
+    if d == 0:
+        return (
+            lrec.select(F.col("__id").alias("record_id_l"), "__s")
+            .join(
+                rrec.select(F.col("__id").alias("record_id_r"), "__s"), "__s"
+            )
+            .select("record_id_l", "record_id_r", F.lit(0).alias("distance"))
+        )
+    prefix_len = q * d + 1
+
+    # shared global order: document frequency over BOTH sides' grams
+    all_toks = lrec.select(F.explode("__grams").alias("gram")).unionByName(
+        rrec.select(F.explode("__grams").alias("gram"))
+    )
+    freq = all_toks.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+
+    def _prefix(recs):
+        toks = recs.select("__id", "__len", F.explode("__grams").alias("gram"))
+        ranked = (
+            toks.join(freq, "gram")
+            .groupBy("__id", "__len")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("df", "gram"))).alias("gs")
+            )
+        )
+        return ranked.select(
+            "__id",
+            "__len",
+            F.explode(F.slice("gs", 1, prefix_len)).alias("g"),
+        ).select("__id", "__len", F.col("g.gram").alias("gram"))
+
+    lp = _prefix(lrec.where(F.size("__grams") >= prefix_len)).alias("l")
+    rp = _prefix(rrec.where(F.size("__grams") >= prefix_len)).alias("r")
+    cand_long = (
+        lp.join(
+            rp,
+            on=[
+                F.col("l.gram") == F.col("r.gram"),
+                F.abs(F.col("l.__len") - F.col("r.__len")) <= F.lit(d),
+            ],
+        )
+        .select(
+            F.col("l.__id").alias("record_id_l"),
+            F.col("r.__id").alias("record_id_r"),
+        )
+        .distinct()
+    )
+
+    # short-string fallback, run from EACH side against the other
+    short_max_len = q * d - q + 1 + d
+
+    def _short_cands(short_side, other_side, short_is_left: bool):
+        shorts = short_side.where(F.size("__grams") < prefix_len).select(
+            "__id", "__len"
+        )
+        partners = other_side.where(F.col("__len") <= short_max_len).select(
+            F.col("__id").alias("__pid"), F.col("__len").alias("__plen")
+        )
+        probe = shorts.select(
+            "__id",
+            F.explode(
+                F.sequence(
+                    F.greatest(F.col("__len") - d, F.lit(0)),
+                    F.col("__len") + d,
+                )
+            ).alias("__plen"),
+        )
+        joined = probe.join(partners, "__plen")
+        if short_is_left:
+            return joined.select(
+                F.col("__id").alias("record_id_l"),
+                F.col("__pid").alias("record_id_r"),
+            )
+        return joined.select(
+            F.col("__pid").alias("record_id_l"),
+            F.col("__id").alias("record_id_r"),
+        )
+
+    cands = (
+        cand_long.unionByName(_short_cands(lrec, rrec, True))
+        .unionByName(_short_cands(rrec, lrec, False))
+        .dropDuplicates(["record_id_l", "record_id_r"])
+    )
+
+    lnarrow = lrec.select(F.col("__id").alias("__lvid"), F.col("__s").alias("__sl"))
+    rnarrow = rrec.select(F.col("__id").alias("__rvid"), F.col("__s").alias("__sr"))
+    if should_broadcast(lnarrow, max_bytes=broadcast_records_max_bytes):
+        lnarrow = F.broadcast(lnarrow)
+    if should_broadcast(rnarrow, max_bytes=broadcast_records_max_bytes):
+        rnarrow = F.broadcast(rnarrow)
+    return (
+        cands.join(lnarrow, cands["record_id_l"] == lnarrow["__lvid"])
+        .join(rnarrow, F.col("record_id_r") == rnarrow["__rvid"])
+        .select(
+            "record_id_l",
+            "record_id_r",
+            F.levenshtein(F.col("__sl"), F.col("__sr")).alias("distance"),
+        )
+        .where(F.col("distance") <= d)
+    )

@@ -102,3 +102,70 @@ def test_edit_distance_validation(spark):
         edit_distance_pairs(df, "name", max_distance=-1)
     with pytest.raises(ValueError, match="q must"):
         edit_distance_pairs(df, "name", max_distance=1, q=0)
+
+
+def test_edit_distance_link_matches_bruteforce(spark):
+    rows = _mutated_corpus(n=90, seed=9)
+    left = [(i, s) for i, s in rows if i % 2 == 0]
+    right = [(i, s) for i, s in rows if i % 2 == 1]
+    lf = spark.createDataFrame(left, "record_id long, name string")
+    rf = spark.createDataFrame(right, "record_id long, name string")
+    from mismo_spark.text.edjoin import edit_distance_link
+
+    for d in (1, 2):
+        got = {
+            (r["record_id_l"], r["record_id_r"])
+            for r in edit_distance_link(
+                lf, rf, "name", max_distance=d
+            ).collect()
+        }
+        exp = set()
+        full = _brute(left + right, d)
+        for a, b in full:
+            if a % 2 == 0 and b % 2 == 1:
+                exp.add((a, b))
+            elif a % 2 == 1 and b % 2 == 0:
+                exp.add((b, a))
+        assert got == exp
+
+
+def test_edit_distance_linker_protocol(spark):
+    from mismo_spark.linker.edit import EditDistanceLinker
+
+    df = spark.createDataFrame(
+        [(0, "kitten"), (1, "sitten"), (2, "apple"), (3, "kitten")],
+        "record_id long, name string",
+    )
+    lk = EditDistanceLinker("name", max_distance=1)
+    linkage = lk(df)
+    got = {
+        (r["record_id_l"], r["record_id_r"]): r["distance"]
+        for r in linkage.links.collect()
+    }
+    assert got == {(0, 1): 1, (0, 3): 0, (1, 3): 1}
+    # link task between two tables, per-side specs
+    rf = spark.createDataFrame(
+        [(100, "siten"), (101, "orange")], "record_id long, title string"
+    )
+    lk2 = EditDistanceLinker(("name", "title"), max_distance=2)
+    linkage2 = lk2(df, rf)
+    got2 = {
+        (r["record_id_l"], r["record_id_r"])
+        for r in linkage2.links.collect()
+    }
+    assert got2 == {(0, 100), (1, 100), (3, 100)}
+    # links_with_both re-joins attributes for downstream comparison
+    both = linkage2.links_with_both().columns
+    assert "name_l" in both and "title_r" in both
+
+
+def test_edit_distance_link_zero(spark):
+    from mismo_spark.text.edjoin import edit_distance_link
+
+    lf = spark.createDataFrame([(0, "x"), (1, "y")], "record_id long, name string")
+    rf = spark.createDataFrame([(7, "x"), (8, "x")], "record_id long, name string")
+    got = {
+        (r["record_id_l"], r["record_id_r"])
+        for r in edit_distance_link(lf, rf, "name", max_distance=0).collect()
+    }
+    assert got == {(0, 7), (0, 8)}
