@@ -1204,6 +1204,47 @@ def q_cluster_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("record_id", "component", "split")
 
 
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-leakage audit (mismo_spark/splits.py split_leakage_audit):
+    count near-dup pairs per (split_l, split_r) boundary.  Splits here
+    are deliberately PER-ROW (assign_splits — the leakage-prone naive
+    scheme) against KeyLinker(lang, source) pairs, so the audit
+    surfaces nonzero cross-split rows; cluster_safe_splits yields zero
+    by construction (pytest-pinned)."""
+    from mismo_spark.linker.key import KeyLinker
+    from mismo_spark.splits import assign_splits, split_leakage_audit
+
+    docs = _docs(spark, sf_dir)
+    naive = assign_splits(docs, {"train": 0.8, "test": 0.2})
+    pairs = KeyLinker(["lang", "source"], task="dedupe")(docs).links
+    return split_leakage_audit(naive, pairs)
+
+
+_SPLIT_LEAKAGE_ORACLE_SQL = """
+    WITH d AS (SELECT doc_id, lang, source FROM documents),
+    sp AS (
+      SELECT doc_id,
+             CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR || '|42'),
+                                       1, 8))::BIGINT / 4294967296.0 < 0.8
+                  THEN 'train' ELSE 'test' END AS split
+      FROM d
+    ),
+    e AS (
+      SELECT a.doc_id AS l, b.doc_id AS r FROM d a JOIN d b
+        ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+    ),
+    t AS (
+      SELECT least(sa.split, sb.split) AS split_l,
+             greatest(sa.split, sb.split) AS split_r
+      FROM e JOIN sp sa ON sa.doc_id = e.l
+             JOIN sp sb ON sb.doc_id = e.r
+    )
+    SELECT split_l, split_r, count(*) AS n_pairs,
+           split_l <> split_r AS leaked
+    FROM t GROUP BY 1, 2
+"""
+
+
 def q_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-LM self-perplexity (the CCNet-style quality screen with
     an in-engine MLE instead of KenLM): vocab-sized LM broadcast into
@@ -2401,6 +2442,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_perplexity": q_bigram_perplexity,
         "edit_distance_pairs": q_edit_distance,
         "edit_distance_link": q_edit_distance_link,
+        "split_leakage": q_split_leakage,
         "domain_quota": q_domain_quota,
         "token_budget": q_token_budget,
         "histogram": q_histogram,
@@ -3835,6 +3877,7 @@ def oracle_sql() -> dict[str, str]:
         "bigram_perplexity": _BIGRAM_PPL_ORACLE_SQL,
         "edit_distance_pairs": _EDIT_DISTANCE_ORACLE_SQL,
         "edit_distance_link": _EDIT_LINK_ORACLE_SQL,
+        "split_leakage": _SPLIT_LEAKAGE_ORACLE_SQL,
         "perplexity": r"""
             WITH tok AS (
               SELECT doc_id,

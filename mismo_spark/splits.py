@@ -124,3 +124,47 @@ def cluster_safe_splits(
     last = F.lit(names[-1])
     expr = last if expr is None else expr.otherwise(last)
     return joined.withColumn(out, expr)
+
+
+def split_leakage_audit(
+    docs: DataFrame,
+    pairs: DataFrame,
+    *,
+    id_col: str = "record_id",
+    split_col: str = "split",
+    broadcast_splits: bool | None = None,
+) -> DataFrame:
+    """→ one row per (split_l, split_r) with ``n_pairs``: where the
+    near-duplicate ``pairs`` (record_id_l, record_id_r) land relative
+    to the split boundaries — the pre-ship audit for a train/val/test
+    release.  Cross-split rows (split_l != split_r) are LEAKAGE:
+    ``cluster_safe_splits`` guarantees zero of them for the pair graph
+    its components were built from; a nonzero row means the splits were
+    assigned from a different (weaker) blocking than the audit's pairs.
+
+    ``split_l``/``split_r`` are canonicalized (ordered by split name)
+    so each unordered boundary appears once.  Plan: two broadcast-gated
+    joins of the narrow (id, split) table onto the pairs, one tiny
+    groupBy — never materializes anything per-record.
+    """
+    from mismo_spark._util import should_broadcast
+
+    s = docs.select(F.col(id_col).alias("__sid"), F.col(split_col).alias("__sp"))
+    if broadcast_splits is None:
+        broadcast_splits = should_broadcast(s)
+    if broadcast_splits:
+        s = F.broadcast(s)
+    tagged = (
+        pairs.join(s, pairs["record_id_l"] == F.col("__sid"))
+        .select("record_id_r", F.col("__sp").alias("__sl"))
+        .join(s, F.col("record_id_r") == F.col("__sid"))
+        .select(
+            F.least("__sl", "__sp").alias("split_l"),
+            F.greatest("__sl", "__sp").alias("split_r"),
+        )
+    )
+    return (
+        tagged.groupBy("split_l", "split_r")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .withColumn("leaked", F.col("split_l") != F.col("split_r"))
+    )

@@ -61,3 +61,34 @@ def test_fraction_validation(spark):
         assign_splits(df, {})
     with pytest.raises(ValueError):
         assign_splits(df, {"a": 1.5, "b": -0.5})
+
+
+def test_split_leakage_audit(spark):
+    from mismo_spark.splits import cluster_safe_splits, split_leakage_audit
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(40)], "record_id long"
+    )
+    pairs = spark.createDataFrame(
+        [(i, i + 20) for i in range(20)],
+        "record_id_l long, record_id_r long",
+    )
+    comps = spark.createDataFrame(
+        [(i, i % 20) for i in range(40)], "record_id long, component long"
+    )
+    safe = cluster_safe_splits(docs, comps, {"train": 0.7, "test": 0.3})
+    audit = split_leakage_audit(safe, pairs).collect()
+    # cluster-safe splits: zero cross-split pairs by construction
+    assert all(not r["leaked"] for r in audit)
+    assert sum(r["n_pairs"] for r in audit) == 20
+
+    # per-ROW splits (leakage-prone): the audit must surface straddlers
+    from mismo_spark.splits import assign_splits
+
+    naive = assign_splits(docs, {"train": 0.5, "test": 0.5})
+    audit2 = {
+        (r["split_l"], r["split_r"]): r["n_pairs"]
+        for r in split_leakage_audit(naive, pairs).collect()
+    }
+    assert sum(audit2.values()) == 20
+    assert audit2.get(("test", "train"), 0) > 0  # leakage detected
