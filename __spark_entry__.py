@@ -1204,6 +1204,105 @@ def q_cluster_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("record_id", "component", "split")
 
 
+_DE_LINE = "der hund ist nicht mit der katze und der maus"
+
+
+def q_line_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-line language composition
+    (mismo_spark/textqa line_lang_fractions): line-level lang_id →
+    per-doc fractions, dominant language, multilingual flag.  The raw
+    corpus is single-line, so every doc_id % 3 == 0 gets a fixed German
+    line appended — those become two-line mixed documents the
+    doc-level guess cannot represent."""
+    from mismo_spark.textqa import line_lang_fractions
+
+    docs = _docs(spark, sf_dir)
+    docs2 = docs.withColumn(
+        "text",
+        F.when(
+            (F.col("doc_id") % 3 == 0) & F.col("text").isNotNull(),
+            F.concat(F.col("text"), F.lit("\n" + _DE_LINE)),
+        ).otherwise(F.col("text")),
+    )
+    return line_lang_fractions(docs2, id_col="doc_id", min_fraction=0.2)
+
+
+def _line_langs_oracle_sql() -> str:
+    g = {
+        tag: _lang_markers_sql(words, col="line")
+        for tag, words in (("en", _EN), ("es", _ES), ("de", _DE), ("fr", _FR))
+    }
+    return f"""
+        WITH d AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 3 = 0 AND text IS NOT NULL
+                      THEN text || chr(10) || '{_DE_LINE}'
+                      ELSE text END AS text
+          FROM documents
+        ),
+        ne AS (
+          SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+          FROM d WHERE text IS NOT NULL
+        ),
+        nl AS (SELECT doc_id, line FROM ne WHERE trim(line) <> ''),
+        scored AS (
+          SELECT doc_id, {g['en']} AS s_en, {g['es']} AS s_es,
+                 {g['de']} AS s_de, {g['fr']} AS s_fr
+          FROM nl
+        ),
+        guessed AS (
+          SELECT doc_id, CASE
+            WHEN greatest(s_en, s_es, s_de, s_fr) <= 0 THEN 'und'
+            WHEN s_en = greatest(s_en, s_es, s_de, s_fr) THEN 'en'
+            WHEN s_es = greatest(s_en, s_es, s_de, s_fr) THEN 'es'
+            WHEN s_de = greatest(s_en, s_es, s_de, s_fr) THEN 'de'
+            WHEN s_fr = greatest(s_en, s_es, s_de, s_fr) THEN 'fr'
+            ELSE 'und' END AS l
+          FROM scored
+        ),
+        counts AS (
+          SELECT doc_id, count(*) AS n_lines,
+                 sum((l = 'en')::INT) AS c_en, sum((l = 'es')::INT) AS c_es,
+                 sum((l = 'de')::INT) AS c_de, sum((l = 'fr')::INT) AS c_fr,
+                 sum((l = 'und')::INT) AS c_und
+          FROM guessed GROUP BY 1
+        ),
+        stats AS (
+          SELECT doc_id, n_lines,
+                 round(c_en / n_lines::DOUBLE, 6) AS frac_en,
+                 round(c_es / n_lines::DOUBLE, 6) AS frac_es,
+                 round(c_de / n_lines::DOUBLE, 6) AS frac_de,
+                 round(c_fr / n_lines::DOUBLE, 6) AS frac_fr,
+                 round(c_und / n_lines::DOUBLE, 6) AS frac_und,
+                 CASE
+                   WHEN c_en = greatest(c_en, c_es, c_de, c_fr, c_und)
+                     THEN 'en'
+                   WHEN c_es = greatest(c_en, c_es, c_de, c_fr, c_und)
+                     THEN 'es'
+                   WHEN c_de = greatest(c_en, c_es, c_de, c_fr, c_und)
+                     THEN 'de'
+                   WHEN c_fr = greatest(c_en, c_es, c_de, c_fr, c_und)
+                     THEN 'fr'
+                   ELSE 'und' END AS dominant_lang,
+                 ((c_en / n_lines::DOUBLE >= 0.2)::INT
+                  + (c_es / n_lines::DOUBLE >= 0.2)::INT
+                  + (c_de / n_lines::DOUBLE >= 0.2)::INT
+                  + (c_fr / n_lines::DOUBLE >= 0.2)::INT) >= 2
+                   AS is_multilingual
+          FROM counts
+        )
+        SELECT doc.doc_id, coalesce(s.n_lines, 0)::BIGINT AS n_lines,
+               coalesce(s.frac_en, 0.0) AS frac_en,
+               coalesce(s.frac_es, 0.0) AS frac_es,
+               coalesce(s.frac_de, 0.0) AS frac_de,
+               coalesce(s.frac_fr, 0.0) AS frac_fr,
+               coalesce(s.frac_und, 0.0) AS frac_und,
+               coalesce(s.dominant_lang, 'und') AS dominant_lang,
+               coalesce(s.is_multilingual, false) AS is_multilingual
+        FROM documents doc LEFT JOIN stats s ON s.doc_id = doc.doc_id
+    """
+
+
 def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Split-leakage audit (mismo_spark/splits.py split_leakage_audit):
     count near-dup pairs per (split_l, split_r) boundary.  Splits here
@@ -2443,6 +2542,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edit_distance_pairs": q_edit_distance,
         "edit_distance_link": q_edit_distance_link,
         "split_leakage": q_split_leakage,
+        "line_langs": q_line_langs,
         "domain_quota": q_domain_quota,
         "token_budget": q_token_budget,
         "histogram": q_histogram,
@@ -2527,9 +2627,10 @@ def _scheme_metrics_sql(name: str, cond: str) -> str:
     """
 
 
-def _lang_markers_sql(words: list[str]) -> str:
+def _lang_markers_sql(words: list[str], col: str = "text") -> str:
     arr = ", ".join(f"'{w}'" for w in words)
-    return f"len(list_intersect({_TOKENS}, [{arr}]))"
+    toks = _TOKENS if col == "text" else _TOKENS.replace("text", col)
+    return f"len(list_intersect({toks}, [{arr}]))"
 
 
 def _simhash_oracle_sql(
@@ -3878,6 +3979,7 @@ def oracle_sql() -> dict[str, str]:
         "edit_distance_pairs": _EDIT_DISTANCE_ORACLE_SQL,
         "edit_distance_link": _EDIT_LINK_ORACLE_SQL,
         "split_leakage": _SPLIT_LEAKAGE_ORACLE_SQL,
+        "line_langs": _line_langs_oracle_sql(),
         "perplexity": r"""
             WITH tok AS (
               SELECT doc_id,

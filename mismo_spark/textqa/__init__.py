@@ -99,3 +99,74 @@ def fingerprint_hex(text: Column, *, normalize: bool = True) -> Column:
     if normalize:
         t = F.lower(F.regexp_replace(F.trim(text), r"\s+", " "))
     return F.md5(t)
+
+
+def line_lang_fractions(
+    docs,
+    *,
+    id_col: str = "record_id",
+    text_col: str = "text",
+    min_fraction: float = 0.2,
+):
+    """→ DataFrame(id_col, n_lines, frac_en, frac_es, frac_de, frac_fr,
+    frac_und, dominant_lang, is_multilingual): per-document language
+    COMPOSITION from line-level ``lang_id`` — the multilingual-page
+    handler a document-level guess can't provide (a page that is 60%
+    English boilerplate and 40% German content gets one doc-level
+    label; per-line fractions expose the mix so curation can split,
+    keep or drop it deliberately).
+
+    ``dominant_lang`` ties resolve in the fixed marker order
+    (en, es, de, fr, und); ``is_multilingual`` is true when ≥ 2 real
+    languages (not 'und') each hold ≥ ``min_fraction`` of the lines.
+    Documents with no non-empty lines get n_lines 0, zero fractions,
+    dominant 'und'.
+
+    Plan: one explode over lines, per-line ``lang_id`` (pure column
+    algebra inside the generator), ONE groupBy(id) of conditional sums
+    (map-side combine) — no second corpus pass, no UDF."""
+    langs = list(_LANG_MARKERS)
+    lines = docs.select(
+        F.col(id_col).alias("__id"),
+        F.explode(F.split(F.col(text_col), "\n")).alias("__line"),
+    ).where(F.trim(F.col("__line")) != "")
+    tagged = lines.select("__id", lang_id(F.col("__line")).alias("__l"))
+    counts = tagged.groupBy("__id").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        *[
+            F.sum((F.col("__l") == lang).cast("long")).alias(f"__c_{lang}")
+            for lang in langs + ["und"]
+        ],
+    )
+    n = F.col("n_lines")
+    best = F.greatest(*[F.col(f"__c_{lang}") for lang in langs + ["und"]])
+    dom = F.lit("und")
+    for lang in reversed(langs + ["und"]):
+        dom = F.when(F.col(f"__c_{lang}") == best, F.lit(lang)).otherwise(dom)
+    n_real = sum(
+        (
+            (F.col(f"__c_{lang}") / n) >= F.lit(float(min_fraction))
+        ).cast("int")
+        for lang in langs
+    )
+    out = counts.select(
+        F.col("__id").alias(id_col),
+        "n_lines",
+        *[
+            F.round(F.col(f"__c_{lang}") / n, 6).alias(f"frac_{lang}")
+            for lang in langs + ["und"]
+        ],
+        dom.alias("dominant_lang"),
+        (n_real >= 2).alias("is_multilingual"),
+    )
+    base = docs.select(F.col(id_col))
+    return base.join(out, id_col, "left").select(
+        id_col,
+        F.coalesce("n_lines", F.lit(0)).cast("long").alias("n_lines"),
+        *[
+            F.coalesce(f"frac_{lang}", F.lit(0.0)).alias(f"frac_{lang}")
+            for lang in langs + ["und"]
+        ],
+        F.coalesce("dominant_lang", F.lit("und")).alias("dominant_lang"),
+        F.coalesce("is_multilingual", F.lit(False)).alias("is_multilingual"),
+    )

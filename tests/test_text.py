@@ -147,3 +147,43 @@ def test_monge_elkan(spark):
     rev = one.select(monge_elkan(F.col("b"), F.col("a")).alias("v")).first()["v"]
     assert fwd == pytest.approx(1.0)
     assert rev < fwd
+
+
+def test_line_lang_fractions(spark):
+    from mismo_spark.textqa import line_lang_fractions
+
+    docs = spark.createDataFrame(
+        [
+            # 2 en lines + 1 de line -> multilingual, dominant en
+            (1, "the cat is in the house for now\n"
+                "this is the end of the story\n"
+                "der hund ist nicht mit der katze"),
+            # pure es
+            (2, "el perro que corre por la casa\nla vida es una caja"),
+            # gibberish -> und
+            (3, "zzz qqq xxx"),
+            # empty + whitespace-only lines
+            (4, "\n   \n"),
+            (5, None),
+        ],
+        "record_id long, text string",
+    )
+    rows = {r["record_id"]: r for r in line_lang_fractions(docs).collect()}
+    assert len(rows) == 5
+    r1 = rows[1]
+    assert r1["n_lines"] == 3
+    assert r1["frac_en"] == pytest.approx(2 / 3, abs=1e-6)
+    assert r1["frac_de"] == pytest.approx(1 / 3, abs=1e-6)
+    assert r1["dominant_lang"] == "en"
+    assert r1["is_multilingual"] is True
+    r2 = rows[2]
+    assert (r2["dominant_lang"], r2["is_multilingual"]) == ("es", False)
+    assert r2["frac_es"] == pytest.approx(1.0)
+    r3 = rows[3]
+    assert (r3["dominant_lang"], r3["frac_und"]) == ("und", 1.0)
+    for empty_id in (4, 5):
+        r = rows[empty_id]
+        assert r["n_lines"] == 0
+        assert r["dominant_lang"] == "und"
+        assert r["is_multilingual"] is False
+        assert r["frac_en"] == 0.0
