@@ -122,9 +122,12 @@ def main(argv: list[str] | None = None) -> dict:
                     help="LM order for --max-perplexity: 1 = unigram, "
                     "2 = bigram Stupid Backoff (word-order-sensitive)")
     ap.add_argument("--max-perplexity", type=float, default=None,
-                    help="drop docs whose unigram-LM self-perplexity "
-                    "exceeds this (CCNet-style screen; the LM is "
-                    "trained on the surviving corpus itself)")
+                    help="drop docs whose LM self-perplexity exceeds "
+                    "this (CCNet-style screen; LM trained on the "
+                    "surviving corpus itself). --perplexity-order "
+                    "picks the LM: 1 = unigram perplexity, 2 = bigram "
+                    "Stupid-Backoff score exp(mean -ln S) — an "
+                    "UNNORMALIZED scale, tune the threshold per order")
     ap.add_argument("--max-dup-line-frac", type=float, default=None,
                     help="Gopher-style repetition filter: drop docs whose "
                     "duplicate-line fraction exceeds this (e.g. 0.30)")
@@ -265,8 +268,10 @@ def main(argv: list[str] | None = None) -> dict:
 
     # -- SemDeDup: embedding-space semantic dedup ---------------------------
     if args.semdedup_embeddings:
+        from pyspark.sql import Window
+
         from mismo_spark.ann.ivf import train_centroids
-        from mismo_spark.ann.semdedup import semdedup
+        from mismo_spark.ann.semdedup import assign_cells, semdedup
 
         emb = spark.read.parquet(args.semdedup_embeddings).select(
             F.col(args.semdedup_id_col).alias("record_id"),
@@ -275,6 +280,18 @@ def main(argv: list[str] | None = None) -> dict:
         # only surviving docs participate; docs WITHOUT an embedding
         # pass through untouched (they can't be semantically compared)
         emb = emb.join(docs.select("record_id"), "record_id", "left_semi")
+        # re-run embedding jobs commonly leave duplicate rows per id;
+        # a duplicated id would get a spurious keep=False rank in the
+        # keep window and delete a doc with NO semantic duplicate —
+        # keep one row per id, deterministically (vector-hash order)
+        w_dup = Window.partitionBy("record_id").orderBy(
+            F.xxhash64(F.to_json(F.struct("__v")))
+        )
+        emb = (
+            emb.withColumn("__rn", F.row_number().over(w_dup))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
         cents = train_centroids(
             emb,
             id_column="record_id",
@@ -282,17 +299,26 @@ def main(argv: list[str] | None = None) -> dict:
             n_lists=args.semdedup_cells,
             seed=args.seed,
         )
+        # caller-managed assignment cache: unpersist after the counter
+        # materializes, so the corpus-sized table doesn't pin executor
+        # memory through the remaining funnel stages
+        assigned = assign_cells(
+            emb, cents, vec_column="__v",
+            cell_column="cell", cos_column="cent_cos",
+        ).select("record_id", "cell", "cent_cos").persist()
         dropped = semdedup(
             emb,
             cents,
             id_column="record_id",
             vec_column="__v",
             min_cosine=args.semdedup_min_cosine,
+            assigned=assigned,
         ).filter(~F.col("keep"))
         docs = docs.join(
             dropped.select("record_id"), "record_id", "left_anti"
-        )
+        ).persist()
         counters["after_semdedup"] = docs.count()
+        assigned.unpersist()
 
     # -- Gopher quality screen ---------------------------------------------
     if args.gopher_rules:
@@ -427,11 +453,11 @@ def main(argv: list[str] | None = None) -> dict:
 
         target = spark.read.parquet(args.dsir_target)
         tcol = args.dsir_target_text_col or args.text_col
+        # target rows need no ids: dsir_select only reads target text
+        # (the Gumbel keys come from RAW ids)
         selected = dsir_select(
             docs.select("record_id", F.col(args.text_col).alias("__t")),
-            target.select(F.col(tcol).alias("__t")).withColumn(
-                "record_id", F.monotonically_increasing_id()
-            ),
+            target.select(F.col(tcol).alias("__t")),
             k=args.dsir_k,
             id_col="record_id",
             text_col="__t",

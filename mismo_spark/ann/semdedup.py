@@ -81,7 +81,12 @@ def _assign_with_cos_udf(centroids: np.ndarray):
     """pandas UDF → struct<cell:int, cent_cos:double>: the argmax-cosine
     centroid id (ties → lowest cell, numpy argmax picks the first) and
     the cosine to it.  One matmul per Arrow batch; k×dim is closed over
-    (tiny — it fits in every executor by construction)."""
+    (tiny — it fits in every executor by construction).
+
+    NULL and ZERO-NORM vectors get cell NULL and cent_cos NULL — the
+    same convention as ``cosine_pairs`` (a zero vector has no
+    direction, so no nearest cell), never NaN (NaN compares false,
+    poisons averages, and sorts ABOVE real cosines under F.desc)."""
     cn = np.sqrt(np.einsum("ij,ij->i", centroids, centroids))
 
     @F.pandas_udf(
@@ -107,8 +112,12 @@ def _assign_with_cos_udf(centroids: np.ndarray):
             best = np.argmax(np.nan_to_num(cos, nan=-np.inf), axis=1)
             cells[valid] = best.astype("int32")
             coss[valid] = cos[np.arange(len(best)), best]
+            # zero-norm rows resolved to NaN cosine → treat as invalid
+            zero = np.flatnonzero(valid)[np.isnan(coss[valid])]
+            valid[zero] = False
         out = pd.DataFrame({"cell": cells, "cent_cos": coss})
         out.loc[~valid, "cell"] = None
+        out.loc[~valid, "cent_cos"] = None
         return out
 
     return assign
@@ -217,15 +226,29 @@ def semdedup(
     max_cell_size: int | None = None,
     broadcast_vectors: bool | None = None,
     broadcast_max_bytes: int = 512 << 20,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """→ (``id_column``, cell, cent_cos, component, keep): every input
     record with its duplicate-group id and a boolean ``keep`` flag —
     exactly one kept member per group (singletons keep their row).
+    Ids must be unique: a duplicated id never pairs with itself
+    (id_l < id_r), but its extra assignment rows would each get their
+    own rank in the keep window — one marked keep=False despite having
+    no duplicate.
 
     ``keep="low_centroid_sim"`` is the paper's rule (the member LEAST
     like its centroid survives — §4.1's best-performing variant);
     ``"high_centroid_sim"`` keeps the most central member.  Ties break
-    on the id, so the flag is deterministic."""
+    on the id, so the flag is deterministic.
+
+    ``assigned`` (optional): a precomputed
+    :func:`assign_cells` output (id_column, cell, cent_cos) for these
+    exact centroids — pass it (persisted) to manage caching yourself.
+    When omitted, the internally computed assignment is persisted (it
+    feeds BOTH the keep rule and the pairing — two full matmul corpus
+    passes otherwise) and stays cached until the application releases
+    it; long multi-stage jobs should prefer the ``assigned=`` form and
+    unpersist after materializing the result."""
     if keep not in ("low_centroid_sim", "high_centroid_sim"):
         raise ValueError(
             "keep must be 'low_centroid_sim' or 'high_centroid_sim', "
@@ -233,14 +256,14 @@ def semdedup(
         )
     from mismo_spark.cluster.cc import connected_components
 
-    # ONE assignment pass feeds both the keep rule (cent_cos) and the
-    # candidate self-join — persisted so the matmul UDF doesn't run
-    # once per consumer (two full corpus passes at scale otherwise)
-    assigned = assign_cells(
-        df, centroids, vec_column=vec_column,
-        cell_column="cell", cos_column="cent_cos",
-    ).select(id_column, "cell", "cent_cos")
-    assigned = assigned.persist()
+    if assigned is None:
+        assigned = assign_cells(
+            df, centroids, vec_column=vec_column,
+            cell_column="cell", cos_column="cent_cos",
+        ).select(id_column, "cell", "cent_cos")
+        assigned = assigned.persist()
+    else:
+        assigned = assigned.select(id_column, "cell", "cent_cos")
     pairs = semantic_dup_pairs(
         df,
         centroids,

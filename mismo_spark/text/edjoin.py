@@ -19,13 +19,18 @@ Filter theory (why the plan is exact):
   the mismatch bound);
 * length filter ``||s|−|t|| ≤ d`` prunes inside the join condition.
 
-Strings TOO SHORT for the pigeonhole (fewer than q·d + 1 distinct
-grams — all their grams could be destroyed) route through a separate
-length-bucket join: each short record explodes to the d+1 ... 2d+1
-candidate partner LENGTHS and equi-joins records on length.  Both
-sides of that join are bounded by construction (a partner of a short
-string is itself short), so the fallback never goes quadratic on the
-corpus.
+Strings with fewer than q·d + 1 DISTINCT grams cannot use the
+pigeonhole (all their gram types could be destroyed) — that covers
+both genuinely short strings AND longer low-gram-diversity strings
+("aaaaaaaa" has 3 distinct padded bigrams).  These route through a
+length-bucket fallback join: each low-diversity record explodes to
+its 2d+1 candidate partner LENGTHS and equi-joins ALL records on
+exact length (no length cap on the partner side — a low-diversity
+string's match can be arbitrary, only the ±d length window is
+sound).  The fallback's volume is |low-diversity records| × the
+matched length buckets; low-diversity strings are rare in natural
+key fields, and the exactness of the operator must not depend on a
+bound that only holds for short strings.
 
 Like the Jaccard ssjoin, the prefix holds the globally RAREST grams,
 so candidate buckets are small by construction (anti-skew without
@@ -136,12 +141,14 @@ def edit_distance_pairs(
         .distinct()
     )
 
-    # ---- short path: length-bucket join (bounded by construction) -------
-    # a short record has < q·d + 1 padded grams ⇒ length ≤ q·d − q + 1;
-    # its partners have length ≤ that + d, so BOTH join sides are short
+    # ---- fallback: length-bucket join for low-gram-diversity strings ----
+    # < q·d + 1 DISTINCT grams ⇒ the pigeonhole gives no guarantee, so
+    # these records probe ALL records at lengths within ±d (no partner
+    # length cap: "aaaaaaaa" is length 8 with only 3 distinct bigrams,
+    # and its distance-2 partner "aaaaaa" is length 6 — a cap derived
+    # from the gram count would wrongly exclude it)
     shorts = recs.where(F.size("__grams") < prefix_len).select("__id", "__len")
-    short_max_len = q * d - q + 1 + d
-    partners = recs.where(F.col("__len") <= short_max_len).select(
+    partners = recs.select(
         F.col("__id").alias("__pid"), F.col("__len").alias("__plen")
     )
     probe = shorts.select(
@@ -268,14 +275,13 @@ def edit_distance_link(
         .distinct()
     )
 
-    # short-string fallback, run from EACH side against the other
-    short_max_len = q * d - q + 1 + d
-
+    # low-gram-diversity fallback, run from EACH side against the other
+    # (length-bucket probe, no partner length cap — see module docstring)
     def _short_cands(short_side, other_side, short_is_left: bool):
         shorts = short_side.where(F.size("__grams") < prefix_len).select(
             "__id", "__len"
         )
-        partners = other_side.where(F.col("__len") <= short_max_len).select(
+        partners = other_side.select(
             F.col("__id").alias("__pid"), F.col("__len").alias("__plen")
         )
         probe = shorts.select(

@@ -198,6 +198,8 @@ def bigram_perplexity(
         raise ValueError(f"backoff must be in (0, 1], got {backoff}")
     if unigram is None:
         unigram = unigram_lm(docs, text_col=text_col, k_smoothing=k_smoothing)
+        # vocab-sized (small); stays cached for the application — pass
+        # your own LM tables to manage caching in long pipelines
         unigram = unigram.persist()
     if bigram is None:
         bigram = bigram_lm(docs, text_col=text_col)

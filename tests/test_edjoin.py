@@ -169,3 +169,48 @@ def test_edit_distance_link_zero(spark):
         for r in edit_distance_link(lf, rf, "name", max_distance=0).collect()
     }
     assert got == {(0, 7), (0, 8)}
+
+
+def test_low_gram_diversity_strings_recall(spark):
+    """Regression: repetitive strings have few DISTINCT grams even when
+    long ('aaaaaaaa' → 3 padded bigrams), so they can't use the prefix
+    pigeonhole — the fallback must probe ALL lengths within ±d, not a
+    cap derived from gram counts."""
+    rows = [(0, "aaaaaaaa"), (1, "aaaaaa"), (2, "abababab"), (3, "ababab"),
+            (4, "cdcdcdcd")]
+    df = spark.createDataFrame(rows, "record_id long, name string")
+    got = {
+        (r["record_id_l"], r["record_id_r"]): r["distance"]
+        for r in edit_distance_pairs(df, "name", max_distance=2).collect()
+    }
+    assert got == {(0, 1): 2, (2, 3): 2}
+    # link form: same corpus split across two tables
+    from mismo_spark.text.edjoin import edit_distance_link
+
+    lf = spark.createDataFrame(rows[:2], "record_id long, name string")
+    rf = spark.createDataFrame(rows[2:], "record_id long, name string")
+    lf2 = spark.createDataFrame([(10, "ababab")], "record_id long, name string")
+    got2 = {
+        (r["record_id_l"], r["record_id_r"])
+        for r in edit_distance_link(lf2, rf, "name", max_distance=2).collect()
+    }
+    assert got2 == {(10, 2), (10, 3)}
+
+
+def test_bruteforce_parity_repetitive_corpus(spark):
+    import random
+
+    rng = random.Random(17)
+    rows = []
+    for i in range(60):
+        ch = rng.choice("ab")
+        rows.append((i, ch * rng.randint(1, 10)))
+    for i in range(60, 90):
+        rows.append((i, "".join(rng.choice("ab") for _ in range(rng.randint(2, 8)))))
+    df = spark.createDataFrame(rows, "record_id long, name string")
+    for d in (1, 2):
+        got = {
+            (r["record_id_l"], r["record_id_r"])
+            for r in edit_distance_pairs(df, "name", max_distance=d).collect()
+        }
+        assert got == _brute(rows, d)

@@ -539,3 +539,35 @@ def test_prep_training_data_bigram_perplexity_filter(spark, tmp_path):
     kept = {r["doc_id"] for r in
             spark.read.parquet(f"{out}/documents.parquet").collect()}
     assert 20 not in kept
+
+
+def test_prep_training_data_semdedup_duplicate_embedding_rows(spark, tmp_path):
+    """Regression: duplicate rows per id in the embeddings table must
+    not delete documents that have no semantic duplicate."""
+    src = str(tmp_path / "docs.parquet")
+    emb_src = str(tmp_path / "emb.parquet")
+    rows = [(i, " ".join(f"q{i}z{j}" for j in range(10)), "en")
+            for i in range(8)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string"
+    ).write.mode("overwrite").parquet(src)
+    import numpy as np
+
+    rng = np.random.RandomState(4)
+    V = rng.randn(8, 6)
+    emb_rows = [(i, [float(x) for x in V[i]]) for i in range(8)]
+    # every id appears TWICE (identical vector — a re-run artifact)
+    spark.createDataFrame(
+        emb_rows + emb_rows, "doc_id long, embedding array<double>"
+    ).write.mode("overwrite").parquet(emb_src)
+
+    out = str(tmp_path / "curated")
+    counters = prep_main([
+        "--input", src, "--output", out, "--id-col", "doc_id",
+        "--min-tokens", "1", "--skip-neardup",
+        "--semdedup-embeddings", emb_src,
+        "--semdedup-cells", "2",
+        "--semdedup-min-cosine", "0.999",
+    ])
+    # no planted semantic dups -> nothing may be dropped
+    assert counters["after_semdedup"] == 8

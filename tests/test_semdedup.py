@@ -183,13 +183,18 @@ def test_semdedup_matches_bruteforce(spark):
     assert len(got_keep) == len(comp)
 
 
-def test_semdedup_null_vector(spark):
+def test_semdedup_null_and_zero_vectors(spark):
     df = spark.createDataFrame(
-        [(0, [1.0, 0.0]), (1, [1.0, 0.01]), (2, None)],
+        [(0, [1.0, 0.0]), (1, [1.0, 0.01]), (2, None), (3, [0.0, 0.0])],
         "vec_id long, embedding array<double>",
     )
     c = seed_centroids(df, 1)
     out = {r["vec_id"]: r for r in semdedup(df, c, min_cosine=0.99).collect()}
-    assert len(out) == 3
-    assert out[2]["cell"] is None and out[2]["keep"] is True  # singleton
+    assert len(out) == 4
+    # null AND zero-norm vectors: cell NULL, cent_cos NULL (never NaN —
+    # the cosine_pairs convention), singleton keep=True
+    for vid in (2, 3):
+        assert out[vid]["cell"] is None
+        assert out[vid]["cent_cos"] is None
+        assert out[vid]["keep"] is True
     assert {out[0]["keep"], out[1]["keep"]} == {True, False}
