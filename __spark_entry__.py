@@ -1303,6 +1303,56 @@ def _line_langs_oracle_sql() -> str:
     """
 
 
+def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-rebalanced training mix
+    (mismo_spark/mix.py temperature_sample): 200 docs allocated across
+    languages ∝ n_lang^0.5 (largest-remainder apportionment,
+    group-size-capped), md5-order selection within each language —
+    the low-resource-language lever of a multilingual mix."""
+    from mismo_spark.mix import temperature_sample
+
+    docs = _docs(spark, sf_dir).select("record_id", "doc_id", "lang")
+    out = temperature_sample(docs, ["lang"], total=200, alpha=0.5)
+    return out.select("doc_id", "lang", "n_group", "n_target")
+
+
+_TEMPERATURE_ORACLE_SQL = """
+    WITH counts AS (
+      SELECT lang, count(*) AS n_group FROM documents GROUP BY 1
+    ),
+    ws AS (SELECT sum(pow(n_group, 0.5)) AS wsum FROM counts),
+    ideal AS (
+      SELECT lang, n_group,
+             round(200 * pow(n_group, 0.5) / wsum, 6) AS ideal
+      FROM counts CROSS JOIN ws
+    ),
+    base AS (
+      SELECT lang, n_group, floor(ideal)::BIGINT AS b,
+             ideal - floor(ideal) AS rem
+      FROM ideal
+    ),
+    alloc AS (
+      SELECT lang, n_group,
+             least(
+               b + (row_number() OVER (ORDER BY rem DESC, lang ASC)
+                    <= 200 - (SELECT sum(b) FROM base))::BIGINT,
+               n_group
+             ) AS n_target
+      FROM base
+    ),
+    ranked AS (
+      SELECT d.doc_id, d.lang, a.n_group, a.n_target,
+             row_number() OVER (
+               PARTITION BY d.lang
+               ORDER BY md5(d.doc_id::VARCHAR || '|42') ASC
+             ) AS rn
+      FROM documents d JOIN alloc a USING (lang)
+    )
+    SELECT doc_id, lang, n_group, n_target
+    FROM ranked WHERE rn <= n_target
+"""
+
+
 def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Split-leakage audit (mismo_spark/splits.py split_leakage_audit):
     count near-dup pairs per (split_l, split_r) boundary.  Splits here
@@ -2543,6 +2593,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edit_distance_link": q_edit_distance_link,
         "split_leakage": q_split_leakage,
         "line_langs": q_line_langs,
+        "temperature_sample": q_temperature_sample,
         "domain_quota": q_domain_quota,
         "token_budget": q_token_budget,
         "histogram": q_histogram,
@@ -3980,6 +4031,7 @@ def oracle_sql() -> dict[str, str]:
         "edit_distance_link": _EDIT_LINK_ORACLE_SQL,
         "split_leakage": _SPLIT_LEAKAGE_ORACLE_SQL,
         "line_langs": _line_langs_oracle_sql(),
+        "temperature_sample": _TEMPERATURE_ORACLE_SQL,
         "perplexity": r"""
             WITH tok AS (
               SELECT doc_id,

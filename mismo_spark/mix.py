@@ -87,3 +87,92 @@ def token_budget_sample(
         df.withColumn("tokens_before", before)
         .where(F.col("tokens_before") < budget)
     )
+
+
+def temperature_sample(
+    df: DataFrame,
+    group_cols: list[str],
+    *,
+    total: int,
+    alpha: float,
+    id_col: str = "record_id",
+    seed: int = 42,
+    order_by: list[Column] | None = None,
+) -> DataFrame:
+    """→ ~``total`` rows with group sizes rebalanced by temperature:
+    group g's allocation ∝ n_g^alpha (multilingual temperature
+    sampling — Conneau & Lample 2019 / the T5 mixing rule with
+    alpha = 1/T).  alpha = 1 keeps natural proportions; alpha → 0
+    flattens toward uniform — the standard lever for keeping
+    low-resource languages/domains alive in a training mix.
+
+    Allocation is exact largest-remainder apportionment over the
+    GROUP-COUNTS table (one row per group, so its single-partition
+    remainder-rank window is bounded by #groups, never corpus-sized):
+    floor the ideal shares, hand the remaining seats to the largest
+    remainders (ties: group name order).  A group's allocation is
+    capped at its size — when a flat alpha asks a tiny group for more
+    rows than it has, the result undershoots ``total`` rather than
+    silently re-inflating big groups (single-pass, auditable; re-run
+    with a larger ``total`` if exact fill matters more than the mix).
+
+    WITHIN each group, ``order_by`` picks the survivors (md5-hash
+    tie-broken, like ``top_k_per_group``); default pure md5 order.
+    Ideal shares are rounded to 6 dp before flooring so the
+    apportionment replays identically across engines (pow() may differ
+    in the last ulp between libm implementations).
+
+    Output adds ``n_group`` (the group's original size) and
+    ``n_target`` (its allocation) for audit.
+    """
+    if total < 1:
+        raise ValueError(f"total must be >= 1, got {total}")
+    if not (0.0 < alpha <= 1.0):
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    counts = df.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("n_group"))
+    wsum = counts.agg(
+        F.sum(F.pow(F.col("n_group").cast("double"), F.lit(alpha))).alias(
+            "__wsum"
+        )
+    )
+    ideal = counts.crossJoin(F.broadcast(wsum)).select(
+        *group_cols,
+        "n_group",
+        F.round(
+            F.lit(float(total))
+            * F.pow(F.col("n_group").cast("double"), F.lit(alpha))
+            / F.col("__wsum"),
+            6,
+        ).alias("__ideal"),
+    )
+    base = ideal.withColumn(
+        "__base", F.floor("__ideal").cast("long")
+    ).withColumn("__rem", F.col("__ideal") - F.col("__base"))
+    # seats left after flooring; remainder rank over the #groups table
+    w_all = Window.partitionBy()
+    w_rank = Window.partitionBy().orderBy(
+        F.desc("__rem"), *[F.asc(c) for c in group_cols]
+    )
+    alloc = (
+        base.withColumn(
+            "__deficit", F.lit(total) - F.sum("__base").over(w_all)
+        )
+        .withColumn("__rk", F.row_number().over(w_rank))
+        .select(
+            *group_cols,
+            "n_group",
+            F.least(
+                F.col("__base")
+                + (F.col("__rk") <= F.col("__deficit")).cast("long"),
+                F.col("n_group"),
+            ).alias("n_target"),
+        )
+    )
+    order = list(order_by or []) + [_hash_order(id_col, seed)]
+    w_sel = Window.partitionBy(*group_cols).orderBy(*order)
+    return (
+        df.join(F.broadcast(alloc), group_cols)
+        .withColumn("__rn", F.row_number().over(w_sel))
+        .where(F.col("__rn") <= F.col("n_target"))
+        .drop("__rn")
+    )

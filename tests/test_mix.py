@@ -87,3 +87,76 @@ def test_validation(spark):
         top_k_per_group(df, ["lang"], k=0)
     with pytest.raises(ValueError):
         token_budget_sample(df, 0)
+
+
+def _py_temperature_alloc(sizes: dict, total: int, alpha: float) -> dict:
+    import math
+
+    wsum = sum(n ** alpha for n in sizes.values())
+    ideal = {g: round(total * (n ** alpha) / wsum, 6) for g, n in sizes.items()}
+    base = {g: math.floor(x) for g, x in ideal.items()}
+    deficit = total - sum(base.values())
+    order = sorted(sizes, key=lambda g: (-(ideal[g] - base[g]), g))
+    for g in order[:deficit]:
+        base[g] += 1
+    return {g: min(base[g], sizes[g]) for g in sizes}
+
+
+def test_temperature_sample_allocation(spark):
+    from mismo_spark.mix import temperature_sample
+
+    rows = []
+    sizes = {"big": 300, "mid": 60, "tiny": 6}
+    i = 0
+    for g, n in sizes.items():
+        for _ in range(n):
+            rows.append((i, g))
+            i += 1
+    df = spark.createDataFrame(rows, "record_id long, lang string")
+
+    # alpha=1: natural proportions
+    nat = temperature_sample(df, ["lang"], total=61, alpha=1.0)
+    got = {r["lang"]: 0 for r in nat.collect()}
+    for r in nat.collect():
+        got[r["lang"]] = got.get(r["lang"], 0) + 1
+    assert got == _py_temperature_alloc(sizes, 61, 1.0)
+    assert sum(got.values()) == 61
+
+    # alpha=0.3: flattened -> tiny group over-represented vs natural
+    flat = temperature_sample(df, ["lang"], total=61, alpha=0.3)
+    fg = {}
+    for r in flat.collect():
+        fg[r["lang"]] = fg.get(r["lang"], 0) + 1
+    assert fg == _py_temperature_alloc(sizes, 61, 0.3)
+    assert fg["tiny"] > got["tiny"]
+    assert fg["big"] < got["big"]
+    # audit columns present and consistent
+    row = flat.collect()[0]
+    assert row["n_group"] == sizes[row["lang"]]
+
+    # cap: a tiny group asked for more rows than it has undershoots
+    cap = temperature_sample(df, ["lang"], total=300, alpha=0.01)
+    cg = {}
+    for r in cap.collect():
+        cg[r["lang"]] = cg.get(r["lang"], 0) + 1
+    assert cg["tiny"] == 6  # capped at group size
+    assert sum(cg.values()) <= 300
+
+
+def test_temperature_sample_deterministic(spark):
+    from mismo_spark.mix import temperature_sample
+
+    df = spark.createDataFrame(
+        [(i, "g" + str(i % 3)) for i in range(90)],
+        "record_id long, lang string",
+    )
+    a = {r["record_id"] for r in
+         temperature_sample(df, ["lang"], total=30, alpha=0.5).collect()}
+    b = {r["record_id"] for r in
+         temperature_sample(df, ["lang"], total=30, alpha=0.5).collect()}
+    assert a == b and len(a) == 30
+    import pytest as _p
+    with _p.raises(ValueError, match="alpha"):
+        temperature_sample(df, ["lang"], total=10, alpha=1.5)
+    with _p.raises(ValueError, match="total"):
+        temperature_sample(df, ["lang"], total=0, alpha=0.5)
