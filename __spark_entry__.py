@@ -594,6 +594,75 @@ def q_clean_url(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_surt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lib/url.surt — the Common Crawl / CDX sort key
+    (com,example)/path?query): reversed comma-joined host, dropped
+    scheme/www/default ports, sorted tracking-stripped query.  Same
+    synthesized messy URLs as clean_url."""
+    from mismo_spark.lib.url import surt
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    raw = _synth_url(F.col("c_custkey"))
+    return cust.select("c_custkey", surt(raw).alias("surt"))
+
+
+_SURT_ORACLE_PARSE = r"""
+    WITH raw AS (
+      SELECT c_custkey,
+        (CASE WHEN c_custkey % 2 = 0 THEN 'HTTPS://' ELSE 'http://' END)
+        || (CASE WHEN c_custkey % 5 = 0 THEN 'WWW.' ELSE '' END)
+        || 'shop' || (c_custkey % 7)::VARCHAR
+        || '.Example' || (c_custkey % 3)::VARCHAR || '.COM'
+        || (CASE WHEN c_custkey % 4 = 0 AND c_custkey % 2 = 0 THEN ':443'
+                 WHEN c_custkey % 4 = 1 THEN ':8080' ELSE '' END)
+        || '/p/' || (c_custkey % 97)::VARCHAR
+        || '?utm_source=x&b=' || (c_custkey % 13)::VARCHAR
+        || '&a=' || (c_custkey % 11)::VARCHAR
+        || (CASE WHEN c_custkey % 6 = 0 THEN '&ref=feed' ELSE '' END)
+        || (CASE WHEN c_custkey % 8 = 0 THEN '#s' ELSE '' END) AS url
+      FROM customer
+    ),
+    p AS (
+      SELECT c_custkey,
+        lower(coalesce(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.\-]*)://', 1), '')) AS scheme,
+        coalesce(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\-]*://(.*)$', 1), '') AS rest
+      FROM raw
+    ),
+    q AS (
+      SELECT c_custkey, scheme,
+        lower(coalesce(regexp_extract(rest, '^([^/?#]*)', 1), '')) AS hostport,
+        coalesce(regexp_extract(rest, '^[^/?#]*([^?#]*)', 1), '') AS path0,
+        coalesce(regexp_extract(rest, '\?([^#]*)', 1), '') AS query0
+      FROM p
+    ),
+    r AS (
+      SELECT c_custkey, scheme,
+        regexp_replace(coalesce(regexp_extract(hostport, '^([^:]*)', 1), ''),
+                       '^www\.', '') AS host,
+        nullif(coalesce(regexp_extract(hostport, ':(\d+)$', 1), ''), '') AS port,
+        CASE WHEN path0 = '' THEN '/' ELSE path0 END AS path,
+        coalesce(array_to_string(
+          list_sort(list_filter(string_split(query0, '&'),
+            x -> x <> '' AND NOT regexp_matches(x, '^(utm_[^=]*|fbclid|gclid|msclkid|ref)='))),
+          '&'), '') AS canq
+      FROM r0
+    )
+"""
+
+
+_SURT_ORACLE_SQL = _SURT_ORACLE_PARSE.replace("FROM r0", "FROM q") + """
+    SELECT c_custkey,
+      array_to_string(list_reverse(string_split(host, '.')), ',')
+      || (CASE WHEN port IS NULL
+                OR (scheme = 'http' AND port = '80')
+                OR (scheme = 'https' AND port = '443')
+          THEN '' ELSE ':' || port END)
+      || ')' || path
+      || (CASE WHEN canq = '' THEN '' ELSE '?' || canq END) AS surt
+    FROM r
+"""
+
+
 def q_url_match_level(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lib/url.match_level: EXACT / SAME_PATH / SAME_DOMAIN / ELSE over
     synthesized URL pairs covering all four levels."""
@@ -2561,6 +2630,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "clean_phone": q_clean_phone,
         "clean_url": q_clean_url,
+        "surt": q_surt,
         "url_match_level": q_url_match_level,
         "sessionize": q_sessionize,
         "session_stats": q_session_stats,
@@ -4491,6 +4561,7 @@ def oracle_sql() -> dict[str, str]:
                                                       x -> x * x))), 6) AS l2_norm
             FROM embeddings
         """,
+        "surt": _SURT_ORACLE_SQL,
         "clean_url": r"""
             WITH raw AS (
               SELECT c_custkey,

@@ -128,3 +128,38 @@ def match_level(u1: Column, u2: Column) -> Column:
         )
         .otherwise(F.lit(int(UrlMatchLevel.ELSE)))
     )
+
+
+def surt(url: Column) -> Column:
+    """Sort-friendly URI Reordering Transform — the key format of the
+    Common Crawl / Internet Archive CDX indexes ("com,example,www)/p"):
+    host labels reversed and comma-joined, ')' separator, then the
+    path and the canonical (sorted, tracking-stripped) query.  Scheme,
+    default ports and the 'www.' prefix are dropped, so all the
+    variants ``clean_url`` still distinguishes by scheme/host spelling
+    collapse to ONE sortable key — and a corpus sorted/bucketed by it
+    co-locates each site's pages, which is exactly what per-domain
+    blocking, crawl diffing against a CDX index, and range-pruned
+    site extraction want from a 10^12-row table layout.
+
+    Pure column algebra (split/reverse/array_join); NULL in → NULL
+    out; non-default ports are kept after the host ("com,example:8080)").
+    """
+    p = url_parts(url)
+    host = F.regexp_replace(p["host"], r"^www\.", "")
+    rev = F.array_join(F.reverse(F.split(host, r"\.")), ",")
+    default_port = (
+        (p["scheme"] == "http") & (p["port"] == "80")
+        | (p["scheme"] == "https") & (p["port"] == "443")
+    )
+    hostkey = F.when(
+        p["port"].isNull() | default_port, rev
+    ).otherwise(F.concat(rev, F.lit(":"), p["port"]))
+    q = _canonical_query(F.coalesce(p["query"], F.lit("")))
+    out = F.concat(
+        hostkey,
+        F.lit(")"),
+        F.coalesce(p["path"], F.lit("/")),
+        F.when(q == "", F.lit("")).otherwise(F.concat(F.lit("?"), q)),
+    )
+    return F.when(url.isNull(), F.lit(None).cast("string")).otherwise(out)

@@ -125,3 +125,30 @@ def test_clean_url_idempotent(spark):
     got = df.select(once.alias("c1"), clean_url(once).alias("c2")).collect()
     for r in got:
         assert r["c1"] == r["c2"], r
+
+
+def test_surt(spark):
+    from mismo_spark.lib.url import surt
+
+    cases = [
+        ("https://www.Example.COM/path/p?b=2&a=1&utm_source=x",
+         "com,example)/path/p?a=1&b=2"),
+        ("http://a.b.example.com:80/x", "com,example,b,a)/x"),
+        ("http://example.com:8080/x", "com,example:8080)/x"),
+        ("example.com", "com,example)/"),
+        (None, None),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r["s"] for r in df.select(surt(F.col("url")).alias("s")).collect()]
+    assert got == [w for _, w in cases]
+    # SURT keys of one site sort adjacently (the CDX co-location point)
+    df2 = spark.createDataFrame(
+        [("https://www.site.com/a",), ("https://zeta.org/x",),
+         ("http://site.com/b",), ("https://blog.site.com/c",)],
+        "url string",
+    )
+    keys = sorted(
+        r["s"] for r in df2.select(surt(F.col("url")).alias("s")).collect()
+    )
+    assert keys == ["com,site)/a", "com,site)/b", "com,site,blog)/c",
+                    "org,zeta)/x"]
