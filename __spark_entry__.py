@@ -1372,6 +1372,78 @@ def _line_langs_oracle_sql() -> str:
     """
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-window chunking (mismo_spark/chunk.py chunk_documents):
+    20-token chunks with 5-token overlap, window arithmetic inside one
+    higher-order transform (no shuffle), lineage columns for joining
+    chunks back to sources."""
+    from mismo_spark.chunk import chunk_documents
+
+    docs = _docs(spark, sf_dir)
+    return chunk_documents(docs, chunk_tokens=20, overlap_tokens=5)
+
+
+_CHUNK_ORACLE_SQL = r"""
+    WITH tok AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+      FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+    ),
+    nn AS (SELECT doc_id, t, len(t) AS n FROM tok),
+    idx AS (
+      SELECT doc_id, t,
+             unnest(range(0, CASE WHEN n <= 20 THEN 1
+                                  ELSE 1 + ceil((n - 20) / 15.0)::BIGINT
+                             END)) AS cid
+      FROM nn
+    )
+    SELECT doc_id, cid::INT AS chunk_id, (cid * 15)::INT AS start_token,
+           len(t[cid * 15 + 1 : cid * 15 + 20])::INT AS n_tokens,
+           array_to_string(t[cid * 15 + 1 : cid * 15 + 20], ' ')
+             AS chunk_text
+    FROM idx
+"""
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Start-bin sequence packing (mismo_spark/chunk.py
+    pack_sequences): whole documents laid out in md5 order per
+    language, running token total → (seq_id, seq_offset) — one window
+    cumsum, no shuffle beyond the group exchange."""
+    from mismo_spark.chunk import pack_sequences
+    from mismo_spark.textqa import token_count
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "lang", token_count(F.col("text")).alias("n_tokens")
+    )
+    out = pack_sequences(docs, seq_tokens=1000, by=["lang"], id_col="doc_id")
+    return out.select("doc_id", "lang", "n_tokens", "seq_id", "seq_offset")
+
+
+_PACK_ORACLE_SQL = r"""
+    WITH d AS (
+      SELECT doc_id, lang,
+             (CASE WHEN text IS NULL THEN NULL
+                   WHEN trim(text) = '' THEN 0
+                   ELSE len(string_split_regex(trim(text), '\s+'))
+              END)::BIGINT AS n_tokens,
+             md5(doc_id::VARCHAR || '|42') AS rk
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, lang, n_tokens,
+             coalesce(sum(n_tokens) OVER (
+               PARTITION BY lang ORDER BY rk
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS pos
+      FROM d
+    )
+    SELECT doc_id, lang, n_tokens,
+           floor(pos / 1000)::BIGINT AS seq_id,
+           (pos % 1000)::BIGINT AS seq_offset
+    FROM c
+"""
+
+
 def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-rebalanced training mix
     (mismo_spark/mix.py temperature_sample): 200 docs allocated across
@@ -2664,6 +2736,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_leakage": q_split_leakage,
         "line_langs": q_line_langs,
         "temperature_sample": q_temperature_sample,
+        "chunk_documents": q_chunk_documents,
+        "pack_sequences": q_pack_sequences,
         "domain_quota": q_domain_quota,
         "token_budget": q_token_budget,
         "histogram": q_histogram,
@@ -4102,6 +4176,8 @@ def oracle_sql() -> dict[str, str]:
         "split_leakage": _SPLIT_LEAKAGE_ORACLE_SQL,
         "line_langs": _line_langs_oracle_sql(),
         "temperature_sample": _TEMPERATURE_ORACLE_SQL,
+        "chunk_documents": _CHUNK_ORACLE_SQL,
+        "pack_sequences": _PACK_ORACLE_SQL,
         "perplexity": r"""
             WITH tok AS (
               SELECT doc_id,
