@@ -26,6 +26,13 @@ DataFrame transform with a recorded row counter:
       -> leakage-safe splits         (cluster_safe_splits over the
                                       near-dup graph, opt-in via
                                       --splits train=0.8,val=0.1,...)
+      -> temperature mix             (mix.temperature_sample: per-lang
+                                      allocation ∝ n^alpha, opt-in via
+                                      --temperature-alpha/-total)
+      -> chunk + pack layout         (chunk.chunk_documents token
+                                      windows with lineage; then
+                                      chunk.pack_sequences seq_id/
+                                      seq_offset, per split)
       -> curated parquet + counters.json
 
 Usage (cluster):
@@ -168,6 +175,23 @@ def main(argv: list[str] | None = None) -> dict:
     ap.add_argument("--dsir-target-text-col", default=None,
                     help="text column of the DSIR target corpus "
                     "(default: --text-col)")
+    ap.add_argument("--temperature-alpha", type=float, default=None,
+                    help="rebalance the per-language mix: allocation "
+                    "per lang ∝ n^alpha (alpha=1 natural, alpha→0 "
+                    "uniform); requires --temperature-total")
+    ap.add_argument("--temperature-total", type=int, default=None,
+                    help="total docs the temperature-rebalanced mix "
+                    "keeps")
+    ap.add_argument("--chunk-tokens", type=int, default=None,
+                    help="split surviving docs into token-window "
+                    "chunks of this size (doc rows become chunk rows "
+                    "with doc_id/chunk_id lineage)")
+    ap.add_argument("--chunk-overlap", type=int, default=0,
+                    help="tokens shared between consecutive chunks")
+    ap.add_argument("--pack-tokens", type=int, default=None,
+                    help="assign output rows to training sequences of "
+                    "this token budget (adds seq_id/seq_offset; "
+                    "packed per split when --splits is active)")
     ap.add_argument("--splits", default=None,
                     help="leakage-safe split column, e.g. "
                     "'train=0.8,val=0.1,test=0.1' — assigned by the "
@@ -501,6 +525,73 @@ def main(argv: list[str] | None = None) -> dict:
                 F.col("split") == name
             ).count()
         docs = docs.drop("component")
+
+    # -- temperature-rebalanced language mix --------------------------------
+    if args.temperature_alpha is not None or args.temperature_total is not None:
+        if not (args.temperature_alpha and args.temperature_total):
+            raise SystemExit(
+                "--temperature-alpha and --temperature-total go together"
+            )
+        from mismo_spark.mix import temperature_sample
+
+        docs = temperature_sample(
+            docs,
+            ["lang"],
+            total=args.temperature_total,
+            alpha=args.temperature_alpha,
+            id_col="record_id",
+            seed=args.seed,
+        ).drop("n_group", "n_target")
+        counters["after_temperature_mix"] = docs.count()
+
+    # -- training-run layout: chunk, then pack ------------------------------
+    if args.chunk_tokens is not None:
+        from mismo_spark.chunk import chunk_documents
+
+        chunks = chunk_documents(
+            docs,
+            chunk_tokens=args.chunk_tokens,
+            overlap_tokens=args.chunk_overlap,
+            id_col="record_id",
+            text_col=args.text_col,
+        )
+        # chunk rows replace doc rows; lineage = (record_id, chunk_id);
+        # non-text doc attributes rejoin from the narrow doc table
+        attrs = docs.drop(args.text_col)
+        docs = chunks.withColumnRenamed("chunk_text", args.text_col).join(
+            attrs, "record_id"
+        )
+        counters["output_chunks"] = docs.count()
+
+    if args.pack_tokens is not None:
+        from mismo_spark.chunk import pack_sequences
+        from mismo_spark.textqa import token_count
+
+        if "n_tokens" not in docs.columns:
+            docs = docs.withColumn(
+                "n_tokens", token_count(F.col(args.text_col)).cast("long")
+            )
+        by = ["split"] if args.splits else None
+        id_for_layout = (
+            "record_id" if args.chunk_tokens is None else "chunk_uid"
+        )
+        if args.chunk_tokens is not None:
+            docs = docs.withColumn(
+                "chunk_uid",
+                F.concat_ws("#", F.col("record_id"), F.col("chunk_id")),
+            )
+        docs = pack_sequences(
+            docs,
+            seq_tokens=args.pack_tokens,
+            by=by,
+            id_col=id_for_layout,
+            seed=args.seed,
+        )
+        if args.chunk_tokens is not None:
+            docs = docs.drop("chunk_uid")
+        counters["n_sequences"] = (
+            docs.select(*(by or []), "seq_id").distinct().count()
+        )
 
     # -- write ------------------------------------------------------------
     out_path = f"{args.output}/documents.parquet"

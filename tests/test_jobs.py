@@ -571,3 +571,50 @@ def test_prep_training_data_semdedup_duplicate_embedding_rows(spark, tmp_path):
     ])
     # no planted semantic dups -> nothing may be dropped
     assert counters["after_semdedup"] == 8
+
+
+def test_prep_training_data_layout_stages(spark, tmp_path):
+    """Temperature mix + chunking + packing compose at the funnel tail."""
+    src = str(tmp_path / "docs.parquet")
+    rows = []
+    i = 0
+    for lang, n in (("en", 30), ("de", 6)):
+        for _ in range(n):
+            rows.append((i, " ".join(f"w{i}t{j}" for j in range(25)), lang))
+            i += 1
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string"
+    ).write.mode("overwrite").parquet(src)
+
+    out = str(tmp_path / "curated")
+    counters = prep_main([
+        "--input", src, "--output", out, "--id-col", "doc_id",
+        "--min-tokens", "1", "--skip-neardup",
+        "--temperature-alpha", "0.5", "--temperature-total", "20",
+        "--chunk-tokens", "10", "--chunk-overlap", "2",
+        "--pack-tokens", "30",
+    ])
+    assert counters["after_temperature_mix"] == 20
+    got = spark.read.parquet(f"{out}/documents.parquet")
+    cols = got.columns
+    assert {"doc_id", "chunk_id", "start_token", "n_tokens",
+            "seq_id", "seq_offset", "lang", "text"} <= set(cols)
+    rows_out = got.collect()
+    # 25-token docs at (10, overlap 2): 1 + ceil((25-10)/8) = 3 chunks
+    assert counters["output_chunks"] == 20 * 3 == len(rows_out)
+    # flattened mix keeps all 6 de docs plus 14 en
+    langs = {}
+    for r in rows_out:
+        langs.setdefault(r["lang"], set()).add(r["doc_id"])
+    assert len(langs["de"]) == 6 and len(langs["en"]) == 14
+    # every chunk fits its sequence budget marker
+    assert all(r["seq_offset"] < 30 for r in rows_out)
+    assert counters["n_sequences"] >= 1
+    # flag pairing is validated
+    import pytest as _p
+    with _p.raises(SystemExit):
+        prep_main([
+            "--input", src, "--output", str(tmp_path / "c2"),
+            "--id-col", "doc_id", "--skip-neardup",
+            "--temperature-alpha", "0.5",
+        ])
