@@ -1372,6 +1372,68 @@ def _line_langs_oracle_sql() -> str:
     """
 
 
+def q_date_match_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lib/date.match_level (DOB-style comparer, beyond the reference's
+    lib): EXACT / SWAPPED_DAY_MONTH / SAME_MONTH_YEAR / WITHIN_N_DAYS /
+    ELSE over perturbed order dates — o_orderkey % 5 picks the
+    perturbation (identity, +10d, +3d, +400d, day↔month swap when the
+    day fits a month)."""
+    from mismo_spark.lib.date import match_level
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    d1 = F.to_date(F.col("o_orderdate"))
+    k = F.col("o_orderkey")
+    swap_ok = F.dayofmonth(d1) <= 12
+    d2 = (
+        F.when(k % 5 == 0, d1)
+        .when(k % 5 == 1, F.date_add(d1, 10))
+        .when(k % 5 == 2, F.date_add(d1, 3))
+        .when(k % 5 == 3, F.date_add(d1, 400))
+        .when(
+            swap_ok, F.make_date(F.year(d1), F.dayofmonth(d1), F.month(d1))
+        )
+        .otherwise(F.date_add(d1, 1))
+    )
+    return orders.select(
+        "o_orderkey",
+        d1.alias("d1"),
+        d2.alias("d2"),
+        match_level(d1, d2).alias("level"),
+    )
+
+
+_DATE_LEVEL_ORACLE_SQL = """
+    WITH po AS (
+      SELECT o_orderkey, o_orderdate::DATE AS o_orderdate FROM orders
+    ),
+    pairs AS (
+      SELECT o_orderkey, o_orderdate AS d1,
+             CASE
+               WHEN o_orderkey % 5 = 0 THEN o_orderdate
+               WHEN o_orderkey % 5 = 1 THEN o_orderdate + INTERVAL 10 DAY
+               WHEN o_orderkey % 5 = 2 THEN o_orderdate + INTERVAL 3 DAY
+               WHEN o_orderkey % 5 = 3 THEN o_orderdate + INTERVAL 400 DAY
+               WHEN day(o_orderdate) <= 12 THEN
+                 make_date(year(o_orderdate)::INT, day(o_orderdate)::INT,
+                           month(o_orderdate)::INT)
+               ELSE o_orderdate + INTERVAL 1 DAY
+             END::DATE AS d2
+      FROM po
+    )
+    SELECT o_orderkey, d1, d2,
+           CASE
+             WHEN d1 IS NULL OR d2 IS NULL THEN 4
+             WHEN d1 = d2 THEN 0
+             WHEN year(d1) = year(d2) AND day(d2) = month(d1)
+                  AND month(d2) = day(d1) THEN 1
+             WHEN year(d1) = year(d2) AND month(d1) = month(d2) THEN 2
+             WHEN abs(datediff('day', d2, d1)) <= 7 THEN 3
+             ELSE 4
+           END AS level
+    FROM pairs
+"""
+
+
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-window chunking (mismo_spark/chunk.py chunk_documents):
     20-token chunks with 5-token overlap, window arithmetic inside one
@@ -2738,6 +2800,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_sample": q_temperature_sample,
         "chunk_documents": q_chunk_documents,
         "pack_sequences": q_pack_sequences,
+        "date_match_level": q_date_match_level,
         "domain_quota": q_domain_quota,
         "token_budget": q_token_budget,
         "histogram": q_histogram,
@@ -4178,6 +4241,7 @@ def oracle_sql() -> dict[str, str]:
         "temperature_sample": _TEMPERATURE_ORACLE_SQL,
         "chunk_documents": _CHUNK_ORACLE_SQL,
         "pack_sequences": _PACK_ORACLE_SQL,
+        "date_match_level": _DATE_LEVEL_ORACLE_SQL,
         "perplexity": r"""
             WITH tok AS (
               SELECT doc_id,
