@@ -663,6 +663,55 @@ _SURT_ORACLE_SQL = _SURT_ORACLE_PARSE.replace("FROM r0", "FROM q") + """
 """
 
 
+def q_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-blocklist screen (lib/url.blocklist_filter): drop URLs
+    whose host equals or sits under a blocked domain — suffix-explode
+    + broadcast hash probe, never a per-row regex scan.  Blocklist =
+    {example0.com, shop3.example1.com} over the synthesized messy
+    URLs."""
+    from mismo_spark.lib.url import blocklist_filter
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    docs = cust.select("c_custkey", _synth_url(F.col("c_custkey")).alias("url"))
+    blocked = spark.createDataFrame(
+        [("example0.com",), ("shop3.example1.com",)], "domain string"
+    )
+    return blocklist_filter(docs, blocked).select("c_custkey")
+
+
+_BLOCKLIST_ORACLE_SQL = r"""
+    WITH raw AS (
+      SELECT c_custkey,
+        (CASE WHEN c_custkey % 2 = 0 THEN 'HTTPS://' ELSE 'http://' END)
+        || (CASE WHEN c_custkey % 5 = 0 THEN 'WWW.' ELSE '' END)
+        || 'shop' || (c_custkey % 7)::VARCHAR
+        || '.Example' || (c_custkey % 3)::VARCHAR || '.COM'
+        || (CASE WHEN c_custkey % 4 = 0 AND c_custkey % 2 = 0 THEN ':443'
+                 WHEN c_custkey % 4 = 1 THEN ':8080' ELSE '' END)
+        || '/p/' || (c_custkey % 97)::VARCHAR
+        || '?utm_source=x&b=' || (c_custkey % 13)::VARCHAR
+        || '&a=' || (c_custkey % 11)::VARCHAR
+        || (CASE WHEN c_custkey % 6 = 0 THEN '&ref=feed' ELSE '' END)
+        || (CASE WHEN c_custkey % 8 = 0 THEN '#s' ELSE '' END) AS url
+      FROM raw0
+    ),
+    h AS (
+      SELECT c_custkey,
+        regexp_extract(
+          lower(regexp_extract(
+            regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\-]*://(.*)$', 1),
+            '^([^/?#]*)', 1)),
+          '^([^:]*)', 1) AS host
+      FROM raw
+    )
+    SELECT c_custkey FROM h
+    WHERE NOT (
+      host = 'example0.com' OR host LIKE '%.example0.com'
+      OR host = 'shop3.example1.com' OR host LIKE '%.shop3.example1.com'
+    )
+""".replace("FROM raw0", "FROM customer")
+
+
 def q_url_match_level(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lib/url.match_level: EXACT / SAME_PATH / SAME_DOMAIN / ELSE over
     synthesized URL pairs covering all four levels."""
@@ -2765,6 +2814,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clean_phone": q_clean_phone,
         "clean_url": q_clean_url,
         "surt": q_surt,
+        "blocklist_filter": q_blocklist_filter,
         "url_match_level": q_url_match_level,
         "sessionize": q_sessionize,
         "session_stats": q_session_stats,
@@ -4702,6 +4752,7 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings
         """,
         "surt": _SURT_ORACLE_SQL,
+        "blocklist_filter": _BLOCKLIST_ORACLE_SQL,
         "clean_url": r"""
             WITH raw AS (
               SELECT c_custkey,

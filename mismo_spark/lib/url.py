@@ -163,3 +163,57 @@ def surt(url: Column) -> Column:
         F.when(q == "", F.lit("")).otherwise(F.concat(F.lit("?"), q)),
     )
     return F.when(url.isNull(), F.lit(None).cast("string")).otherwise(out)
+
+
+def domain_suffixes(url: Column) -> Column:
+    """array<string> of the host's dot-suffix chain, most-specific
+    first ('a.b.example.com' → [a.b.example.com, b.example.com,
+    example.com, com]) — the probe side of blocklist matching, where a
+    blocked 'example.com' must catch every subdomain."""
+    host = url_parts(url)["host"]
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    return F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.array_join(F.slice(labels, i, n), "."),
+    )
+
+
+def blocklist_filter(
+    df: DataFrame,
+    blocked_domains: DataFrame,
+    *,
+    url_col: str = "url",
+    domain_col: str = "domain",
+    keep_blocked: bool = False,
+) -> DataFrame:
+    """Drop (or keep, with ``keep_blocked=True``) rows whose URL host
+    equals a blocked domain OR sits under one (subdomain match) — the
+    UT1/adult-blocklist screen of a web-curation funnel.
+
+    Plan: each row explodes to its ≤ #labels host suffixes, equi-joins
+    the (broadcast) blocklist, and a left-semi/anti join on a row id
+    keeps the original rows intact — no UDF, no regex scan of the
+    blocklist per row (the naive contains-join is quadratic in the
+    blocklist; this is linear with a broadcast hash probe).
+    """
+    probe = df.select(
+        F.monotonically_increasing_id().alias("__rid"), "*"
+    )
+    hits = (
+        probe.select(
+            "__rid", F.explode(domain_suffixes(F.col(url_col))).alias("__sfx")
+        )
+        .join(
+            F.broadcast(
+                blocked_domains.select(
+                    F.lower(F.col(domain_col)).alias("__sfx")
+                ).distinct()
+            ),
+            "__sfx",
+        )
+        .select("__rid")
+        .distinct()
+    )
+    how = "left_semi" if keep_blocked else "left_anti"
+    return probe.join(hits, "__rid", how).drop("__rid")

@@ -152,3 +152,38 @@ def test_surt(spark):
     )
     assert keys == ["com,site)/a", "com,site)/b", "com,site,blog)/c",
                     "org,zeta)/x"]
+
+
+def test_domain_suffixes(spark):
+    from mismo_spark.lib.url import domain_suffixes
+
+    df = spark.createDataFrame(
+        [("https://a.b.example.com/x",)], "url string"
+    )
+    got = df.select(domain_suffixes(F.col("url")).alias("s")).collect()[0]["s"]
+    assert got == ["a.b.example.com", "b.example.com", "example.com", "com"]
+
+
+def test_blocklist_filter(spark):
+    from mismo_spark.lib.url import blocklist_filter
+
+    docs = spark.createDataFrame(
+        [
+            (0, "https://ads.tracker.net/x"),      # subdomain of blocked
+            (1, "https://tracker.net/y"),           # exact blocked
+            (2, "https://nottracker.net/z"),        # NOT a suffix match
+            (3, "https://fine.example.org/a"),
+            (4, "https://deep.a.bad.site/b"),       # under bad.site
+        ],
+        "doc_id long, url string",
+    )
+    blocked = spark.createDataFrame(
+        [("Tracker.NET",), ("bad.site",)], "domain string"
+    )
+    kept = {r["doc_id"] for r in blocklist_filter(docs, blocked).collect()}
+    assert kept == {2, 3}
+    dropped = {
+        r["doc_id"]
+        for r in blocklist_filter(docs, blocked, keep_blocked=True).collect()
+    }
+    assert dropped == {0, 1, 4}
