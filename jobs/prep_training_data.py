@@ -150,6 +150,16 @@ def main(argv: list[str] | None = None) -> dict:
                     help="token window for --remove-dup-spans (Lee et "
                     "al. 2022 use 50-token windows)")
     ap.add_argument("--dup-span-min-count", type=int, default=2)
+    ap.add_argument("--history-fingerprints", default=None,
+                    help="parquet of md5 text fingerprints already "
+                    "ingested in earlier snapshots (column named by "
+                    "--history-fp-col): drop this batch's docs whose "
+                    "normalized text was seen before.  A Bloom filter "
+                    "over the history prescreens — definite-miss docs "
+                    "skip the exact history join entirely, the 10^12-"
+                    "history shape")
+    ap.add_argument("--history-fp-col", default="fp")
+    ap.add_argument("--history-bloom-bits", type=int, default=1 << 22)
     ap.add_argument("--semdedup-embeddings", default=None,
                     help="parquet of (id, embedding) vectors: enable "
                     "SemDeDup semantic dedup (Abbas et al. 2023) — "
@@ -289,6 +299,34 @@ def main(argv: list[str] | None = None) -> dict:
             )
         docs = docs.join(keep_ids.select("record_id"), "record_id", "left_semi")
         counters["after_neardup_dedupe"] = docs.count()
+
+    # -- cross-snapshot history dedup (Bloom prescreen + exact join) --------
+    if args.history_fingerprints:
+        from mismo_spark.dedupe.bloom import bloom_build, bloom_might_contain
+        from mismo_spark.textqa import fingerprint_hex
+
+        history = spark.read.parquet(args.history_fingerprints).select(
+            F.col(args.history_fp_col).alias("__hfp")
+        )
+        bloom = bloom_build(
+            history, "__hfp", n_bits=args.history_bloom_bits, seed=args.seed
+        )
+        tagged = bloom_might_contain(
+            docs.withColumn("__fp", fingerprint_hex(text)),
+            bloom,
+            "__fp",
+            n_bits=args.history_bloom_bits,
+            seed=args.seed,
+            out="__maybe",
+        )
+        fresh = tagged.where(~F.col("__maybe"))
+        maybe = tagged.where(F.col("__maybe"))
+        counters["history_bloom_candidates"] = maybe.count()
+        confirmed_new = maybe.join(
+            history, maybe["__fp"] == history["__hfp"], "left_anti"
+        )
+        docs = fresh.unionByName(confirmed_new).drop("__fp", "__maybe")
+        counters["after_history_dedup"] = docs.count()
 
     # -- SemDeDup: embedding-space semantic dedup ---------------------------
     if args.semdedup_embeddings:

@@ -618,3 +618,37 @@ def test_prep_training_data_layout_stages(spark, tmp_path):
             "--id-col", "doc_id", "--skip-neardup",
             "--temperature-alpha", "0.5",
         ])
+
+
+def test_prep_training_data_history_dedup(spark, tmp_path):
+    """Cross-snapshot dedup: docs whose normalized text fingerprint is
+    in the history parquet drop; the Bloom prescreen exempts definite
+    misses from the exact join (candidate counter < corpus size)."""
+    from mismo_spark.textqa import fingerprint_hex
+
+    src = str(tmp_path / "docs.parquet")
+    hist_src = str(tmp_path / "history.parquet")
+    rows = [(i, " ".join(f"h{i}w{j}" for j in range(8)), "en")
+            for i in range(12)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string"
+    ).write.mode("overwrite").parquet(src)
+    # history = fingerprints of docs 0..3 (plus an unrelated one)
+    hist = spark.createDataFrame(
+        [(r[1],) for r in rows[:4]] + [("something never seen",)],
+        "text string",
+    ).select(fingerprint_hex(F.col("text")).alias("fp"))
+    hist.write.mode("overwrite").parquet(hist_src)
+
+    out = str(tmp_path / "curated")
+    counters = prep_main([
+        "--input", src, "--output", out, "--id-col", "doc_id",
+        "--min-tokens", "1", "--skip-neardup",
+        "--history-fingerprints", hist_src,
+    ])
+    assert counters["after_history_dedup"] == 8
+    kept = {r["doc_id"] for r in
+            spark.read.parquet(f"{out}/documents.parquet").collect()}
+    assert kept == set(range(4, 12))
+    # the bloom prescreen sent at most a handful to the exact join
+    assert 4 <= counters["history_bloom_candidates"] <= 12
