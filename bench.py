@@ -290,6 +290,48 @@ def main() -> None:
 
     timer.run("cosine_topk", run_topk)
 
+    # ---- q8: SemDeDup over the embeddings table --------------------------
+    from mismo_spark.ann.semdedup import seed_centroids, semdedup
+
+    def run_semdedup():
+        allv = emb.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        )
+        cents = seed_centroids(allv, 8)
+        state["n_semdedup_kept"] = (
+            semdedup(allv, cents, min_cosine=0.95)
+            .filter(F.col("keep"))
+            .count()
+        )
+
+    timer.run("semdedup", run_semdedup)
+    extras["semdedup_kept"] = state["n_semdedup_kept"]
+
+    # ---- q9: DSIR selection over the documents table ---------------------
+    from mismo_spark.textqa.dsir import dsir_select
+
+    def run_dsir():
+        state["n_dsir"] = dsir_select(
+            docs, docs.limit(200), k=500, n_buckets=10_000
+        ).count()
+
+    timer.run("dsir_select", run_dsir)
+
+    # ---- q10: edit-distance join over page URL paths ---------------------
+    from mismo_spark.text.edjoin import edit_distance_pairs
+
+    def run_edjoin():
+        names = pages.select(
+            F.col("url").alias("record_id"),
+            F.substring(F.col("text"), 1, 24).alias("name"),
+        )
+        state["n_edjoin"] = edit_distance_pairs(
+            names, "name", max_distance=1, q=2
+        ).count()
+
+    timer.run("edit_distance", run_edjoin)
+    extras["edit_distance_pairs"] = state["n_edjoin"]
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
