@@ -89,3 +89,35 @@ def precision_recall_curve(
         F.round(rec, 6).alias("recall"),
         F.round(f1, 6).alias("f1"),
     )
+
+
+def best_threshold(
+    curve: DataFrame,
+    *,
+    beta: float = 1.0,
+) -> dict:
+    """→ the operating point maximizing F-beta over a
+    :func:`precision_recall_curve` result, as a plain dict
+    (threshold, precision, recall, fbeta, tp, fp, fn) — the
+    one-call answer to "where do I set the odds cutoff?".
+
+    beta < 1 weights precision (conservative merges for golden
+    records); beta > 1 weights recall (candidate generation for human
+    review).  Ties take the HIGHEST threshold (fewest predicted
+    matches at equal quality).  The curve has one row per distinct
+    score (or bin), so the argmax is a tiny driver-side reduction, not
+    a corpus pass."""
+    if beta <= 0:
+        raise ValueError(f"beta must be > 0, got {beta}")
+    b2 = float(beta) * float(beta)
+    num = (1.0 + b2) * F.col("precision") * F.col("recall")
+    den = b2 * F.col("precision") + F.col("recall")
+    scored = curve.select(
+        "threshold", "tp", "fp", "fn", "precision", "recall",
+        F.when(den > 0, num / den).otherwise(F.lit(0.0)).alias("fbeta"),
+    )
+    row = scored.orderBy(F.desc("fbeta"), F.desc("threshold")).first()
+    if row is None:
+        raise ValueError("empty curve")
+    return {k: row[k] for k in
+            ("threshold", "precision", "recall", "fbeta", "tp", "fp", "fn")}

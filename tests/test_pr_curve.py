@@ -73,3 +73,24 @@ def test_curve_binned_scores(spark):
     hi, lo = rows
     assert (hi["tp"], hi["fp"]) == (2, 0) and hi["precision"] == 1.0
     assert (lo["tp"], lo["fp"], lo["fn"]) == (2, 2, 0)
+
+
+def test_best_threshold(spark):
+    from mismo_spark.fs.curve import best_threshold, precision_recall_curve
+
+    rows = (
+        [(10.0, True)] * 8 + [(10.0, False)] * 1
+        + [(5.0, True)] * 2 + [(5.0, False)] * 4
+        + [(1.0, False)] * 10
+    )
+    df = spark.createDataFrame(rows, "odds double, is_match boolean")
+    curve = precision_recall_curve(df)
+    best = best_threshold(curve)
+    # F1 at t=10: p=8/9, r=8/10 -> 0.842; at t=5: p=10/15, r=1.0 -> 0.8
+    assert best["threshold"] == 10.0
+    assert best["fbeta"] == pytest.approx(2 * (8 / 9) * 0.8 / (8 / 9 + 0.8))
+    # recall-weighted beta prefers the looser threshold
+    best2 = best_threshold(curve, beta=2.0)
+    assert best2["threshold"] == 5.0
+    with pytest.raises(ValueError, match="beta"):
+        best_threshold(curve, beta=0)
