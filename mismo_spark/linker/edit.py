@@ -42,7 +42,7 @@ class EditDistanceLinker:
         column,
         *,
         max_distance: int,
-        q: int = 2,
+        q: int | str = 2,
         task: str | None = None,
         pad_char: str = PAD_CHAR,
         broadcast_records_max_bytes: int = 512 << 20,

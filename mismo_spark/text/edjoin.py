@@ -50,6 +50,12 @@ from mismo_spark.text.features import ngrams
 
 PAD_CHAR = "\x01"
 
+# auto-q: accept the smallest q whose estimated gram space keeps the
+# total prefix-bucket pair volume within this multiple of n (i.e.
+# candidates stay ~linear in the table, not quadratic)
+_AUTO_Q_PAIR_BUDGET_PER_ROW = 32
+_AUTO_Q_MAX = 5
+
 
 def _padded_grams(c, *, q: int, pad_char: str = PAD_CHAR):
     """Distinct q-grams of the sentinel-padded string (array<string>);
@@ -58,12 +64,54 @@ def _padded_grams(c, *, q: int, pad_char: str = PAD_CHAR):
     return F.array_distinct(ngrams(F.concat(pad, c, pad), q))
 
 
+def choose_q(strings: DataFrame, *, max_distance: int, pad_char: str = PAD_CHAR) -> int:
+    """Pick q for the prefix filter from the DATA, not a constant.
+
+    Prefix filtering only prunes when the gram space dwarfs the table:
+    with ~b = n·(q·d+1)/|gram types| records per prefix bucket, the
+    join emits ≈ n²·(q·d+1)²/(2·|types|) candidate pairs — on a
+    low-diversity field (e.g. lowercase prose, 2-grams ⇒ ~10³ types)
+    q=2 degrades toward all-pairs no matter how rare the chosen grams
+    are, while one step up in q multiplies the type space by the
+    alphabet size and collapses the buckets (Ed-Join §6 tunes q the
+    same way).  Rule: measure the 2-gram type count (one
+    approx_count_distinct over the narrow string column), estimate
+    alphabet = sqrt(types₂), and take the smallest q ≤ 5 with
+    estimated types_q ≥ n·(q·d+1)²/32 — expected candidate volume
+    ≤ 32·n, i.e. linear in the table.  Larger q also shifts short /
+    repetitive strings to the exact length-bucket fallback, so q is
+    additionally capped at ⌈avg_len/2⌉ to keep that path rare.
+
+    ``strings``: one nullable string column (any name)."""
+    d = int(max_distance)
+    col = strings[strings.columns[0]]
+    stats = strings.select(
+        F.count(col).alias("n"), F.avg(F.length(col)).alias("avg_len")
+    ).first()
+    n, avg_len = stats["n"] or 0, stats["avg_len"] or 0.0
+    if n == 0:
+        return 2
+    types2 = (
+        strings.where(col.isNotNull())
+        .select(F.explode(_padded_grams(col, q=2, pad_char=pad_char)).alias("g"))
+        .agg(F.approx_count_distinct("g").alias("t"))
+        .first()["t"]
+    )
+    alphabet = max(2.0, float(types2) ** 0.5)
+    q_cap = max(2, min(_AUTO_Q_MAX, int(-(-avg_len // 2))))
+    for q in range(2, q_cap + 1):
+        types_q = float(types2) if q == 2 else alphabet**q
+        if types_q >= n * (q * d + 1) ** 2 / _AUTO_Q_PAIR_BUDGET_PER_ROW:
+            return q
+    return q_cap
+
+
 def edit_distance_pairs(
     df: DataFrame,
     string_column,
     *,
     max_distance: int,
-    q: int = 2,
+    q: int | str = 2,
     id_col: str = "record_id",
     pad_char: str = PAD_CHAR,
     broadcast_records_max_bytes: int = 512 << 20,
@@ -74,13 +122,17 @@ def edit_distance_pairs(
     → (record_id_l, record_id_r, distance), record_id_l < record_id_r.
     Null strings never pair (parity with SQL ``levenshtein`` returning
     NULL).  ``pad_char`` must not occur in the data (default \\x01).
+    ``q="auto"`` picks the gram size from the field's measured gram
+    diversity (:func:`choose_q`).
     """
     d = int(max_distance)
     if d < 0:
         raise ValueError(f"max_distance must be >= 0, got {max_distance}")
-    if q < 1:
-        raise ValueError(f"q must be >= 1, got {q}")
     s = bind_one(df, string_column)
+    if q == "auto":
+        q = choose_q(df.select(s.alias("__s")), max_distance=d, pad_char=pad_char)
+    if not isinstance(q, int) or q < 1:
+        raise ValueError(f"q must be >= 1 or 'auto', got {q}")
     if d == 0:
         # exact-equality fast path: one groupBy on the string itself
         recs0 = df.select(F.col(id_col).alias("__id"), s.alias("__s")).where(
@@ -138,7 +190,6 @@ def edit_distance_pairs(
             F.col("l.__id").alias("record_id_l"),
             F.col("r.__id").alias("record_id_r"),
         )
-        .distinct()
     )
 
     # ---- fallback: length-bucket join for low-gram-diversity strings ----
@@ -166,28 +217,45 @@ def edit_distance_pairs(
             F.least("__id", "__pid").alias("record_id_l"),
             F.greatest("__id", "__pid").alias("record_id_r"),
         )
-        .distinct()
     )
 
-    cands = cand_long.unionByName(cand_short).dropDuplicates(
-        ["record_id_l", "record_id_r"]
-    )
+    cands = cand_long.unionByName(cand_short)
 
-    # ---- verify: JVM levenshtein on the narrow (id, string) table -------
+    # ---- verify: JVM bounded levenshtein on the narrow (id, string) -----
     narrow = recs.select(F.col("__id").alias("__vid"), "__s")
     if should_broadcast(narrow, max_bytes=broadcast_records_max_bytes):
+        # Broadcast regime: the candidate stream is NEVER exchanged —
+        # raw (possibly gram-duplicated) pairs flow map-side through
+        # two broadcast-hash joins and the threshold-bounded
+        # levenshtein; only verified survivors reach a shuffle for the
+        # final dedupe.  Deduping BEFORE verify would shuffle the full
+        # candidate stream — on low-gram-diversity fields (few distinct
+        # q-gram types, so even the rarest per-record grams land in
+        # big prefix buckets) that exchange costs far more than the
+        # O(d·len) distance checks it saves.
         narrow = F.broadcast(narrow)
-    return (
+        dedupe_late = True
+    else:
+        # Huge-table regime (narrow side beyond the byte gate): the
+        # verify joins must shuffle anyway, so shrink the pair stream
+        # before them.
+        cands = cands.dropDuplicates(["record_id_l", "record_id_r"])
+        dedupe_late = False
+    verified = (
         cands.join(narrow, cands["record_id_l"] == narrow["__vid"])
         .select("record_id_l", "record_id_r", F.col("__s").alias("__sl"))
         .join(narrow, F.col("record_id_r") == narrow["__vid"])
         .select(
             "record_id_l",
             "record_id_r",
-            F.levenshtein(F.col("__sl"), F.col("__s")).alias("distance"),
+            # 3-arg form: bounded O(d·len) DP, -1 when distance > d
+            F.levenshtein(F.col("__sl"), F.col("__s"), d).alias("distance"),
         )
-        .where(F.col("distance") <= d)
+        .where(F.col("distance") >= 0)
     )
+    if dedupe_late:
+        verified = verified.dropDuplicates(["record_id_l", "record_id_r"])
+    return verified
 
 
 def edit_distance_link(
@@ -197,7 +265,7 @@ def edit_distance_link(
     right_column=None,
     *,
     max_distance: int,
-    q: int = 2,
+    q: int | str = 2,
     id_col: str = "record_id",
     pad_char: str = PAD_CHAR,
     broadcast_records_max_bytes: int = 512 << 20,
@@ -213,10 +281,16 @@ def edit_distance_link(
     d = int(max_distance)
     if d < 0:
         raise ValueError(f"max_distance must be >= 0, got {max_distance}")
-    if q < 1:
-        raise ValueError(f"q must be >= 1, got {q}")
     ls = bind_one(left, left_column)
     rs = bind_one(right, right_column if right_column is not None else left_column)
+    if q == "auto":
+        q = choose_q(
+            left.select(ls.alias("__s")).unionByName(right.select(rs.alias("__s"))),
+            max_distance=d,
+            pad_char=pad_char,
+        )
+    if not isinstance(q, int) or q < 1:
+        raise ValueError(f"q must be >= 1 or 'auto', got {q}")
 
     def _recs(df, s):
         return df.select(
@@ -272,7 +346,6 @@ def edit_distance_link(
             F.col("l.__id").alias("record_id_l"),
             F.col("r.__id").alias("record_id_r"),
         )
-        .distinct()
     )
 
     # low-gram-diversity fallback, run from EACH side against the other
@@ -304,25 +377,33 @@ def edit_distance_link(
             F.col("__id").alias("record_id_r"),
         )
 
-    cands = (
-        cand_long.unionByName(_short_cands(lrec, rrec, True))
-        .unionByName(_short_cands(rrec, lrec, False))
-        .dropDuplicates(["record_id_l", "record_id_r"])
+    cands = cand_long.unionByName(_short_cands(lrec, rrec, True)).unionByName(
+        _short_cands(rrec, lrec, False)
     )
 
     lnarrow = lrec.select(F.col("__id").alias("__lvid"), F.col("__s").alias("__sl"))
     rnarrow = rrec.select(F.col("__id").alias("__rvid"), F.col("__s").alias("__sr"))
-    if should_broadcast(lnarrow, max_bytes=broadcast_records_max_bytes):
-        lnarrow = F.broadcast(lnarrow)
-    if should_broadcast(rnarrow, max_bytes=broadcast_records_max_bytes):
-        rnarrow = F.broadcast(rnarrow)
-    return (
+    # same two regimes as edit_distance_pairs: when BOTH narrow sides
+    # broadcast, the raw candidate stream is verified map-side and only
+    # survivors shuffle for the dedupe; otherwise shrink it first.
+    dedupe_late = should_broadcast(
+        lnarrow, max_bytes=broadcast_records_max_bytes
+    ) and should_broadcast(rnarrow, max_bytes=broadcast_records_max_bytes)
+    if dedupe_late:
+        lnarrow, rnarrow = F.broadcast(lnarrow), F.broadcast(rnarrow)
+    else:
+        cands = cands.dropDuplicates(["record_id_l", "record_id_r"])
+    verified = (
         cands.join(lnarrow, cands["record_id_l"] == lnarrow["__lvid"])
         .join(rnarrow, F.col("record_id_r") == rnarrow["__rvid"])
         .select(
             "record_id_l",
             "record_id_r",
-            F.levenshtein(F.col("__sl"), F.col("__sr")).alias("distance"),
+            # 3-arg form: bounded O(d·len) DP, -1 when distance > d
+            F.levenshtein(F.col("__sl"), F.col("__sr"), d).alias("distance"),
         )
-        .where(F.col("distance") <= d)
+        .where(F.col("distance") >= 0)
     )
+    if dedupe_late:
+        verified = verified.dropDuplicates(["record_id_l", "record_id_r"])
+    return verified

@@ -214,3 +214,48 @@ def test_bruteforce_parity_repetitive_corpus(spark):
             for r in edit_distance_pairs(df, "name", max_distance=d).collect()
         }
         assert got == _brute(rows, d)
+
+
+def test_auto_q(spark):
+    from mismo_spark.text.edjoin import choose_q, edit_distance_pairs
+
+    # low-diversity prose-like field, enough rows that q=2's ~1e3-type
+    # gram space can't keep candidates linear -> auto picks q >= 3
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, "".join(rng.choice("abcdefghijklmnopqrstuvwxyz ") for _ in range(24)))
+        for i in range(3000)
+    ]
+    df = spark.createDataFrame(rows, "record_id long, name string")
+    assert choose_q(df.select("name"), max_distance=1) >= 3
+
+    # tiny high-diversity table: q=2 already linear
+    few = spark.createDataFrame(rows[:50], "record_id long, name string")
+    assert choose_q(few.select("name"), max_distance=1) == 2
+
+    # auto path returns the same pairs as any sound explicit q
+    planted = rows + [(9001, rows[0][1][:-1] + "x")]
+    pdf = spark.createDataFrame(planted, "record_id long, name string")
+    got_auto = {
+        (r["record_id_l"], r["record_id_r"])
+        for r in edit_distance_pairs(pdf, "name", max_distance=1, q="auto").collect()
+    }
+    got_q2 = {
+        (r["record_id_l"], r["record_id_r"])
+        for r in edit_distance_pairs(pdf, "name", max_distance=1, q=2).collect()
+    }
+    assert got_auto == got_q2 and (rows[0][0], 9001) in got_auto
+
+    with pytest.raises(ValueError, match="q must be"):
+        edit_distance_pairs(pdf, "name", max_distance=1, q="bogus")
+
+
+def test_choose_q_empty_and_null(spark):
+    from mismo_spark.text.edjoin import choose_q
+
+    empty = spark.createDataFrame([], "name string")
+    assert choose_q(empty, max_distance=1) == 2
+    nulls = spark.createDataFrame([(None,), ("ab",)], "name string")
+    assert choose_q(nulls, max_distance=1) == 2
