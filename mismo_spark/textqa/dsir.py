@@ -50,6 +50,30 @@ def _bucket(gram: Column, *, n_buckets: int, seed: int) -> Column:
     return h % F.lit(n_buckets)
 
 
+def gram_strings(text: Column, *, bigrams: bool = True) -> Column:
+    """array<string> of the raw n-grams: the lowercase whitespace
+    tokens plus, when ``bigrams``, each adjacent token pair joined by
+    one space.  Only cheap string ops run inside the higher-order
+    functions — hashing happens AFTER the explode as an ordinary
+    projection, because expressions inside HOF lambdas are interpreted
+    (off whole-stage codegen) and an md5-per-element there measured
+    ~8× slower than the same md5 over exploded rows."""
+    toks = tokenize(F.lower(text))
+    if not bigrams:
+        return toks
+    # zip toks with its own tail; the final (t_n, null) pair maps to
+    # null and is filtered, leaving the n−1 adjacent pairs
+    big = F.filter(
+        F.zip_with(
+            toks,
+            F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+            lambda a, b: F.when(b.isNotNull(), F.concat_ws(" ", a, b)),
+        ),
+        lambda g: g.isNotNull(),
+    )
+    return F.concat(toks, big)
+
+
 def hashed_ngrams(
     text: Column,
     *,
@@ -59,29 +83,28 @@ def hashed_ngrams(
 ) -> Column:
     """array<long> of hashed-n-gram buckets (with multiplicity):
     unigram buckets plus, when ``bigrams``, buckets of each adjacent
-    token pair joined by one space.  Pure column algebra — the hot
-    feature path stays in codegen."""
-    toks = tokenize(F.lower(text))
-    uni = F.transform(toks, lambda t: _bucket(t, n_buckets=n_buckets, seed=seed))
-    if not bigrams:
-        return uni
-    # 2-arg transform lambda receives (element, 0-based index);
-    # element_at is 1-based, so toks[i+2] is the FOLLOWING token
-    big = F.filter(
-        F.transform(
-            toks,
-            lambda t, i: F.when(
-                i < F.size(toks) - 1,
-                _bucket(
-                    F.concat_ws(" ", t, F.element_at(toks, i + F.lit(2))),
-                    n_buckets=n_buckets,
-                    seed=seed,
-                ),
-            ),
-        ),
-        lambda b: b.isNotNull(),
+    token pair.  Array-valued convenience form; the hot aggregation
+    paths explode :func:`gram_strings` first and hash in codegen."""
+    return F.transform(
+        gram_strings(text, bigrams=bigrams),
+        lambda g: _bucket(g, n_buckets=n_buckets, seed=seed),
     )
-    return F.concat(uni, big)
+
+
+def _exploded_buckets(
+    docs: DataFrame,
+    cols: list,
+    *,
+    text_col: str,
+    n_buckets: int,
+    seed: int,
+    bigrams: bool,
+) -> DataFrame:
+    """(…cols, bucket) — one row per gram occurrence, bucket hashed as
+    a post-explode codegen projection (see :func:`gram_strings`)."""
+    return docs.select(
+        *cols, F.explode(gram_strings(F.col(text_col), bigrams=bigrams)).alias("__g")
+    ).select(*cols, _bucket(F.col("__g"), n_buckets=n_buckets, seed=seed).alias("bucket"))
 
 
 def bucket_lm(
@@ -102,12 +125,8 @@ def bucket_lm(
     if alpha <= 0:
         raise ValueError(f"alpha must be > 0, got {alpha}")
     a = float(alpha)
-    grams = docs.select(
-        F.explode(
-            hashed_ngrams(
-                F.col(text_col), n_buckets=n_buckets, seed=seed, bigrams=bigrams
-            )
-        ).alias("bucket")
+    grams = _exploded_buckets(
+        docs, [], text_col=text_col, n_buckets=n_buckets, seed=seed, bigrams=bigrams
     )
     counts = grams.groupBy("bucket").agg(F.count(F.lit(1)).alias("__n"))
     totals = counts.agg(F.sum("__n").alias("__total"))
@@ -153,13 +172,13 @@ def importance_weights(
 
     t_seen, t_sent = _split(target_lm, "t")
     r_seen, r_sent = _split(raw_lm, "r")
-    grams = docs.select(
-        F.col(id_col),
-        F.explode(
-            hashed_ngrams(
-                F.col(text_col), n_buckets=n_buckets, seed=seed, bigrams=bigrams
-            )
-        ).alias("bucket"),
+    grams = _exploded_buckets(
+        docs,
+        [F.col(id_col)],
+        text_col=text_col,
+        n_buckets=n_buckets,
+        seed=seed,
+        bigrams=bigrams,
     )
     scored = (
         grams.join(t_seen, "bucket", "left")
