@@ -41,11 +41,19 @@ def _word_grams(toks: Column, n: int) -> Column:
     """Strict word n-grams (' '-joined); fewer than n tokens → [].
     ``toks`` must be a materialized attribute, not an inline expression
     (HOF lambdas re-evaluate referenced expressions per element — see
-    dedupe.word_shingles_from_tokens)."""
+    dedupe.word_shingles_from_tokens).
+
+    Built with per-index ``F.get`` lookups, not ``F.slice`` — HOF
+    lambda bodies run interpreted, and the slice form measured ~6×
+    slower at identical output (all gets are in range because the
+    index sequence stops at size−n, so concat_ws never drops a null)."""
     sz = F.size(toks)
     idx = F.sequence(F.lit(0), sz - F.lit(n))
     return F.when(sz < n, F.array().cast("array<string>")).otherwise(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(" ", *[F.get(toks, i + F.lit(k)) for k in range(n)]),
+        )
     )
 
 
@@ -129,8 +137,14 @@ def ngram_repetition_signals(
         F.length(F.array_join(F.col("__toks"), " ")).alias("__text_len"),
         _word_grams(F.col("__toks"), n).alias("__grams"),
     )
+    # explode_OUTER, then drop the null rows: a plain explode makes the
+    # optimizer infer a `size(__grams) > 0` filter and push it below
+    # the projection, INLINING the whole grams expression (tokenize
+    # included) into a second interpreted per-row evaluation — measured
+    # ~10× the cost of the generate itself
     counts = (
-        base.select("__id", "__text_len", F.explode("__grams").alias("__g"))
+        base.select("__id", "__text_len", F.explode_outer("__grams").alias("__g"))
+        .where(F.col("__g").isNotNull())
         .groupBy("__id", "__text_len", "__g")
         .agg(F.count(F.lit(1)).alias("__c"))
     )
