@@ -19,6 +19,29 @@ def unique_name(prefix: str = "tmp") -> str:
     return f"__{prefix}_{uuid.uuid4().hex[:8]}"
 
 
+def explode_computed(
+    df: DataFrame, cols: Sequence, arr: Column, alias: str
+) -> DataFrame:
+    """Explode a COMPUTED array expression without paying for it twice.
+
+    ``F.explode`` of a computed array makes the optimizer infer a
+    ``size(arr) > 0 AND arr IS NOT NULL`` filter and push it below the
+    projection, inlining the entire array expression (tokenizers,
+    higher-order functions, hashes) into a second — interpreted —
+    per-row evaluation; on gram pipelines that measured up to ~10× the
+    cost of the generate itself (see textqa/repetition.py).
+    ``explode_outer`` gets no inferred filter; dropping the null rows
+    it emits for empty/null arrays afterwards reproduces plain-explode
+    semantics exactly, PROVIDED the array's elements are never null
+    (true for token/gram/line arrays — split() and concat_ws() cannot
+    produce null elements).  For a STORED array column, plain
+    ``F.explode`` remains better: the inferred isnotnull can reach the
+    scan."""
+    return df.select(*cols, F.explode_outer(arr).alias(alias)).where(
+        F.col(alias).isNotNull()
+    )
+
+
 def cases(branches: Sequence[tuple[Column, Column]], else_: Column) -> Column:
     """First-match-wins CASE WHEN chain (mismo/_util.py:95-112)."""
     out = None

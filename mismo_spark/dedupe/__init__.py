@@ -174,8 +174,14 @@ def word_shingles_from_tokens(toks: Column, k: int) -> Column:
     blocking profile before this was split into two selects)."""
     n = F.size(toks)
     idx = F.sequence(F.lit(0), n - F.lit(k))
+    # per-index F.get, not F.slice: HOF lambda bodies are interpreted
+    # and the slice form measured ~6× slower at identical output (all
+    # gets in range — idx stops at size−k; tokens are never null)
     return F.when(n < k, F.array(F.concat_ws(" ", toks))).otherwise(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(" ", *[F.get(toks, i + F.lit(j)) for j in range(k)]),
+        )
     )
 
 

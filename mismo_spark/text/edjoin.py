@@ -45,7 +45,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from mismo_spark._util import bind_one, should_broadcast
+from mismo_spark._util import bind_one, explode_computed, should_broadcast
 from mismo_spark.text.features import ngrams
 
 PAD_CHAR = "\x01"
@@ -92,8 +92,12 @@ def choose_q(strings: DataFrame, *, max_distance: int, pad_char: str = PAD_CHAR)
     if n == 0:
         return 2
     types2 = (
-        strings.where(col.isNotNull())
-        .select(F.explode(_padded_grams(col, q=2, pad_char=pad_char)).alias("g"))
+        explode_computed(
+            strings.where(col.isNotNull()),
+            [],
+            _padded_grams(col, q=2, pad_char=pad_char),
+            "g",
+        )
         .agg(F.approx_count_distinct("g").alias("t"))
         .first()["t"]
     )
@@ -164,7 +168,10 @@ def edit_distance_pairs(
 
     # ---- long path: rarity-ordered q-gram prefix join -------------------
     longs = recs.where(F.size("__grams") >= prefix_len)
-    toks = longs.select("__id", "__len", F.explode("__grams").alias("gram"))
+    # explode_computed: __grams is a computed projection; a plain
+    # explode's inferred size-filter would push below it and re-evaluate
+    # the gram construction per row (see _util.explode_computed)
+    toks = explode_computed(longs, ["__id", "__len"], F.col("__grams"), "gram")
     freq = toks.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
     ranked = (
         toks.join(freq, "gram")
@@ -312,13 +319,13 @@ def edit_distance_link(
     prefix_len = q * d + 1
 
     # shared global order: document frequency over BOTH sides' grams
-    all_toks = lrec.select(F.explode("__grams").alias("gram")).unionByName(
-        rrec.select(F.explode("__grams").alias("gram"))
+    all_toks = explode_computed(lrec, [], F.col("__grams"), "gram").unionByName(
+        explode_computed(rrec, [], F.col("__grams"), "gram")
     )
     freq = all_toks.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
 
     def _prefix(recs):
-        toks = recs.select("__id", "__len", F.explode("__grams").alias("gram"))
+        toks = explode_computed(recs, ["__id", "__len"], F.col("__grams"), "gram")
         ranked = (
             toks.join(freq, "gram")
             .groupBy("__id", "__len")

@@ -126,9 +126,10 @@ def line_lang_fractions(
     algebra inside the generator), ONE groupBy(id) of conditional sums
     (map-side combine) — no second corpus pass, no UDF."""
     langs = list(_LANG_MARKERS)
-    lines = docs.select(
-        F.col(id_col).alias("__id"),
-        F.explode(F.split(F.col(text_col), "\n")).alias("__line"),
+    from mismo_spark._util import explode_computed
+
+    lines = explode_computed(
+        docs, [F.col(id_col).alias("__id")], F.split(F.col(text_col), "\n"), "__line"
     ).where(F.trim(F.col("__line")) != "")
     tagged = lines.select("__id", lang_id(F.col("__line")).alias("__l"))
     counts = tagged.groupBy("__id").agg(

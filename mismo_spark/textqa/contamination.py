@@ -51,11 +51,13 @@ def doc_ngrams(
     toks = docs.select(
         F.col(id_col), tokenize(F.lower(F.col(text_col))).alias("__toks")
     )
-    return toks.select(
-        id_col,
-        F.explode(
-            F.array_distinct(word_shingles_from_tokens(F.col("__toks"), n))
-        ).alias("ngram"),
+    from mismo_spark._util import explode_computed
+
+    return explode_computed(
+        toks,
+        [id_col],
+        F.array_distinct(word_shingles_from_tokens(F.col("__toks"), n)),
+        "ngram",
     )
 
 

@@ -102,8 +102,10 @@ def _exploded_buckets(
 ) -> DataFrame:
     """(…cols, bucket) — one row per gram occurrence, bucket hashed as
     a post-explode codegen projection (see :func:`gram_strings`)."""
-    return docs.select(
-        *cols, F.explode(gram_strings(F.col(text_col), bigrams=bigrams)).alias("__g")
+    from mismo_spark._util import explode_computed
+
+    return explode_computed(
+        docs, cols, gram_strings(F.col(text_col), bigrams=bigrams), "__g"
     ).select(*cols, _bucket(F.col("__g"), n_buckets=n_buckets, seed=seed).alias("bucket"))
 
 

@@ -44,9 +44,13 @@ def duplicated_lines(
     words after trim) occurring ≥ ``min_count`` times, keyed by the
     md5 of its trimmed text, with one deterministic example (the
     lexicographically smallest raw form)."""
-    lines = docs.where(F.col(text_col).isNotNull()).select(
-        F.col(id_col).alias("__id"),
-        F.explode(F.split(F.col(text_col), "\n")).alias("line"),
+    from mismo_spark._util import explode_computed
+
+    lines = explode_computed(
+        docs.where(F.col(text_col).isNotNull()),
+        [F.col(id_col).alias("__id")],
+        F.split(F.col(text_col), "\n"),
+        "line",
     )
     eligible = lines.where(
         F.size(F.split(F.trim("line"), r"\s+")) >= min_words

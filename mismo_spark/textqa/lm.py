@@ -28,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from mismo_spark._util import explode_computed
 from mismo_spark.text.features import tokenize
 
 
@@ -44,8 +45,8 @@ def unigram_lm(
     if k_smoothing <= 0:
         raise ValueError(f"k_smoothing must be > 0, got {k_smoothing}")
     k = float(k_smoothing)
-    toks = docs.select(
-        F.explode(tokenize(F.lower(F.col(text_col)))).alias("token")
+    toks = explode_computed(
+        docs, [], tokenize(F.lower(F.col(text_col))), "token"
     )
     counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("__n"))
     totals = counts.agg(
@@ -97,9 +98,8 @@ def unigram_perplexity(
         F.col("logp").alias("__unseen_logp")
     )
     b = F.broadcast(seen) if broadcast_lm else seen
-    toks = docs.select(
-        F.col(id_col),
-        F.explode(tokenize(F.lower(F.col(text_col)))).alias("token"),
+    toks = explode_computed(
+        docs, [F.col(id_col)], tokenize(F.lower(F.col(text_col))), "token"
     )
     scored = (
         toks.join(b, "token", "left")
@@ -148,7 +148,7 @@ def bigram_lm(docs: DataFrame, *, text_col: str = "text") -> DataFrame:
         ),
         lambda s: s.isNotNull(),
     )
-    pairs = docs.select(F.explode(pairs_arr).alias("__p")).select(
+    pairs = explode_computed(docs, [], pairs_arr, "__p").select(
         "__p.token_l", "__p.token_r"
     )
     c12 = pairs.groupBy("token_l", "token_r").agg(
@@ -225,9 +225,9 @@ def bigram_perplexity(
             F.get(toks, i - F.lit(1)).alias("prev"),
         ),
     )
-    exploded = docs.select(
-        F.col(id_col), F.explode(with_prev).alias("__t")
-    ).select(id_col, "__t.token", F.col("__t.prev").alias("__prev"))
+    exploded = explode_computed(docs, [F.col(id_col)], with_prev, "__t").select(
+        id_col, "__t.token", F.col("__t.prev").alias("__prev")
+    )
     scored = (
         exploded.join(big, ["__prev", "token"], "left")
         .join(uni_seen.withColumnRenamed("logp", "__ulp"), "token", "left")
