@@ -98,13 +98,19 @@ def choose_q(strings: DataFrame, *, max_distance: int, pad_char: str = PAD_CHAR)
             _padded_grams(col, q=2, pad_char=pad_char),
             "g",
         )
-        .agg(F.approx_count_distinct("g").alias("t"))
+        # rsd=0.01: the default 5% HLL error is the same order as the
+        # decision margin; an overestimate would keep the quadratic
+        # small-q plan this heuristic exists to prevent
+        .agg(F.approx_count_distinct("g", 0.01).alias("t"))
         .first()["t"]
     )
     alphabet = max(2.0, float(types2) ** 0.5)
     q_cap = max(2, min(_AUTO_Q_MAX, int(-(-avg_len // 2))))
     for q in range(2, q_cap + 1):
-        types_q = float(types2) if q == 2 else alphabet**q
+        # 0.95: discount the estimate so HLL error errs toward LARGER
+        # q (one diversity step too many is cheap; one too few is
+        # quadratic candidates)
+        types_q = 0.95 * (float(types2) if q == 2 else alphabet**q)
         if types_q >= n * (q * d + 1) ** 2 / _AUTO_Q_PAIR_BUDGET_PER_ROW:
             return q
     return q_cap
@@ -133,9 +139,11 @@ def edit_distance_pairs(
     if d < 0:
         raise ValueError(f"max_distance must be >= 0, got {max_distance}")
     s = bind_one(df, string_column)
-    if q == "auto":
+    # resolve "auto" only when q matters: the d == 0 fast path below
+    # never builds grams, so its two choose_q scans would be wasted
+    if q == "auto" and d > 0:
         q = choose_q(df.select(s.alias("__s")), max_distance=d, pad_char=pad_char)
-    if not isinstance(q, int) or q < 1:
+    if q != "auto" and (not isinstance(q, int) or q < 1):
         raise ValueError(f"q must be >= 1 or 'auto', got {q}")
     if d == 0:
         # exact-equality fast path: one groupBy on the string itself
@@ -290,13 +298,13 @@ def edit_distance_link(
         raise ValueError(f"max_distance must be >= 0, got {max_distance}")
     ls = bind_one(left, left_column)
     rs = bind_one(right, right_column if right_column is not None else left_column)
-    if q == "auto":
+    if q == "auto" and d > 0:
         q = choose_q(
             left.select(ls.alias("__s")).unionByName(right.select(rs.alias("__s"))),
             max_distance=d,
             pad_char=pad_char,
         )
-    if not isinstance(q, int) or q < 1:
+    if q != "auto" and (not isinstance(q, int) or q < 1):
         raise ValueError(f"q must be >= 1 or 'auto', got {q}")
 
     def _recs(df, s):
@@ -392,13 +400,17 @@ def edit_distance_link(
     rnarrow = rrec.select(F.col("__id").alias("__rvid"), F.col("__s").alias("__sr"))
     # same two regimes as edit_distance_pairs: when BOTH narrow sides
     # broadcast, the raw candidate stream is verified map-side and only
-    # survivors shuffle for the dedupe; otherwise shrink it first.
-    dedupe_late = should_broadcast(
-        lnarrow, max_bytes=broadcast_records_max_bytes
-    ) and should_broadcast(rnarrow, max_bytes=broadcast_records_max_bytes)
-    if dedupe_late:
-        lnarrow, rnarrow = F.broadcast(lnarrow), F.broadcast(rnarrow)
-    else:
+    # survivors shuffle for the dedupe; otherwise shrink it first —
+    # but still broadcast whichever side individually fits (asymmetric
+    # link tasks: a small reference table against a huge corpus)
+    bl = should_broadcast(lnarrow, max_bytes=broadcast_records_max_bytes)
+    br = should_broadcast(rnarrow, max_bytes=broadcast_records_max_bytes)
+    dedupe_late = bl and br
+    if bl:
+        lnarrow = F.broadcast(lnarrow)
+    if br:
+        rnarrow = F.broadcast(rnarrow)
+    if not dedupe_late:
         cands = cands.dropDuplicates(["record_id_l", "record_id_r"])
     verified = (
         cands.join(lnarrow, cands["record_id_l"] == lnarrow["__lvid"])

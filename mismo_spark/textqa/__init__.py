@@ -11,6 +11,8 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from mismo_spark._util import explode_computed
+
 # tiny per-language stopword marker sets for the n-gram/stopword
 # language heuristic — deliberately small and deterministic
 _LANG_MARKERS = {
@@ -126,8 +128,6 @@ def line_lang_fractions(
     algebra inside the generator), ONE groupBy(id) of conditional sums
     (map-side combine) — no second corpus pass, no UDF."""
     langs = list(_LANG_MARKERS)
-    from mismo_spark._util import explode_computed
-
     lines = explode_computed(
         docs, [F.col(id_col).alias("__id")], F.split(F.col(text_col), "\n"), "__line"
     ).where(F.trim(F.col("__line")) != "")

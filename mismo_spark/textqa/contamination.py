@@ -28,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from mismo_spark._util import explode_computed
 from mismo_spark.dedupe import word_shingles_from_tokens
 from mismo_spark.text.features import tokenize
 
@@ -51,8 +52,6 @@ def doc_ngrams(
     toks = docs.select(
         F.col(id_col), tokenize(F.lower(F.col(text_col))).alias("__toks")
     )
-    from mismo_spark._util import explode_computed
-
     return explode_computed(
         toks,
         [id_col],

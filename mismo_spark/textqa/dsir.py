@@ -35,6 +35,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from mismo_spark._util import explode_computed
 from mismo_spark.text.features import tokenize
 
 _U32 = float(1 << 32)
@@ -102,8 +103,6 @@ def _exploded_buckets(
 ) -> DataFrame:
     """(…cols, bucket) — one row per gram occurrence, bucket hashed as
     a post-explode codegen projection (see :func:`gram_strings`)."""
-    from mismo_spark._util import explode_computed
-
     return explode_computed(
         docs, cols, gram_strings(F.col(text_col), bigrams=bigrams), "__g"
     ).select(*cols, _bucket(F.col("__g"), n_buckets=n_buckets, seed=seed).alias("bucket"))

@@ -30,6 +30,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from mismo_spark._util import explode_computed
+
 
 def duplicated_lines(
     docs: DataFrame,
@@ -44,8 +46,6 @@ def duplicated_lines(
     words after trim) occurring ≥ ``min_count`` times, keyed by the
     md5 of its trimmed text, with one deterministic example (the
     lexicographically smallest raw form)."""
-    from mismo_spark._util import explode_computed
-
     lines = explode_computed(
         docs.where(F.col(text_col).isNotNull()),
         [F.col(id_col).alias("__id")],

@@ -34,6 +34,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from mismo_spark._util import explode_computed
 from mismo_spark.text.features import tokenize
 
 
@@ -137,14 +138,11 @@ def ngram_repetition_signals(
         F.length(F.array_join(F.col("__toks"), " ")).alias("__text_len"),
         _word_grams(F.col("__toks"), n).alias("__grams"),
     )
-    # explode_OUTER, then drop the null rows: a plain explode makes the
-    # optimizer infer a `size(__grams) > 0` filter and push it below
-    # the projection, INLINING the whole grams expression (tokenize
-    # included) into a second interpreted per-row evaluation — measured
-    # ~10× the cost of the generate itself
+    # explode_computed: a plain explode's inferred size-filter would
+    # re-evaluate the whole grams expression (tokenize included) per
+    # row — measured ~10× the cost of the generate itself
     counts = (
-        base.select("__id", "__text_len", F.explode_outer("__grams").alias("__g"))
-        .where(F.col("__g").isNotNull())
+        explode_computed(base, ["__id", "__text_len"], F.col("__grams"), "__g")
         .groupBy("__id", "__text_len", "__g")
         .agg(F.count(F.lit(1)).alias("__c"))
     )
