@@ -2778,6 +2778,23 @@ def q_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style head/middle/tail tiering (no reference counterpart;
+    textqa/buckets.py): per-language QUARTILE buckets of n_chars.  Cut
+    points come from one exact-percentile aggregation per language and
+    are broadcast-joined back — never a per-language window sort (the
+    mega-partition trap: one language can be half the corpus)."""
+    from mismo_spark.textqa.buckets import quality_buckets
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", "n_chars"
+    )
+    out = quality_buckets(docs, "n_chars", by=["lang"], cuts=(0.25, 0.5, 0.75))
+    return out.select(
+        "doc_id", "lang", "n_chars", F.col("bucket").cast("int").alias("bucket")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "key_counts": q_key_counts,
@@ -2886,6 +2903,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "name_blocker": q_name_blocker,
         "ngram_contamination": q_ngram_contamination,
         "dup_ngram_fraction": q_dup_ngram_fraction,
+        "quality_buckets": q_quality_buckets,
     }
 
 
@@ -5370,6 +5388,25 @@ def oracle_sql() -> dict[str, str]:
                      / count(*) AS duplicated_frac
             FROM grams JOIN dfc ON grams.g = dfc.g
             GROUP BY doc_id
+        """,
+        # quantile_cont = Spark's exact percentile (same linear
+        # interpolation); the NULL-cut guard mirrors Spark's null
+        # propagation through the comparison sum
+        "quality_buckets": """
+            WITH cp AS (
+              SELECT lang,
+                     quantile_cont(n_chars, 0.25) AS cut_1,
+                     quantile_cont(n_chars, 0.50) AS cut_2,
+                     quantile_cont(n_chars, 0.75) AS cut_3
+              FROM documents GROUP BY lang
+            )
+            SELECT d.doc_id, d.lang, d.n_chars,
+                   (CASE WHEN d.n_chars IS NULL OR cut_1 IS NULL THEN NULL
+                         ELSE (CASE WHEN d.n_chars > cut_1 THEN 1 ELSE 0 END
+                             + CASE WHEN d.n_chars > cut_2 THEN 1 ELSE 0 END
+                             + CASE WHEN d.n_chars > cut_3 THEN 1 ELSE 0 END)
+                    END)::INTEGER AS bucket
+            FROM documents d LEFT JOIN cp USING (lang)
         """,
         "minhash_lsh_block": _minhash_oracle_sql(
             shingle_size=2, band_size=2, n_bands=8, seed=42, min_jaccard=0.2
