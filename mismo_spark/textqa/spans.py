@@ -40,15 +40,28 @@ def _positional_gram_hashes(
     which falls back to the whole string for minhash composability)."""
     toks = docs.select(
         F.col(id_col), tokenize(F.lower(F.col(text_col))).alias("__toks")
-    ).where(F.size("__toks") >= n)
-    # materialize __toks before the HOF lambda references it (lambdas
-    # re-evaluate non-attribute expressions per element)
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size("__toks") - n),
-        lambda i: F.xxhash64(F.array_join(F.slice("__toks", i + 1, n), " ")),
     )
-    return toks.select(
-        id_col, F.posexplode(grams).alias("pos", "__h")
+    # short docs get an EMPTY index array instead of a .where(size>=n)
+    # — a filter on the computed column would push below the projection
+    # and re-evaluate tokenize per row; likewise the gram build keeps
+    # only cheap get/concat inside the (interpreted) HOF lambda and
+    # hashes AFTER the explode in whole-stage codegen, via
+    # posexplode_outer so no inferred size-filter duplicates the
+    # expression (see _util.explode_computed)
+    sz = F.size("__toks")
+    idx = F.when(sz >= n, F.sequence(F.lit(0), sz - n)).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.get("__toks", i + F.lit(j)) for j in range(n)]
+        ),
+    )
+    return (
+        toks.select(id_col, F.posexplode_outer(grams).alias("pos", "__g"))
+        .where(F.col("__g").isNotNull())
+        .select(id_col, "pos", F.xxhash64("__g").alias("__h"))
     )
 
 

@@ -72,17 +72,33 @@ def winnow_fingerprints(
         raise ValueError(f"w must be >= 1, got {w}")
     toks = docs.select(
         F.col(id_col), tokenize(F.lower(F.col(text_col))).alias("__toks")
-    ).where(F.size("__toks") >= k + w - 1)
-    # materialize __toks before the HOF lambda references it (lambdas
-    # re-evaluate non-attribute expressions per element)
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size("__toks") - k),
-        lambda i: F.md5(F.array_join(F.slice("__toks", i + 1, k), " ")),
     )
-    hashes = toks.select(
-        id_col,
-        (F.size("__toks") - k + 1).alias("__nh"),
-        F.posexplode(grams).alias("pos", "__h"),
+    # docs without a full window (size < k + w - 1) must emit nothing:
+    # handled by the empty index array + the pos <= __nh - w filter
+    # below, NOT a .where on the computed token column (that filter
+    # would push below the projection and re-evaluate tokenize per
+    # row).  Gram build keeps only get/concat inside the interpreted
+    # HOF lambda; the md5 runs AFTER the explode in codegen, via
+    # posexplode_outer so no inferred size-filter duplicates the
+    # expression (see _util.explode_computed).
+    sz = F.size("__toks")
+    idx = F.when(sz >= k + w - 1, F.sequence(F.lit(0), sz - k)).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.get("__toks", i + F.lit(j)) for j in range(k)]
+        ),
+    )
+    hashes = (
+        toks.select(
+            id_col,
+            (sz - k + 1).alias("__nh"),
+            F.posexplode_outer(grams).alias("pos", "__g"),
+        )
+        .where(F.col("__g").isNotNull())
+        .select(id_col, "__nh", "pos", F.md5("__g").alias("__h"))
     )
     win = (
         Window.partitionBy(id_col)
