@@ -135,6 +135,14 @@ def main(argv: list[str] | None = None) -> dict:
                     "picks the LM: 1 = unigram perplexity, 2 = bigram "
                     "Stupid-Backoff score exp(mean -ln S) — an "
                     "UNNORMALIZED scale, tune the threshold per order")
+    ap.add_argument("--perplexity-keep-frac", type=float, default=None,
+                    help="CCNet-style percentile screen: keep only the "
+                    "lowest-perplexity FRACTION of documents, tiered per "
+                    "language when the input has a 'lang' column (cut "
+                    "points from one exact-percentile aggregation per "
+                    "group — never a corpus-wide sort).  Composes with "
+                    "--max-perplexity (the absolute cap applies first; "
+                    "the LM is fit once on this stage's input)")
     ap.add_argument("--max-dup-line-frac", type=float, default=None,
                     help="Gopher-style repetition filter: drop docs whose "
                     "duplicate-line fraction exceeds this (e.g. 0.30)")
@@ -429,18 +437,35 @@ def main(argv: list[str] | None = None) -> dict:
         counters["after_line_dedup"] = docs.count()
 
     # -- LM perplexity screen (unigram or bigram Stupid Backoff) ------------
-    if args.max_perplexity is not None:
+    if args.max_perplexity is not None or args.perplexity_keep_frac is not None:
         from mismo_spark.textqa.lm import bigram_perplexity, unigram_perplexity
 
         score_fn = (
             bigram_perplexity if args.perplexity_order == 2
             else unigram_perplexity
         )
-        ppl = score_fn(
-            docs, id_col="record_id", text_col=args.text_col
-        ).where(F.col("perplexity") > args.max_perplexity)
-        docs = docs.join(ppl.select("record_id"), "record_id", "left_anti")
-        counters["after_perplexity_filter"] = docs.count()
+        ppl = score_fn(docs, id_col="record_id", text_col=args.text_col)
+        if args.max_perplexity is not None:
+            bad = ppl.where(F.col("perplexity") > args.max_perplexity)
+            docs = docs.join(bad.select("record_id"), "record_id", "left_anti")
+            counters["after_perplexity_filter"] = docs.count()
+        if args.perplexity_keep_frac is not None:
+            frac = args.perplexity_keep_frac
+            if not 0.0 < frac < 1.0:
+                raise SystemExit(
+                    f"--perplexity-keep-frac must be in (0, 1), got {frac}"
+                )
+            from mismo_spark.textqa.buckets import quality_buckets
+
+            by = ["lang"] if "lang" in docs.columns else []
+            scored = docs.select("record_id", *by).join(
+                ppl.select("record_id", "perplexity"), "record_id"
+            )
+            kept = quality_buckets(
+                scored, "perplexity", by=by, cuts=(frac,)
+            ).where(F.col("bucket") == 0)
+            docs = docs.join(kept.select("record_id"), "record_id", "left_semi")
+            counters["after_perplexity_keep_frac"] = docs.count()
 
     # -- within-doc repetition filters (Gopher A1.1) -----------------------
     if args.max_dup_line_frac is not None:

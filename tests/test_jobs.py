@@ -652,3 +652,42 @@ def test_prep_training_data_history_dedup(spark, tmp_path):
     assert kept == set(range(4, 12))
     # the bloom prescreen sent at most a handful to the exact join
     assert 4 <= counters["history_bloom_candidates"] <= 12
+
+
+def test_prep_training_data_perplexity_keep_frac(spark, tmp_path):
+    src = str(tmp_path / "docs.parquet")
+    en = "the cat sat on the mat and the dog sat on the rug"
+    de = "der hund sitzt auf der matte und die katze auf dem teppich"
+    # texts unique per doc so the exact-dedupe stage keeps all of them
+    rows = (
+        [(i, en + f" extra{i}", "en") for i in range(6)]
+        + [(10 + i, f"zyx{i} qwv jkl pqr mno abc def ghi stu", "en") for i in range(2)]
+        + [(20 + i, de + f" mehr{i}", "de") for i in range(6)]
+        + [(30 + i, f"qqq{i} www eee rrr ttt zzz uuu iii ooo", "de") for i in range(2)]
+    )
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string"
+    ).write.mode("overwrite").parquet(src)
+
+    out = str(tmp_path / "curated")
+    counters = prep_main([
+        "--input", src, "--output", out, "--id-col", "doc_id",
+        "--min-tokens", "1", "--skip-neardup",
+        "--perplexity-keep-frac", "0.75",
+    ])
+    assert counters["after_perplexity_keep_frac"] == 12
+    kept = spark.read.parquet(f"{out}/documents.parquet")
+    ids = {r["doc_id"] for r in kept.collect()}
+    # gibberish (the worst quarter of each language) dropped, per lang
+    assert ids.isdisjoint({10, 11, 30, 31})
+    langs = {r["lang"] for r in kept.select("lang").distinct().collect()}
+    assert langs == {"en", "de"}
+
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit, match="keep-frac"):
+        prep_main([
+            "--input", src, "--output", str(tmp_path / "x"),
+            "--id-col", "doc_id", "--skip-neardup",
+            "--perplexity-keep-frac", "1.5",
+        ])
