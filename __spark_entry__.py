@@ -2302,6 +2302,34 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive (anchor, positive, hard-negative) mining
+    (mismo_spark/ann/mining.py): positives = best-cosine duplicate
+    partner from the planted-dup relation of q_embedding_near_dup;
+    hard negatives = best-cosine same-hyperplane-bucket NON-duplicate.
+    The oracle replays the seeded hyperplanes as SQL literals plus both
+    argmaxes, so bucket candidates, anti-join and tie-breaks are all
+    value-checked."""
+    from mismo_spark.ann.mining import contrastive_triplets
+
+    emb = _emb(spark, sf_dir)
+    v = F.col("embedding").cast("array<double>")
+    base = emb.select("vec_id", v.alias("embedding"))
+    pert = F.concat(
+        F.array(F.element_at(v, 1) + F.lit(0.05)), F.slice(v, 2, 63)
+    )
+    dups = emb.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), pert.alias("embedding")
+    )
+    allv = base.unionByName(dups)
+    dup_rel = emb.filter(F.col("vec_id") % 5 == 0).select(
+        F.col("vec_id").alias("id_l"), (F.col("vec_id") + 100000).alias("id_r")
+    )
+    return contrastive_triplets(
+        allv, dup_rel, dim=64, n_bands=8, band_bits=8, seed=42
+    )
+
+
 def _hyperplane_bucket_sql(
     *, dim: int, n_bands: int, band_bits: int, seed: int
 ) -> str:
@@ -2390,6 +2418,82 @@ def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "query_id", "neighbour_id", F.round("cosine", 6).alias("cosine")
     )
+
+
+def _contrastive_oracle_sql(
+    *, dim: int = 64, n_bands: int = 8, band_bits: int = 8, seed: int = 42
+) -> str:
+    """DuckDB replay of q_contrastive_triplets: planted-dup relation,
+    cosine argmax for positives, hyperplane-literal buckets + NOT
+    EXISTS anti-join + cosine argmax for hard negatives.  Ties break
+    (cosine DESC, partner id ASC) — the same total order as the Spark
+    side's min(struct(-cosine, id))."""
+    bucket_arr = _hyperplane_bucket_sql(
+        dim=dim, n_bands=n_bands, band_bits=band_bits, seed=seed
+    )
+    cos = (
+        "list_dot_product(a.v, p.v) / (sqrt(list_dot_product(a.v, a.v))"
+        " * sqrt(list_dot_product(p.v, p.v)))"
+    )
+    return f"""
+        WITH b AS (
+          SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings
+        ),
+        allv AS (
+          SELECT * FROM b
+          UNION ALL
+          SELECT id + 100000, [v[1] + 0.05] || v[2:] FROM b WHERE id % 5 = 0
+        ),
+        dup AS (SELECT id AS id_l, id + 100000 AS id_r FROM b WHERE id % 5 = 0),
+        sym AS (
+          SELECT id_l AS anchor_id, id_r AS partner_id FROM dup
+          UNION ALL
+          SELECT id_r, id_l FROM dup
+        ),
+        pos_scored AS (
+          SELECT anchor_id, partner_id, {cos} AS cosine
+          FROM sym
+          JOIN allv a ON a.id = sym.anchor_id
+          JOIN allv p ON p.id = sym.partner_id
+        ),
+        pos AS (
+          SELECT anchor_id, partner_id AS positive_id, cosine AS pos_cosine
+          FROM (SELECT *, row_number() OVER (
+                  PARTITION BY anchor_id ORDER BY cosine DESC, partner_id ASC
+                ) AS rn FROM pos_scored)
+          WHERE rn = 1
+        ),
+        keyed AS (
+          SELECT id, unnest({bucket_arr}) AS bucket FROM allv
+        ),
+        cand AS (
+          SELECT DISTINCT l.id AS anchor_id, r.id AS partner_id
+          FROM keyed l JOIN keyed r ON l.bucket = r.bucket AND l.id <> r.id
+        ),
+        nondup AS (
+          SELECT c.* FROM cand c
+          WHERE NOT EXISTS (
+            SELECT 1 FROM sym s
+            WHERE s.anchor_id = c.anchor_id AND s.partner_id = c.partner_id
+          )
+        ),
+        neg_scored AS (
+          SELECT anchor_id, partner_id, {cos} AS cosine
+          FROM nondup
+          JOIN allv a ON a.id = nondup.anchor_id
+          JOIN allv p ON p.id = nondup.partner_id
+        ),
+        neg AS (
+          SELECT anchor_id, partner_id AS negative_id, cosine AS neg_cosine
+          FROM (SELECT *, row_number() OVER (
+                  PARTITION BY anchor_id ORDER BY cosine DESC, partner_id ASC
+                ) AS rn FROM neg_scored)
+          WHERE rn = 1
+        )
+        SELECT anchor_id, positive_id, round(pos_cosine, 9) AS pos_cosine,
+               negative_id, round(neg_cosine, 9) AS neg_cosine
+        FROM pos JOIN neg USING (anchor_id)
+    """
 
 
 def _lsh_topk_oracle_sql(
@@ -2904,6 +3008,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_contamination": q_ngram_contamination,
         "dup_ngram_fraction": q_dup_ngram_fraction,
         "quality_buckets": q_quality_buckets,
+        "contrastive_triplets": q_contrastive_triplets,
     }
 
 
@@ -5237,6 +5342,7 @@ def oracle_sql() -> dict[str, str]:
         "emails_dimension": _emails_dimension_oracle_sql(),
         "address_match_level": _address_level_oracle_sql(),
         "embedding_near_dup": _embedding_near_dup_oracle_sql(),
+        "contrastive_triplets": _contrastive_oracle_sql(),
         "lsh_topk": _lsh_topk_oracle_sql(),
         "semdedup": _SEMDEDUP_ORACLE_SQL,
         "dsir_select": _DSIR_ORACLE_SQL,
