@@ -2420,6 +2420,69 @@ def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _multi_ngram_oracle_sql(*, top_ns=(2, 3, 4), dup_ns=(5, 6, 7, 8, 9, 10)) -> str:
+    """DuckDB replay of q_multi_ngram_repetition: a lateral unnest over
+    the n list generates every (doc, n, gram) occurrence, then the same
+    count → rank → conditional-pivot rollup as the Spark plan."""
+    all_ns = sorted(set(list(top_ns) + list(dup_ns)))
+    ns_lit = "[" + ", ".join(str(n) for n in all_ns) + "]"
+    top_pv = ",\n                ".join(
+        f"max(CASE WHEN n = {n} AND text_len > 0 THEN"
+        f" round(top_chars / text_len::DOUBLE, 9) END) AS t{n}"
+        for n in top_ns
+    )
+    dup_pv = ",\n                ".join(
+        f"max(CASE WHEN n = {n} AND text_len > 0 THEN"
+        f" round(least(dup_chars / text_len::DOUBLE, 1.0), 9) END) AS u{n}"
+        for n in dup_ns
+    )
+    out = ",\n              ".join(
+        [f"coalesce(t{n}, 0.0) AS top_{n}gram_char_frac" for n in top_ns]
+        + [f"coalesce(u{n}, 0.0) AS dup_{n}gram_char_frac" for n in dup_ns]
+    )
+    return rf"""
+        WITH toks AS (
+          SELECT doc_id,
+            string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ') AS t
+          FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+        ),
+        base AS (
+          SELECT doc_id, length(array_to_string(t, ' ')) AS text_len, t
+          FROM toks
+        ),
+        grams AS (
+          SELECT doc_id, text_len, n, array_to_string(t[i:i + n - 1], ' ') AS g
+          FROM base,
+               unnest({ns_lit}) AS ns(n),
+               unnest(range(1, len(t) - n + 2)) AS u(i)
+        ),
+        counts AS (
+          SELECT doc_id, text_len, n, g, count(*) AS c
+          FROM grams GROUP BY ALL
+        ),
+        ranked AS (
+          SELECT *, row_number() OVER (
+            PARTITION BY doc_id, n ORDER BY c DESC, g ASC
+          ) AS rk FROM counts
+        ),
+        per_doc AS (
+          SELECT doc_id, text_len, n,
+            max(CASE WHEN rk = 1 THEN c * length(g) END) AS top_chars,
+            sum(CASE WHEN c >= 2 THEN c * length(g) ELSE 0 END) AS dup_chars
+          FROM ranked GROUP BY ALL
+        ),
+        pv AS (
+          SELECT doc_id,
+                {top_pv},
+                {dup_pv}
+          FROM per_doc GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+              {out}
+        FROM documents d LEFT JOIN pv ON d.doc_id = pv.doc_id
+    """
+
+
 def _contrastive_oracle_sql(
     *, dim: int = 64, n_bands: int = 8, band_bits: int = 8, seed: int = 42
 ) -> str:
@@ -2882,6 +2945,21 @@ def q_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multi_ngram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full Gopher A1.1 repetition battery (textqa/repetition.py
+    multi_ngram_repetition_signals): top-{2,3,4}-gram and
+    duplicated-{5..10}-gram char fractions, every n from ONE tokenize +
+    ONE generate + ONE (id, n, gram) groupBy — not |ns| corpus passes."""
+    from mismo_spark.textqa.repetition import multi_ngram_repetition_signals
+
+    return multi_ngram_repetition_signals(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"),
+        top_ns=(2, 3, 4),
+        dup_ns=(5, 6, 7, 8, 9, 10),
+        id_col="doc_id",
+    )
+
+
 def q_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style head/middle/tail tiering (no reference counterpart;
     textqa/buckets.py): per-language QUARTILE buckets of n_chars.  Cut
@@ -3009,6 +3087,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_ngram_fraction": q_dup_ngram_fraction,
         "quality_buckets": q_quality_buckets,
         "contrastive_triplets": q_contrastive_triplets,
+        "multi_ngram_repetition": q_multi_ngram_repetition,
     }
 
 
@@ -5188,6 +5267,9 @@ def oracle_sql() -> dict[str, str]:
               END AS dup_line_char_frac
             FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
         """,
+        "multi_ngram_repetition": _multi_ngram_oracle_sql(
+            top_ns=(2, 3, 4), dup_ns=(5, 6, 7, 8, 9, 10)
+        ),
         "ngram_repetition": r"""
             WITH toks AS (
               SELECT doc_id,

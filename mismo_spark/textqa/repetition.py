@@ -31,6 +31,8 @@ DuckDB oracle):
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -205,4 +207,125 @@ def ngram_repetition_signals(
                 "dup_ngram_char_frac"
             ),
         )
+    )
+
+
+def multi_ngram_repetition_signals(
+    df: DataFrame,
+    *,
+    top_ns: Sequence[int] = (2, 3, 4),
+    dup_ns: Sequence[int] = (5, 6, 7, 8, 9, 10),
+    id_col: str = "record_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The FULL Gopher A1.1 repetition battery in ONE corpus pass:
+    ``top_{n}gram_char_frac`` for each n in ``top_ns`` (most-frequent
+    n-gram char fraction) and ``dup_{n}gram_char_frac`` for each n in
+    ``dup_ns`` (chars inside n-grams occurring ≥ 2×, capped at 1.0) —
+    the paper filters on n ∈ {2,3,4} for the former and {5..10} for
+    the latter.
+
+    Plan: every (n, gram) occurrence for ALL n comes out of ONE
+    tokenize + ONE generate (per-n gram arrays built with cheap
+    ``F.get`` concats, tagged with n, flattened, exploded once), then
+    ONE groupBy(id, n, gram) count with map-side combine and ONE
+    windowed rollup partitioned by (id, n).  Per-doc work is
+    Σ_n (tokens − n + 1) rows — the same volume as running
+    :func:`ngram_repetition_signals` once per n, but with one shuffle
+    instead of |ns| shuffles and one corpus scan instead of |ns|.
+    Char accounting matches :func:`ngram_repetition_signals`
+    (documented contract, replayed by the DuckDB oracle)."""
+    all_ns = sorted(set(list(top_ns) + list(dup_ns)))
+    if not all_ns or any(n < 1 for n in all_ns):
+        raise ValueError(f"n values must be >= 1, got {top_ns=} {dup_ns=}")
+    toks_df = df.select(
+        F.col(id_col).alias("__id"), tokenize(F.col(text_col)).alias("__toks")
+    )
+    sz = F.size("__toks")
+
+    def _tagged(n: int):
+        idx = F.when(sz >= n, F.sequence(F.lit(0), sz - n)).otherwise(
+            F.array().cast("array<int>")
+        )
+        return F.transform(
+            idx,
+            lambda i: F.struct(
+                F.lit(n).alias("n"),
+                F.concat_ws(
+                    " ", *[F.get("__toks", i + F.lit(j)) for j in range(n)]
+                ).alias("gram"),
+            ),
+        )
+
+    base = toks_df.select(
+        "__id",
+        F.length(F.array_join(F.col("__toks"), " ")).alias("__text_len"),
+        F.flatten(F.array(*[_tagged(n) for n in all_ns])).alias("__tagged"),
+    )
+    counts = (
+        explode_computed(base, ["__id", "__text_len"], F.col("__tagged"), "__t")
+        .select("__id", "__text_len", F.col("__t.n").alias("__n"), F.col("__t.gram").alias("__g"))
+        .groupBy("__id", "__text_len", "__n", "__g")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    w = Window.partitionBy("__id", "__n")
+    rolled = (
+        counts.withColumn(
+            "__rank",
+            F.row_number().over(
+                Window.partitionBy("__id", "__n").orderBy(
+                    F.desc("__c"), F.asc("__g")
+                )
+            ),
+        )
+        .withColumn(
+            "__top_chars",
+            F.max(
+                F.when(F.col("__rank") == 1, F.col("__c") * F.length("__g"))
+            ).over(w),
+        )
+        .withColumn(
+            "__dup_chars",
+            F.sum(
+                F.when(F.col("__c") >= 2, F.col("__c") * F.length("__g")).otherwise(0)
+            ).over(w),
+        )
+        .filter(F.col("__rank") == 1)
+        .select("__id", "__text_len", "__n", "__top_chars", "__dup_chars")
+    )
+    safe_len = F.col("__text_len").cast("double")
+    top_cols = [
+        F.coalesce(
+            F.max(
+                F.when(
+                    (F.col("__n") == n) & (F.col("__text_len") > 0),
+                    F.round(F.col("__top_chars") / safe_len, 9),
+                )
+            ),
+            F.lit(0.0),
+        ).alias(f"top_{n}gram_char_frac")
+        for n in top_ns
+    ]
+    dup_cols = [
+        F.coalesce(
+            F.max(
+                F.when(
+                    (F.col("__n") == n) & (F.col("__text_len") > 0),
+                    F.round(
+                        F.least(F.col("__dup_chars") / safe_len, F.lit(1.0)), 9
+                    ),
+                )
+            ),
+            F.lit(0.0),
+        ).alias(f"dup_{n}gram_char_frac")
+        for n in dup_ns
+    ]
+    wide = rolled.groupBy("__id").agg(*top_cols, *dup_cols)
+    ids = df.select(F.col(id_col).alias("__id")).distinct()
+    out_cols = [f"top_{n}gram_char_frac" for n in top_ns] + [
+        f"dup_{n}gram_char_frac" for n in dup_ns
+    ]
+    return ids.join(wide, "__id", "left").select(
+        F.col("__id").alias(id_col),
+        *[F.coalesce(c, F.lit(0.0)).alias(c) for c in out_cols],
     )

@@ -98,3 +98,54 @@ def test_repetitive_beats_clean_on_real_docs(spark):
         for r in ngram_repetition_signals(both, n=2).collect()
     }
     assert grams[10_000_000] == 1.0
+
+
+def test_multi_ngram_matches_single_n(spark):
+    from mismo_spark.textqa.repetition import (
+        multi_ngram_repetition_signals,
+        ngram_repetition_signals,
+    )
+
+    rows = [
+        (1, "a b a b a b c d"),
+        (2, "x y z x y z x y z"),
+        (3, "one two three four five six seven"),
+        (4, ""),
+        (5, "t"),
+    ]
+    df = spark.createDataFrame(rows, "record_id long, text string")
+    multi = {
+        r["record_id"]: r
+        for r in multi_ngram_repetition_signals(
+            df, top_ns=(2, 3), dup_ns=(2, 5), id_col="record_id"
+        ).collect()
+    }
+    for n in (2, 3):
+        single = {
+            r["record_id"]: r
+            for r in ngram_repetition_signals(df, n=n, id_col="record_id").collect()
+        }
+        for rid in single:
+            assert multi[rid][f"top_{n}gram_char_frac"] == pytest.approx(
+                single[rid]["top_ngram_char_frac"]
+            ), (n, rid)
+    single5 = {
+        r["record_id"]: r
+        for r in ngram_repetition_signals(df, n=5, id_col="record_id").collect()
+    }
+    for rid in single5:
+        assert multi[rid]["dup_5gram_char_frac"] == pytest.approx(
+            single5[rid]["dup_ngram_char_frac"]
+        ), rid
+    # dup_2gram also exposed and matches
+    single2 = {
+        r["record_id"]: r
+        for r in ngram_repetition_signals(df, n=2, id_col="record_id").collect()
+    }
+    for rid in single2:
+        assert multi[rid]["dup_2gram_char_frac"] == pytest.approx(
+            single2[rid]["dup_ngram_char_frac"]
+        ), rid
+
+    with pytest.raises(ValueError, match="n values"):
+        multi_ngram_repetition_signals(df, top_ns=(0,), dup_ns=())
