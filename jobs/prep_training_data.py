@@ -143,6 +143,12 @@ def main(argv: list[str] | None = None) -> dict:
                     "group — never a corpus-wide sort).  Composes with "
                     "--max-perplexity (the absolute cap applies first; "
                     "the LM is fit once on this stage's input)")
+    ap.add_argument("--gopher-repetition", action="store_true",
+                    help="apply the COMPLETE Gopher A1.1 repetition "
+                    "screen (dup-line fractions + top-{2,3,4}-gram + "
+                    "dup-{5..10}-gram char fractions at the paper's "
+                    "Table A1 thresholds) — every n-gram signal from "
+                    "one corpus pass")
     ap.add_argument("--max-dup-line-frac", type=float, default=None,
                     help="Gopher-style repetition filter: drop docs whose "
                     "duplicate-line fraction exceeds this (e.g. 0.30)")
@@ -468,6 +474,15 @@ def main(argv: list[str] | None = None) -> dict:
             counters["after_perplexity_keep_frac"] = docs.count()
 
     # -- within-doc repetition filters (Gopher A1.1) -----------------------
+    if args.gopher_repetition:
+        from mismo_spark.textqa.repetition import gopher_repetition_flags
+
+        flags = gopher_repetition_flags(
+            docs, id_col="record_id", text_col=args.text_col
+        ).where(F.col("passes"))
+        docs = docs.join(flags.select("record_id"), "record_id", "left_semi")
+        counters["after_gopher_repetition"] = docs.count()
+
     if args.max_dup_line_frac is not None:
         from mismo_spark.textqa.repetition import line_repetition_signals
 

@@ -215,6 +215,7 @@ def multi_ngram_repetition_signals(
     *,
     top_ns: Sequence[int] = (2, 3, 4),
     dup_ns: Sequence[int] = (5, 6, 7, 8, 9, 10),
+    top_min_count: int = 1,
     id_col: str = "record_id",
     text_col: str = "text",
 ) -> DataFrame:
@@ -280,8 +281,14 @@ def multi_ngram_repetition_signals(
         )
         .withColumn(
             "__top_chars",
+            # top_min_count=2 scores only a REPEATED top gram (a
+            # single occurrence is not repetition — without the guard
+            # every short document trips the top-4-gram threshold)
             F.max(
-                F.when(F.col("__rank") == 1, F.col("__c") * F.length("__g"))
+                F.when(
+                    (F.col("__rank") == 1) & (F.col("__c") >= top_min_count),
+                    F.col("__c") * F.length("__g"),
+                )
             ).over(w),
         )
         .withColumn(
@@ -328,4 +335,58 @@ def multi_ngram_repetition_signals(
     return ids.join(wide, "__id", "left").select(
         F.col("__id").alias(id_col),
         *[F.coalesce(c, F.lit(0.0)).alias(c) for c in out_cols],
+    )
+
+
+# Rae et al. 2021 Table A1 drop thresholds (a doc FAILS when a signal
+# EXCEEDS its threshold)
+GOPHER_REPETITION_THRESHOLDS: dict[str, float] = {
+    "dup_line_frac": 0.30,
+    "dup_line_char_frac": 0.20,
+    "top_2gram_char_frac": 0.20,
+    "top_3gram_char_frac": 0.18,
+    "top_4gram_char_frac": 0.16,
+    "dup_5gram_char_frac": 0.15,
+    "dup_6gram_char_frac": 0.14,
+    "dup_7gram_char_frac": 0.13,
+    "dup_8gram_char_frac": 0.12,
+    "dup_9gram_char_frac": 0.11,
+    "dup_10gram_char_frac": 0.10,
+}
+
+
+def gopher_repetition_flags(
+    df: DataFrame,
+    *,
+    id_col: str = "record_id",
+    text_col: str = "text",
+    thresholds: dict[str, float] | None = None,
+) -> DataFrame:
+    """→ (id, <signal columns>, passes): the COMPLETE Gopher A1.1
+    repetition screen — line signals (map-only) joined with the one-pass
+    multi-n battery, compared against the paper's Table A1 thresholds
+    (override any subset via ``thresholds``).  ``passes`` is true iff
+    no signal exceeds its threshold; NULL-text docs get NULL line
+    signals and fail the screen (unknown is not clean)."""
+    th = dict(GOPHER_REPETITION_THRESHOLDS)
+    if thresholds:
+        unknown = set(thresholds) - set(th)
+        if unknown:
+            raise ValueError(f"unknown threshold keys: {sorted(unknown)}")
+        th.update(thresholds)
+    lines = line_repetition_signals(df, id_col=id_col, text_col=text_col)
+    # top_min_count=2: the screen targets REPETITION — a top n-gram
+    # occurring once scores 0, else every short document trips the
+    # top-4-gram threshold on its longest (single) 4-gram
+    grams = multi_ngram_repetition_signals(
+        df, top_ns=(2, 3, 4), dup_ns=(5, 6, 7, 8, 9, 10),
+        top_min_count=2, id_col=id_col, text_col=text_col,
+    )
+    joined = lines.join(grams, id_col)
+    ok = None
+    for col, cut in th.items():
+        this = F.col(col) <= F.lit(cut)
+        ok = this if ok is None else (ok & this)
+    return joined.select(
+        id_col, *th.keys(), F.coalesce(ok, F.lit(False)).alias("passes")
     )

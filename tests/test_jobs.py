@@ -691,3 +691,24 @@ def test_prep_training_data_perplexity_keep_frac(spark, tmp_path):
             "--id-col", "doc_id", "--skip-neardup",
             "--perplexity-keep-frac", "1.5",
         ])
+
+
+def test_prep_training_data_gopher_repetition(spark, tmp_path):
+    src = str(tmp_path / "docs.parquet")
+    clean = (
+        "The committee reviewed seventeen separate proposals during the "
+        "morning session and assigned each one to a different working "
+        "group for detailed evaluation before the final vote next week."
+    )
+    rows = [(1, clean, "en"), (2, "spam offer " * 60, "en")]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string"
+    ).write.mode("overwrite").parquet(src)
+    out = str(tmp_path / "curated")
+    counters = prep_main([
+        "--input", src, "--output", out, "--id-col", "doc_id",
+        "--min-tokens", "1", "--skip-neardup", "--gopher-repetition",
+    ])
+    assert counters["after_gopher_repetition"] == 1
+    kept = {r["doc_id"] for r in spark.read.parquet(f"{out}/documents.parquet").collect()}
+    assert kept == {1}

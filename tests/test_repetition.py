@@ -149,3 +149,57 @@ def test_multi_ngram_matches_single_n(spark):
 
     with pytest.raises(ValueError, match="n values"):
         multi_ngram_repetition_signals(df, top_ns=(0,), dup_ns=())
+
+
+def test_gopher_repetition_flags(spark):
+    from mismo_spark.textqa.repetition import (
+        GOPHER_REPETITION_THRESHOLDS,
+        gopher_repetition_flags,
+    )
+
+    clean = (
+        "The committee reviewed seventeen separate proposals during the "
+        "morning session and assigned each one to a different working "
+        "group for detailed evaluation before the final vote next week."
+    )
+    rows = [
+        (1, clean),
+        (2, "buy now " * 40),          # massive 2-gram repetition
+        (3, None),                      # unknown -> fails
+        (4, "alpha\nalpha\nalpha\nbeta"),  # dup lines
+    ]
+    df = spark.createDataFrame(rows, "record_id long, text string")
+    out = {r["record_id"]: r for r in gopher_repetition_flags(df).collect()}
+    assert out[1]["passes"] is True
+    assert out[2]["passes"] is False
+    assert out[2]["top_2gram_char_frac"] > GOPHER_REPETITION_THRESHOLDS[
+        "top_2gram_char_frac"
+    ]
+    assert out[3]["passes"] is False
+    assert out[4]["passes"] is False and out[4]["dup_line_frac"] == 0.5
+
+    # a doc that fails EXACTLY the dup-line rule: short repeated lines
+    # interleaved between long all-distinct lines (no token run ever
+    # repeats, so every n-gram signal stays under threshold)
+    import itertools
+
+    words = iter(
+        f"w{i}x{i * 7 % 13}" for i in itertools.count()
+    )
+    longs = [" ".join(next(words) for _ in range(10)) for _ in range(8)]
+    lines = list(
+        itertools.chain.from_iterable(zip(["ok bye"] * 6, longs[:6]))
+    ) + longs[6:]
+    df5 = spark.createDataFrame(
+        [(5, "\n".join(lines))], "record_id long, text string"
+    )
+    strict = gopher_repetition_flags(df5).collect()[0]
+    assert strict["passes"] is False
+    assert strict["dup_line_frac"] > 0.3
+    assert strict["top_2gram_char_frac"] <= 0.20
+    assert strict["dup_5gram_char_frac"] <= 0.15
+    # threshold override flips the verdict; unknown keys rejected
+    loose = gopher_repetition_flags(df5, thresholds={"dup_line_frac": 0.9})
+    assert loose.collect()[0]["passes"] is True
+    with pytest.raises(ValueError, match="unknown"):
+        gopher_repetition_flags(df, thresholds={"bogus": 1.0})
