@@ -60,14 +60,15 @@ def _word_grams(toks: Column, n: int) -> Column:
     )
 
 
-def _nonblank_lines(text: Column) -> Column:
-    return F.filter(F.split(text, "\n"), lambda x: F.trim(x) != "")
+def _nonblank_lines(text: Column, sep: str = "\n") -> Column:
+    return F.filter(F.split(text, sep), lambda x: F.trim(x) != "")
 
 
-def dup_line_fraction(text: Column) -> Column:
+def dup_line_fraction(text: Column, *, sep: str = "\n") -> Column:
     """Fraction of non-blank lines that are repeats of an earlier
-    identical line; 0.0 for docs with no lines; NULL for NULL text."""
-    lines = _nonblank_lines(text)
+    identical line; 0.0 for docs with no lines; NULL for NULL text.
+    ``sep="\\n\\n"`` gives the PARAGRAPH variant (Gopher screens both)."""
+    lines = _nonblank_lines(text, sep)
     n = F.size(lines)
     return F.when(text.isNull(), F.lit(None).cast("double")).otherwise(
         F.when(n == 0, F.lit(0.0)).otherwise(
@@ -76,12 +77,12 @@ def dup_line_fraction(text: Column) -> Column:
     )
 
 
-def dup_line_char_fraction(text: Column) -> Column:
+def dup_line_char_fraction(text: Column, *, sep: str = "\n") -> Column:
     """Fraction of line characters sitting in duplicate occurrences:
     Σ_(distinct line) (count−1)·len / Σ count·len.  Computed
     shuffle-free: sort the line array, an occurrence is a duplicate iff
-    it equals its sorted predecessor."""
-    lines = F.array_sort(_nonblank_lines(text))
+    it equals its sorted predecessor.  ``sep="\\n\\n"`` = paragraphs."""
+    lines = F.array_sort(_nonblank_lines(text, sep))
     n = F.size(lines)
     # zip each line (from the 2nd) with its predecessor; sum lengths of
     # the ones that repeat
@@ -107,15 +108,32 @@ def dup_line_char_fraction(text: Column) -> Column:
 
 
 def line_repetition_signals(
-    df: DataFrame, *, id_col: str = "record_id", text_col: str = "text"
+    df: DataFrame,
+    *,
+    id_col: str = "record_id",
+    text_col: str = "text",
+    paragraphs: bool = False,
 ) -> DataFrame:
-    """→ (id, dup_line_frac, dup_line_char_frac) — map-only pass."""
+    """→ (id, dup_line_frac, dup_line_char_frac
+    [, dup_paragraph_frac, dup_paragraph_char_frac]) — map-only pass;
+    ``paragraphs=True`` adds the ``\\n\\n``-delimited variants Gopher
+    screens alongside lines (Table A1)."""
     t = F.col(text_col)
-    return df.select(
+    cols = [
         F.col(id_col),
         F.round(dup_line_fraction(t), 9).alias("dup_line_frac"),
         F.round(dup_line_char_fraction(t), 9).alias("dup_line_char_frac"),
-    )
+    ]
+    if paragraphs:
+        cols += [
+            F.round(dup_line_fraction(t, sep="\n\n"), 9).alias(
+                "dup_paragraph_frac"
+            ),
+            F.round(dup_line_char_fraction(t, sep="\n\n"), 9).alias(
+                "dup_paragraph_char_frac"
+            ),
+        ]
+    return df.select(*cols)
 
 
 def ngram_repetition_signals(
@@ -343,6 +361,8 @@ def multi_ngram_repetition_signals(
 GOPHER_REPETITION_THRESHOLDS: dict[str, float] = {
     "dup_line_frac": 0.30,
     "dup_line_char_frac": 0.20,
+    "dup_paragraph_frac": 0.30,
+    "dup_paragraph_char_frac": 0.20,
     "top_2gram_char_frac": 0.20,
     "top_3gram_char_frac": 0.18,
     "top_4gram_char_frac": 0.16,
@@ -374,7 +394,9 @@ def gopher_repetition_flags(
         if unknown:
             raise ValueError(f"unknown threshold keys: {sorted(unknown)}")
         th.update(thresholds)
-    lines = line_repetition_signals(df, id_col=id_col, text_col=text_col)
+    lines = line_repetition_signals(
+        df, id_col=id_col, text_col=text_col, paragraphs=True
+    )
     # top_min_count=2: the screen targets REPETITION — a top n-gram
     # occurring once scores 0, else every short document trips the
     # top-4-gram threshold on its longest (single) 4-gram

@@ -203,3 +203,18 @@ def test_gopher_repetition_flags(spark):
     assert loose.collect()[0]["passes"] is True
     with pytest.raises(ValueError, match="unknown"):
         gopher_repetition_flags(df, thresholds={"bogus": 1.0})
+
+
+def test_paragraph_signals(spark):
+    from mismo_spark.textqa.repetition import line_repetition_signals
+
+    text = "para one here\n\npara one here\n\nunique second paragraph"
+    df = spark.createDataFrame([(1, text)], "record_id long, text string")
+    r = line_repetition_signals(df, paragraphs=True).collect()[0]
+    # 3 paragraphs, one duplicated
+    assert r["dup_paragraph_frac"] == pytest.approx(1 / 3)
+    # dup chars 13 ("para one here" once over), total 13+13+23 = 49
+    assert r["dup_paragraph_char_frac"] == pytest.approx(13 / 49)
+    # line-level sees 3 distinct non-blank lines -> no dup lines?
+    # no: the two identical "para one here" lines ARE dups at line level
+    assert r["dup_line_frac"] == pytest.approx(1 / 3)
