@@ -2001,6 +2001,17 @@ def q_line_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return line_repetition_signals(_docs(spark, sf_dir), id_col="doc_id")
 
 
+def q_paragraph_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher Table A1 line AND paragraph duplication signals in one
+    map-only pass (textqa.repetition line_repetition_signals with
+    paragraphs=True — the \\n\\n-delimited variants)."""
+    from mismo_spark.textqa.repetition import line_repetition_signals
+
+    return line_repetition_signals(
+        _docs(spark, sf_dir), id_col="doc_id", paragraphs=True
+    )
+
+
 def q_ngram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top/duplicated word-2-gram char fractions (textqa.repetition):
     explode → per-(doc, gram) count → per-doc rollup, doc-keyed
@@ -3063,6 +3074,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redact_pii": q_redact_pii,
         "stratified_sample": q_stratified_sample,
         "line_repetition": q_line_repetition,
+        "paragraph_repetition": q_paragraph_repetition,
         "ngram_repetition": q_ngram_repetition,
         "name_match_level": q_name_match_level,
         "email_match_level": q_email_match_level,
@@ -5266,6 +5278,55 @@ def oracle_sql() -> dict[str, str]:
                    ELSE round(dup_chars / tot_chars::DOUBLE, 9)
               END AS dup_line_char_frac
             FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+        """,
+        "paragraph_repetition": r"""
+            WITH segs AS (
+              SELECT doc_id, kind, s, length(s) AS len
+              FROM (
+                SELECT doc_id, 'line' AS kind,
+                       unnest(string_split(text, chr(10))) AS s
+                FROM documents WHERE text IS NOT NULL
+                UNION ALL
+                SELECT doc_id, 'para' AS kind,
+                       unnest(string_split(text, chr(10) || chr(10))) AS s
+                FROM documents WHERE text IS NOT NULL
+              )
+              WHERE trim(s) <> ''
+            ),
+            per_seg AS (
+              SELECT doc_id, kind, s, count(*) AS c, max(len) AS len
+              FROM segs GROUP BY doc_id, kind, s
+            ),
+            agg AS (
+              SELECT doc_id, kind,
+                sum(c) AS n_segs, count(*) AS n_distinct,
+                sum((c - 1) * len) AS dup_chars, sum(c * len) AS tot_chars
+              FROM per_seg GROUP BY doc_id, kind
+            ),
+            pv AS (
+              SELECT doc_id,
+                max(CASE WHEN kind = 'line' THEN
+                  round((n_segs - n_distinct) / n_segs::DOUBLE, 9) END) AS lf,
+                max(CASE WHEN kind = 'line' AND tot_chars > 0 THEN
+                  round(dup_chars / tot_chars::DOUBLE, 9)
+                  WHEN kind = 'line' THEN 0.0 END) AS lcf,
+                max(CASE WHEN kind = 'para' THEN
+                  round((n_segs - n_distinct) / n_segs::DOUBLE, 9) END) AS pf,
+                max(CASE WHEN kind = 'para' AND tot_chars > 0 THEN
+                  round(dup_chars / tot_chars::DOUBLE, 9)
+                  WHEN kind = 'para' THEN 0.0 END) AS pcf
+              FROM agg GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+              CASE WHEN d.text IS NULL THEN NULL
+                   ELSE coalesce(lf, 0.0) END AS dup_line_frac,
+              CASE WHEN d.text IS NULL THEN NULL
+                   ELSE coalesce(lcf, 0.0) END AS dup_line_char_frac,
+              CASE WHEN d.text IS NULL THEN NULL
+                   ELSE coalesce(pf, 0.0) END AS dup_paragraph_frac,
+              CASE WHEN d.text IS NULL THEN NULL
+                   ELSE coalesce(pcf, 0.0) END AS dup_paragraph_char_frac
+            FROM documents d LEFT JOIN pv ON d.doc_id = pv.doc_id
         """,
         "multi_ngram_repetition": _multi_ngram_oracle_sql(
             top_ns=(2, 3, 4), dup_ns=(5, 6, 7, 8, 9, 10)
