@@ -5655,7 +5655,8 @@ def oracle_sql() -> dict[str, str]:
                              + CASE WHEN d.n_chars > cut_2 THEN 1 ELSE 0 END
                              + CASE WHEN d.n_chars > cut_3 THEN 1 ELSE 0 END)
                     END)::INTEGER AS bucket
-            FROM documents d LEFT JOIN cp USING (lang)
+            FROM documents d
+            LEFT JOIN cp ON d.lang IS NOT DISTINCT FROM cp.lang
         """,
         "minhash_lsh_block": _minhash_oracle_sql(
             shingle_size=2, band_size=2, n_bands=8, seed=42, min_jaccard=0.2

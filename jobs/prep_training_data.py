@@ -226,6 +226,15 @@ def main(argv: list[str] | None = None) -> dict:
                     "graph (looser than dedupe's, to catch survivors)")
     ap.add_argument("--seed", type=int, default=42)
     args = ap.parse_args(argv)
+    # validate BEFORE any Spark work: a bad fraction must not cost a
+    # full LM-scoring pass first
+    if args.perplexity_keep_frac is not None and not (
+        0.0 < args.perplexity_keep_frac < 1.0
+    ):
+        raise SystemExit(
+            "--perplexity-keep-frac must be in (0, 1), got "
+            f"{args.perplexity_keep_frac}"
+        )
 
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
@@ -457,10 +466,6 @@ def main(argv: list[str] | None = None) -> dict:
             counters["after_perplexity_filter"] = docs.count()
         if args.perplexity_keep_frac is not None:
             frac = args.perplexity_keep_frac
-            if not 0.0 < frac < 1.0:
-                raise SystemExit(
-                    f"--perplexity-keep-frac must be in (0, 1), got {frac}"
-                )
             from mismo_spark.textqa.buckets import quality_buckets
 
             by = ["lang"] if "lang" in docs.columns else []

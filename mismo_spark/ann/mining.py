@@ -28,10 +28,10 @@ Determinism: seeded hyperplanes + total-order tie-breaks
 (higher cosine first, then smaller partner id), so the emitted
 triplets are stable across runs, partitionings and engines — the
 DuckDB oracle replays the hyperplanes as SQL literals and the same
-argmax.  NaN cosines (zero-norm vectors) sort LAST on both engines
-(Spark: NaN greatest, negated smallest-last; DuckDB mirrors via the
-oracle's ORDER BY) — a zero-norm partner is only picked when nothing
-else exists.
+argmax.  Degenerate partners (zero-norm or NULL embeddings, whose
+cosine is NULL) are DROPPED before the argmax — without the filter a
+NULL cosine would sort FIRST under min(struct(-cosine, id)) and a
+broken vector would beat every real candidate.
 """
 
 from __future__ import annotations
@@ -47,9 +47,13 @@ def _argmax_partner(
     scored: DataFrame, anchor: str, partner: str, out_partner: str, out_cos: str
 ) -> DataFrame:
     """Per anchor: the highest-cosine partner, ties to the smallest
-    partner id — one hash aggregation (min of a (-cosine, id) struct)."""
+    partner id — one hash aggregation (min of a (-cosine, id) struct).
+    NULL cosines (zero-norm/null embeddings) are dropped first: NULL
+    sorts FIRST under an ascending struct min, so an unfiltered
+    degenerate partner would otherwise always win."""
     return (
-        scored.groupBy(anchor)
+        scored.where(F.col("cosine").isNotNull())
+        .groupBy(anchor)
         .agg(
             F.min(
                 F.struct(
@@ -87,7 +91,14 @@ def contrastive_triplets(
     pairing (same recall-tradeoff skew guard as
     ``embedding_near_duplicates``)."""
     if dim is None:
-        dim = len(embeddings.select(vec_column).first()[0])
+        first = embeddings.select(vec_column).where(
+            F.col(vec_column).isNotNull()
+        ).first()
+        if first is None:
+            raise ValueError(
+                f"cannot infer dim: no non-null {vec_column!r} values"
+            )
+        dim = len(first[0])
     v = F.col(vec_column).cast("array<double>")
     vecs = embeddings.select(F.col(id_column).alias("__vid"), v.alias("__v"))
     if should_broadcast(vecs, max_bytes=broadcast_max_bytes):

@@ -79,11 +79,23 @@ def quality_buckets(
             f"got {len(labels)}"
         )
     cp = score_cutpoints(docs, score_col, by=by, cuts=cuts)
-    joined = (
-        docs.join(F.broadcast(cp), on=list(by), how="left")
-        if by
-        else docs.crossJoin(F.broadcast(cp))
-    )
+    if by:
+        # null-SAFE group join: groupBy emits a cutpoint row for the
+        # NULL group key, but a plain equi-join would never match it —
+        # silently bucketing every NULL-group doc as NULL (and a
+        # downstream "keep bucket 0" filter would drop them all)
+        cpr = cp
+        for c in by:
+            cpr = cpr.withColumnRenamed(c, f"__cp_{c}")
+        cond = None
+        for c in by:
+            e = docs[c].eqNullSafe(cpr[f"__cp_{c}"])
+            cond = e if cond is None else (cond & e)
+        joined = docs.join(F.broadcast(cpr), cond, "left").drop(
+            *[f"__cp_{c}" for c in by]
+        )
+    else:
+        joined = docs.crossJoin(F.broadcast(cp))
     s = F.col(score_col)
     # bucket = number of cut points strictly below the score (ties go
     # to the better tier via <=); descending flips the comparison

@@ -151,42 +151,48 @@ def main() -> None:
     from mismo_spark.session import get_spark
 
     tmp = tempfile.mkdtemp(prefix="curation_scaling_")
-    corpus_path = os.path.join(tmp, "corpus.parquet")
-    spark = get_spark("curation_scaling_gen", master="local[32]")
-    make_corpus(
-        spark, args.entities, seed=42, skew_every=2000, n_partitions=64
-    ).write.mode("overwrite").parquet(corpus_path)
-    spark.stop()
+    try:
+        corpus_path = os.path.join(tmp, "corpus.parquet")
+        spark = get_spark("curation_scaling_gen", master="local[32]")
+        make_corpus(
+            spark, args.entities, seed=42, skew_every=2000, n_partitions=64
+        ).write.mode("overwrite").parquet(corpus_path)
+        spark.stop()
 
-    runs: list[dict] = []
-    for i in range(args.runs):  # interleaved: both configs see the same weather
-        for cpus in (args.low, args.high):
-            r = run_once(corpus_path, cpus, pin)
-            r["run"] = i
-            runs.append(r)
-            print(json.dumps(r), flush=True)
+        runs: list[dict] = []
+        for i in range(args.runs):  # interleaved: same weather for both configs
+            for cpus in (args.low, args.high):
+                r = run_once(corpus_path, cpus, pin)
+                r["run"] = i
+                runs.append(r)
+                print(json.dumps(r), flush=True)
 
-    best = {
-        c: max((r for r in runs if r["cpus"] == c), key=lambda r: r["pages_per_sec"])
-        for c in (args.low, args.high)
-    }
-    eff = best[args.high]["pages_per_sec"] / (
-        (args.high / args.low) * best[args.low]["pages_per_sec"]
-    )
-    result = {
-        "metric": "curation_scaling_efficiency",
-        "value": round(eff, 3),
-        "unit": "ratio",
-        "low": best[args.low],
-        "high": best[args.high],
-        "factor": args.high / args.low,
-        "pinned": pin,
-        "all_runs": runs,
-    }
-    print(json.dumps(result))
-    with open(args.out, "w") as f:
-        json.dump(result, f, indent=2)
-    shutil.rmtree(tmp, ignore_errors=True)
+        best = {
+            c: max(
+                (r for r in runs if r["cpus"] == c),
+                key=lambda r: r["pages_per_sec"],
+            )
+            for c in (args.low, args.high)
+        }
+        eff = best[args.high]["pages_per_sec"] / (
+            (args.high / args.low) * best[args.low]["pages_per_sec"]
+        )
+        result = {
+            "metric": "curation_scaling_efficiency",
+            "value": round(eff, 3),
+            "unit": "ratio",
+            "low": best[args.low],
+            "high": best[args.high],
+            "factor": args.high / args.low,
+            "pinned": pin,
+            "all_runs": runs,
+        }
+        print(json.dumps(result))
+        with open(args.out, "w") as f:
+            json.dump(result, f, indent=2)
+    finally:
+        # a failed subprocess run must not leak the multi-GB corpus
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 if __name__ == "__main__":

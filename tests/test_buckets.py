@@ -96,3 +96,18 @@ def test_tie_goes_to_better_tier(spark):
     out = {r["doc_id"]: r["bucket"] for r in quality_buckets(df, "s", cuts=(0.5,)).collect()}
     assert all(out[i] == 0 for i in range(6))
     assert all(out[10 + i] == 1 for i in range(3))
+
+
+def test_null_group_key_buckets_against_its_own_group(spark):
+    # NULL lang is a real group: its docs must get buckets from the
+    # NULL group's own cut points, not NULL buckets
+    rows = [(i, None, float(i)) for i in range(1, 10)] + [
+        (100 + i, "en", 1000.0 + i) for i in range(1, 10)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, score double")
+    out = {
+        r["doc_id"]: r["bucket"]
+        for r in quality_buckets(df, "score", by=["lang"], cuts=(1 / 3, 2 / 3)).collect()
+    }
+    assert [out[i] for i in range(1, 10)] == [0, 0, 0, 1, 1, 1, 2, 2, 2]
+    assert None not in {out[100 + i] for i in range(1, 10)}

@@ -99,3 +99,29 @@ def test_triplets_anchor_without_negative_drops(spark):
         contrastive_triplets(emb, dup, dim=4, n_bands=2, band_bits=2, seed=7).count()
         == 0
     )
+
+
+def test_degenerate_vectors_never_win(spark):
+    # a zero-norm vector shares every bucket region yet must never be
+    # chosen as positive or negative (NULL cosine is dropped, not won)
+    rows = [
+        (1, _unit(1.0, 0.02, 0.0, 0.0)),
+        (2, _unit(1.0, 0.0, 0.02, 0.0)),
+        (3, _unit(0.98, 0.05, 0.05, 0.0)),
+        (9, [0.0, 0.0, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    dup = spark.createDataFrame([(1, 2)], "id_l long, id_r long")
+    out = contrastive_triplets(emb, dup, dim=4, n_bands=4, band_bits=2, seed=7)
+    for r in out.collect():
+        assert r["negative_id"] != 9 and r["positive_id"] != 9
+        assert r["neg_cosine"] is not None and r["pos_cosine"] is not None
+
+
+def test_dim_inference_errors(spark):
+    import pytest as _pytest
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    dup = spark.createDataFrame([(1, 2)], "id_l long, id_r long")
+    with _pytest.raises(ValueError, match="cannot infer dim"):
+        contrastive_triplets(empty, dup)
