@@ -2988,6 +2988,68 @@ def q_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _citation_edges(spark: SparkSession, sf_dir: str):
+    """Deterministic pseudo-random citation graph over the documents
+    table: every doc d (except d % 10 == 0, which become dangling /
+    absent sources) links to (d*17+7) % n and (d*31+3) % n.  Pure
+    column arithmetic, so the DuckDB oracle replays it exactly."""
+    docs = _docs(spark, sf_dir).select("doc_id")
+    n = docs.count()
+    base = docs.filter(F.col("doc_id") % 10 != 0)
+    e1 = base.select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") * 17 + 7) % n).alias("dst"),
+    )
+    e2 = base.select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") * 31 + 3) % n).alias("dst"),
+    )
+    return e1.unionByName(e2), n
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mass-conserving PageRank (mismo_spark/graph.py) over the
+    deterministic citation graph: 6 iterations, damping 0.85, dangling
+    mass redistributed in-plan (no driver collect per round).  Ranks
+    rounded to 6 dp on BOTH sides for the value-hash compare."""
+    from mismo_spark.graph import pagerank
+
+    edges, _ = _citation_edges(spark, sf_dir)
+    ranks = pagerank(edges, n_iter=6, damping=0.85)
+    return ranks.select("node", F.round("rank", 6).alias("rank"))
+
+
+def q_link_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """extract_outlinks + degrees (mismo_spark/graph.py) over synthetic
+    HTML pages built from the citation-graph targets: one href without
+    and one WITH a #fragment (exercising the fragment-strip), node ids
+    as doc:// URLs.  Map-only regexp extraction, two map-side-combined
+    groupBys, one full-outer join."""
+    from mismo_spark.graph import degrees, extract_outlinks
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    n = docs.count()
+    pages = docs.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
+        F.concat(
+            F.lit('<html><a href="doc://'),
+            ((F.col("doc_id") * 17 + 7) % n).cast("string"),
+            F.lit('">a</a><a href="doc://'),
+            ((F.col("doc_id") * 31 + 3) % n).cast("string"),
+            F.lit('#frag">b</a></html>'),
+        ).alias("html"),
+    )
+    edges = extract_outlinks(pages).select(
+        F.col("url").alias("src"), F.col("outlink").alias("dst")
+    )
+    d = degrees(edges)
+    return d.select(
+        "node",
+        F.col("out_degree").cast("long").alias("out_degree"),
+        F.col("in_degree").cast("long").alias("in_degree"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "key_counts": q_key_counts,
@@ -3100,6 +3162,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_buckets": q_quality_buckets,
         "contrastive_triplets": q_contrastive_triplets,
         "multi_ngram_repetition": q_multi_ngram_repetition,
+        "pagerank": q_pagerank,
+        "link_degrees": q_link_degrees,
     }
 
 
@@ -3509,6 +3573,8 @@ def _address_level_oracle_sql() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    from mismo_spark.graph import pagerank_oracle_sql
+
     pair_block = """
         SELECT a.doc_id AS record_id_l, b.doc_id AS record_id_r,
                a.lang, a.source, a.n_chars AS n_chars_l, b.n_chars AS n_chars_r,
@@ -5331,6 +5397,45 @@ def oracle_sql() -> dict[str, str]:
         "multi_ngram_repetition": _multi_ngram_oracle_sql(
             top_ns=(2, 3, 4), dup_ns=(5, 6, 7, 8, 9, 10)
         ),
+        # iterations unrolled as nested CTE levels (DuckDB forbids
+        # aggregates in a recursive CTE's recursive term); the Spark
+        # side rounds to the same 6 dp
+        "pagerank": pagerank_oracle_sql(
+            """SELECT doc_id AS src,
+                      (doc_id * 17 + 7) % (SELECT count(*) FROM documents) AS dst
+               FROM documents WHERE doc_id % 10 <> 0
+               UNION ALL
+               SELECT doc_id AS src,
+                      (doc_id * 31 + 3) % (SELECT count(*) FROM documents) AS dst
+               FROM documents WHERE doc_id % 10 <> 0""",
+            n_iter=6,
+            damping=0.85,
+            round_digits=6,
+        ),
+        "link_degrees": r"""
+            WITH nn AS (SELECT count(*) AS n FROM documents),
+            pages AS (
+              SELECT 'doc://' || doc_id AS url,
+                     '<html><a href="doc://'
+                       || ((doc_id * 17 + 7) % (SELECT n FROM nn))
+                       || '">a</a><a href="doc://'
+                       || ((doc_id * 31 + 3) % (SELECT n FROM nn))
+                       || '#frag">b</a></html>' AS html
+              FROM documents
+            ),
+            links AS (
+              SELECT url AS src, l AS dst
+              FROM pages,
+                   unnest(regexp_extract_all(html, 'href\s*=\s*"([^"#]*)', 1)) AS u(l)
+              WHERE l IS NOT NULL AND l <> ''
+            ),
+            outd AS (SELECT src AS node, count(*) AS out_degree FROM links GROUP BY src),
+            ind  AS (SELECT dst AS node, count(*) AS in_degree  FROM links GROUP BY dst)
+            SELECT COALESCE(o.node, i.node) AS node,
+                   COALESCE(out_degree, 0)::BIGINT AS out_degree,
+                   COALESCE(in_degree, 0)::BIGINT AS in_degree
+            FROM outd o FULL OUTER JOIN ind i ON o.node = i.node
+        """,
         "ngram_repetition": r"""
             WITH toks AS (
               SELECT doc_id,
