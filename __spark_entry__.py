@@ -3019,6 +3019,28 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select("node", F.round("rank", 6).alias("rank"))
 
 
+def q_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank / TrustRank (Gyöngyi et al. VLDB 2004)
+    over the citation graph: teleport restricted to seed docs
+    (doc_id % 97 == 1) with weights 1 + doc_id % 3 — rank flows
+    outward from the trusted seeds, demoting link clusters unreachable
+    from them.  Same in-plan dangling handling as q_pagerank."""
+    from mismo_spark.graph import pagerank
+
+    edges, _ = _citation_edges(spark, sf_dir)
+    seeds = (
+        _docs(spark, sf_dir)
+        .select("doc_id")
+        .filter(F.col("doc_id") % 97 == 1)
+        .select(
+            F.col("doc_id").alias("node"),
+            (F.lit(1.0) + (F.col("doc_id") % 3).cast("double")).alias("weight"),
+        )
+    )
+    ranks = pagerank(edges, n_iter=6, damping=0.85, teleport=seeds)
+    return ranks.select("node", F.round("rank", 6).alias("rank"))
+
+
 def q_link_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
     """extract_outlinks + degrees (mismo_spark/graph.py) over synthetic
     HTML pages built from the citation-graph targets: one href without
@@ -3163,6 +3185,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contrastive_triplets": q_contrastive_triplets,
         "multi_ngram_repetition": q_multi_ngram_repetition,
         "pagerank": q_pagerank,
+        "trustrank": q_trustrank,
         "link_degrees": q_link_degrees,
     }
 
@@ -3574,6 +3597,14 @@ def _address_level_oracle_sql() -> str:
 
 def oracle_sql() -> dict[str, str]:
     from mismo_spark.graph import pagerank_oracle_sql
+
+    citation_edges = """SELECT doc_id AS src,
+                      (doc_id * 17 + 7) % (SELECT count(*) FROM documents) AS dst
+               FROM documents WHERE doc_id % 10 <> 0
+               UNION ALL
+               SELECT doc_id AS src,
+                      (doc_id * 31 + 3) % (SELECT count(*) FROM documents) AS dst
+               FROM documents WHERE doc_id % 10 <> 0"""
 
     pair_block = """
         SELECT a.doc_id AS record_id_l, b.doc_id AS record_id_r,
@@ -5401,16 +5432,17 @@ def oracle_sql() -> dict[str, str]:
         # aggregates in a recursive CTE's recursive term); the Spark
         # side rounds to the same 6 dp
         "pagerank": pagerank_oracle_sql(
-            """SELECT doc_id AS src,
-                      (doc_id * 17 + 7) % (SELECT count(*) FROM documents) AS dst
-               FROM documents WHERE doc_id % 10 <> 0
-               UNION ALL
-               SELECT doc_id AS src,
-                      (doc_id * 31 + 3) % (SELECT count(*) FROM documents) AS dst
-               FROM documents WHERE doc_id % 10 <> 0""",
+            citation_edges, n_iter=6, damping=0.85, round_digits=6
+        ),
+        "trustrank": pagerank_oracle_sql(
+            citation_edges,
             n_iter=6,
             damping=0.85,
             round_digits=6,
+            teleport_sql=(
+                "SELECT doc_id AS node, 1.0 + (doc_id % 3) AS weight "
+                "FROM documents WHERE doc_id % 97 = 1"
+            ),
         ),
         "link_degrees": r"""
             WITH nn AS (SELECT count(*) AS n FROM documents),

@@ -105,21 +105,33 @@ def pagerank(
     src_column: str = "src",
     dst_column: str = "dst",
     dedupe_edges: bool = True,
+    teleport: DataFrame | None = None,
+    teleport_weight_column: str = "weight",
 ) -> DataFrame:
     """Mass-conserving PageRank over a directed edge list.
 
     → (node, rank) for every node in the graph; Σ rank = 1 at every
-    iteration (dangling-node mass is redistributed uniformly, the
-    classic formulation — NOT GraphX's lossy variant).
+    iteration (dangling-node mass is redistributed along the teleport
+    vector, the classic formulation — NOT GraphX's lossy variant).
 
-        rank'(v) = (1−d)/N + d·( Σ_{u→v} rank(u)/outdeg(u)
-                                 + dangling_mass/N )
+        rank'(v) = (1−d)·t(v) + d·( Σ_{u→v} rank(u)/outdeg(u)
+                                    + dangling_mass·t(v) )
+
+    ``teleport=None`` is ordinary PageRank (t ≡ 1/N).  Passing a
+    (node, weight) DataFrame makes this *personalized* PageRank /
+    TrustRank (Gyöngyi, Garcia-Molina & Pedersen, VLDB 2004): random
+    jumps land only on the seed set, so rank flows outward from trusted
+    pages and link-spam clusters unreachable from the seeds are
+    demoted.  Weights are normalized to sum 1 over the seeds that are
+    actual graph nodes (off-graph seeds are ignored; duplicate seed
+    rows sum).
 
     Plan shape per round: ranks ⋈ cached (src, dst, out_degree) edges
     on src → groupBy(dst).sum — two shuffles, both keyed by node ids
     (AQE coalescing applies); the dangling mass is a single-row
     aggregate cross-broadcast back into the update, keeping the whole
-    round one job with no driver-side scalar collect.  Ranks are
+    round one job with no driver-side scalar collect.  The teleport
+    vector rides the existing nodes join (persisted once).  Ranks are
     localCheckpoint-ed per round so the k-round lineage never stacks.
     """
     if n_iter < 1:
@@ -141,13 +153,33 @@ def pagerank(
     # reuses the same node-keyed exchange)
     out_d = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_degree"))
     e_deg = e.join(out_d, "src").persist()
-    nodes = nodes.persist()
-    n = nodes.count()  # also materializes the persists' lineage root
+    n = nodes.count()  # scalar needed for the uniform teleport literal
     if n == 0:
         return nodes.select("node", F.lit(0.0).alias("rank"))
 
+    if teleport is None:
+        tvec = nodes.select("node", F.lit(1.0 / n).alias("t"))
+    else:
+        w = teleport.select(
+            F.col("node"),
+            F.col(teleport_weight_column).cast("double").alias("w"),
+        )
+        seed = (
+            nodes.join(w, "node").groupBy("node").agg(F.sum("w").alias("w"))
+        )
+        s = seed.agg(F.sum("w")).first()[0]
+        if s is None or s <= 0.0:
+            raise ValueError(
+                "teleport weights must sum to > 0 over the graph's nodes"
+            )
+        tvec = nodes.join(seed, "node", "left").select(
+            "node",
+            (F.coalesce(F.col("w"), F.lit(0.0)) / F.lit(float(s))).alias("t"),
+        )
+    tvec = tvec.persist()
+
     dangling = nodes.join(out_d, nodes["node"] == out_d["src"], "left_anti")
-    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    ranks = tvec.select("node", F.col("t").alias("rank"))
     for _ in range(n_iter):
         contrib = (
             ranks.join(e_deg, ranks["node"] == e_deg["src"])
@@ -165,16 +197,16 @@ def pagerank(
             .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dangling_mass"))
         )
         ranks = (
-            nodes.join(contrib, "node", "left")
+            tvec.join(contrib, "node", "left")
             .crossJoin(dm)
             .select(
                 "node",
                 (
-                    F.lit((1.0 - damping) / n)
+                    F.lit(1.0 - damping) * F.col("t")
                     + F.lit(damping)
                     * (
                         F.coalesce(F.col("contrib"), F.lit(0.0))
-                        + F.col("dangling_mass") / F.lit(float(n))
+                        + F.col("dangling_mass") * F.col("t")
                     )
                 ).alias("rank"),
             )
@@ -189,38 +221,57 @@ def pagerank_oracle_sql(
     n_iter: int = 10,
     damping: float = 0.85,
     round_digits: int = 6,
+    teleport_sql: str | None = None,
 ) -> str:
     """ANSI-SQL replay of :func:`pagerank` with the iterations UNROLLED
     as nested CTE levels (DuckDB/Postgres forbid aggregates inside a
     recursive CTE's recursive term).  ``edges_sql`` must yield columns
-    (src, dst).  Returns (node, rank) with rank rounded to
-    ``round_digits`` — pair it with the same rounding on the Spark
-    side for the value-hash comparison."""
-    d = damping
+    (src, dst); ``teleport_sql``, if given, must yield (node, weight)
+    and replays the personalized / TrustRank variant.  Returns
+    (node, rank) with rank rounded to ``round_digits`` — pair it with
+    the same rounding on the Spark side for the value-hash comparison.
+    ``1 - damping`` is embedded as the Python-computed float64 repr so
+    both engines multiply by the identical constant."""
+    d = repr(damping)
+    omd = repr(1.0 - damping)
     parts = [
         f"WITH e AS (SELECT DISTINCT src, dst FROM ({edges_sql}))",
         "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
         "nn AS (SELECT COUNT(*) AS n FROM nodes)",
         "deg AS (SELECT src, COUNT(*) AS out_degree FROM e GROUP BY src)",
-        (
-            "r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)"
-        ),
     ]
+    if teleport_sql is None:
+        parts.append(
+            "tv AS (SELECT node, "
+            "CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS t FROM nodes)"
+        )
+    else:
+        parts.append(
+            f"tw AS (SELECT nodes.node, SUM(CAST(s.weight AS DOUBLE)) AS w "
+            f"FROM nodes JOIN ({teleport_sql}) s ON nodes.node = s.node "
+            f"GROUP BY nodes.node)"
+        )
+        parts.append(
+            "tv AS (SELECT nodes.node, "
+            "COALESCE(tw.w, 0) / (SELECT SUM(w) FROM tw) AS t "
+            "FROM nodes LEFT JOIN tw ON nodes.node = tw.node)"
+        )
+    parts.append("r0 AS (SELECT node, t AS rank FROM tv)")
     prev = "r0"
     for i in range(1, n_iter + 1):
         cur = f"r{i}"
         parts.append(
-            f"{cur} AS (SELECT nodes.node, "
-            f"(1.0 - {d}) / (SELECT n FROM nn) + {d} * ("
+            f"{cur} AS (SELECT tv.node, "
+            f"{omd} * tv.t + {d} * ("
             f"COALESCE(c.contrib, 0) + "
             f"(SELECT COALESCE(SUM(r.rank), 0) FROM {prev} r "
             f"LEFT JOIN deg ON r.node = deg.src WHERE deg.src IS NULL)"
-            f" / (SELECT n FROM nn)) AS rank "
-            f"FROM nodes LEFT JOIN ("
+            f" * tv.t) AS rank "
+            f"FROM tv LEFT JOIN ("
             f"SELECT e.dst AS node, SUM(r.rank / deg.out_degree) AS contrib "
             f"FROM {prev} r JOIN e ON r.node = e.src "
             f"JOIN deg ON e.src = deg.src GROUP BY e.dst"
-            f") c ON nodes.node = c.node)"
+            f") c ON tv.node = c.node)"
         )
         prev = cur
     parts_sql = ",\n".join(parts)

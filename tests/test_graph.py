@@ -16,20 +16,28 @@ from pyspark.sql import functions as F
 from mismo_spark.graph import degrees, extract_outlinks, pagerank
 
 
-def _numpy_pagerank(edges, n_iter, damping):
+def _numpy_pagerank(edges, n_iter, damping, teleport=None):
     nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
     idx = {v: i for i, v in enumerate(nodes)}
     n = len(nodes)
     out_deg = np.zeros(n)
     for s, _ in set(edges):
         out_deg[idx[s]] += 1
-    r = np.full(n, 1.0 / n)
+    if teleport is None:
+        t = np.full(n, 1.0 / n)
+    else:
+        t = np.zeros(n)
+        for v, w in teleport.items():
+            if v in idx:
+                t[idx[v]] += w
+        t /= t.sum()
+    r = t.copy()
     for _ in range(n_iter):
         contrib = np.zeros(n)
         for s, d in set(edges):
             contrib[idx[d]] += r[idx[s]] / out_deg[idx[s]]
         dangling = r[out_deg == 0].sum()
-        r = (1 - damping) / n + damping * (contrib + dangling / n)
+        r = (1 - damping) * t + damping * (contrib + dangling * t)
     return {v: r[idx[v]] for v in nodes}
 
 
@@ -62,6 +70,33 @@ def test_pagerank_dedupes_multi_edges(spark):
     want = _numpy_pagerank([("a", "b"), ("b", "a")], n_iter=4, damping=0.85)
     for v in want:
         assert got[v] == pytest.approx(want[v], abs=1e-12)
+
+
+def test_personalized_pagerank_matches_power_iteration(spark):
+    """TrustRank variant: teleport restricted to seeds, off-graph seed
+    ignored, duplicate seed rows sum, Σ rank still 1."""
+    edges = GRAPHS["dangling"]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    seeds = spark.createDataFrame(
+        [("a", 1.0), ("a", 1.0), ("c", 3.0), ("zzz-not-in-graph", 9.0)],
+        "node string, weight double",
+    )
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(df, n_iter=8, teleport=seeds).collect()
+    }
+    want = _numpy_pagerank(edges, n_iter=8, damping=0.85, teleport={"a": 2.0, "c": 3.0})
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-12)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_personalized_pagerank_rejects_empty_seed_overlap(spark):
+    df = spark.createDataFrame([("a", "b")], "src string, dst string")
+    seeds = spark.createDataFrame([("nope", 1.0)], "node string, weight double")
+    with pytest.raises(ValueError, match="teleport"):
+        pagerank(df, teleport=seeds)
 
 
 def test_pagerank_validates_params(spark):
