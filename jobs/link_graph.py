@@ -1,0 +1,87 @@
+"""spark-submit entry point: build the link graph of a web-page table
+and rank pages (PageRank, or TrustRank given a seed table).
+
+Usage (cluster):
+    zip -r mismo_spark.zip mismo_spark
+    spark-submit --py-files mismo_spark.zip jobs/link_graph.py \
+        --input  s3://bucket/pages/          # parquet/Iceberg (url, html)
+        --output s3://bucket/ranks/          # (node, rank) or per --mode
+        --mode pagerank --n-iter 10
+
+Sandbox smoke:
+    spark-submit --master 'local[8]' --py-files mismo_spark.zip \
+        jobs/link_graph.py --input /tmp/pages.parquet \
+        --output /tmp/ranks.parquet --mode pagerank
+
+Modes: ``outlinks`` writes the raw (url, outlink) edge list;
+``degrees`` writes (node, out_degree, in_degree); ``pagerank`` writes
+(node, rank) — pass ``--seeds`` (a (node, weight) parquet) for the
+personalized / TrustRank variant that demotes link clusters
+unreachable from the trusted seed set.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True, help="parquet path of pages (url, html)")
+    ap.add_argument("--output", required=True, help="output parquet path")
+    ap.add_argument(
+        "--mode", choices=("outlinks", "degrees", "pagerank"), default="pagerank"
+    )
+    ap.add_argument("--url-column", default="url")
+    ap.add_argument("--html-column", default="html")
+    ap.add_argument("--n-iter", type=int, default=10)
+    ap.add_argument("--damping", type=float, default=0.85)
+    ap.add_argument(
+        "--seeds", default=None,
+        help="optional (node, weight) parquet: personalized PageRank / "
+        "TrustRank teleport restricted to these pages",
+    )
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    # master/executors come from spark-submit; only job-level tuning here
+    spark = (
+        SparkSession.builder.appName("mismo_spark_link_graph")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .getOrCreate()
+    )
+
+    from mismo_spark.graph import degrees, extract_outlinks, pagerank
+
+    pages = spark.read.parquet(args.input)
+    edges = extract_outlinks(
+        pages, url_column=args.url_column, html_column=args.html_column
+    )
+    if args.mode == "outlinks":
+        out = edges
+    elif args.mode == "degrees":
+        out = degrees(edges, src_column="url", dst_column="outlink")
+    else:
+        seeds = spark.read.parquet(args.seeds) if args.seeds else None
+        out = pagerank(
+            edges,
+            n_iter=args.n_iter,
+            damping=args.damping,
+            src_column="url",
+            dst_column="outlink",
+            teleport=seeds,
+        )
+    out.write.mode("overwrite").parquet(args.output)
+
+    # no spark.stop(): spark-submit tears the JVM down at process exit,
+    # and in-process tests share the session via getOrCreate
+    n = spark.read.parquet(args.output).count()
+    print(json.dumps({"output": args.output, "mode": args.mode, "rows": n}))
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

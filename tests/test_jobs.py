@@ -9,6 +9,7 @@ import json
 import os
 import sys
 
+import pytest
 from pyspark.sql import functions as F
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
@@ -712,3 +713,48 @@ def test_prep_training_data_gopher_repetition(spark, tmp_path):
     assert counters["after_gopher_repetition"] == 1
     kept = {r["doc_id"] for r in spark.read.parquet(f"{out}/documents.parquet").collect()}
     assert kept == {1}
+
+
+def test_link_graph_job_pagerank_and_degrees(spark, tmp_path):
+    """link_graph job: pages -> outlink edges -> ranks; Σ rank = 1, and
+    a --seeds table switches to the TrustRank variant (seed pages rank
+    above their uniform-teleport selves)."""
+    from jobs.link_graph import main as graph_main
+
+    src = str(tmp_path / "pages.parquet")
+    rows = [
+        ("u1", '<a href="u2">x</a><a href="u3">y</a>'),
+        ("u2", '<a href="u3">z</a>'),
+        ("u3", '<a href="u1">w</a><a href="u4">v</a>'),
+        ("u4", "no links here"),  # dangling
+    ]
+    spark.createDataFrame(rows, "url string, html string").write.mode(
+        "overwrite"
+    ).parquet(src)
+
+    out = str(tmp_path / "ranks.parquet")
+    graph_main(["--input", src, "--output", out, "--n-iter", "6"])
+    ranks = {r["node"]: r["rank"] for r in spark.read.parquet(out).collect()}
+    assert set(ranks) == {"u1", "u2", "u3", "u4"}
+    assert sum(ranks.values()) == pytest.approx(1.0, abs=1e-9)
+
+    seeds_p = str(tmp_path / "seeds.parquet")
+    spark.createDataFrame(
+        [("u4", 1.0)], "node string, weight double"
+    ).write.mode("overwrite").parquet(seeds_p)
+    out_t = str(tmp_path / "trust.parquet")
+    graph_main([
+        "--input", src, "--output", out_t, "--n-iter", "6",
+        "--seeds", seeds_p,
+    ])
+    trust = {r["node"]: r["rank"] for r in spark.read.parquet(out_t).collect()}
+    assert sum(trust.values()) == pytest.approx(1.0, abs=1e-9)
+    assert trust["u4"] > ranks["u4"]
+
+    out_d = str(tmp_path / "deg.parquet")
+    graph_main(["--input", src, "--output", out_d, "--mode", "degrees"])
+    deg = {
+        r["node"]: (r["out_degree"], r["in_degree"])
+        for r in spark.read.parquet(out_d).collect()
+    }
+    assert deg["u3"] == (2, 2) and deg["u4"] == (0, 1)
