@@ -3041,6 +3041,40 @@ def q_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select("node", F.round("rank", 6).alias("rank"))
 
 
+def q_anchor_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """extract_anchors + top_anchor_texts (mismo_spark/graph.py) over
+    synthetic pages whose anchors carry the linking doc's source label
+    ('srcN link' plain, 'srcN' inside <b> tags, the second behind a
+    #fragment) — the oracle computes the expected profile directly
+    from the generating columns, so the whole regex→explode→top-k
+    path is value-checked against ground truth."""
+    from mismo_spark.graph import extract_anchors, top_anchor_texts
+
+    docs = _docs(spark, sf_dir).select("doc_id", "source")
+    n = docs.count()
+    pages = docs.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
+        F.concat(
+            F.lit('<html><a href="doc://'),
+            ((F.col("doc_id") * 17 + 7) % n).cast("string"),
+            F.lit('" class="nav">'),
+            F.col("source"),
+            F.lit(' link</a>\n<a href="doc://'),
+            ((F.col("doc_id") * 31 + 3) % n).cast("string"),
+            F.lit('#frag"><b>'),
+            F.col("source"),
+            F.lit("</b></a></html>"),
+        ).alias("html"),
+    )
+    out = top_anchor_texts(extract_anchors(pages), k=2)
+    return out.select(
+        "outlink",
+        "anchor",
+        F.col("n_occurrences").cast("long").alias("n_occurrences"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def q_link_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
     """extract_outlinks + degrees (mismo_spark/graph.py) over synthetic
     HTML pages built from the citation-graph targets: one href without
@@ -3187,6 +3221,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": q_pagerank,
         "trustrank": q_trustrank,
         "link_degrees": q_link_degrees,
+        "anchor_texts": q_anchor_texts,
     }
 
 
@@ -5444,6 +5479,33 @@ def oracle_sql() -> dict[str, str]:
                 "FROM documents WHERE doc_id % 97 = 1"
             ),
         ),
+        # ground-truth replay: the expected anchor profile computed
+        # straight from the generating columns (never the regex), so
+        # Spark's extract->explode->top-k path is checked end-to-end
+        "anchor_texts": r"""
+            WITH nn AS (SELECT count(*) AS n FROM documents),
+            a AS (
+              SELECT 'doc://' || ((doc_id * 17 + 7) % (SELECT n FROM nn)) AS outlink,
+                     source || ' link' AS anchor
+              FROM documents
+              UNION ALL
+              SELECT 'doc://' || ((doc_id * 31 + 3) % (SELECT n FROM nn)),
+                     source
+              FROM documents
+            ),
+            c AS (
+              SELECT outlink, anchor, count(*)::BIGINT AS n_occurrences
+              FROM a GROUP BY outlink, anchor
+            ),
+            r AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY outlink
+                ORDER BY n_occurrences DESC, anchor ASC
+              ) AS rank FROM c
+            )
+            SELECT outlink, anchor, n_occurrences, rank::BIGINT AS rank
+            FROM r WHERE rank <= 2
+        """,
         "link_degrees": r"""
             WITH nn AS (SELECT count(*) AS n FROM documents),
             pages AS (

@@ -35,12 +35,15 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "extract_outlinks",
+    "extract_anchors",
+    "top_anchor_texts",
     "degrees",
     "pagerank",
     "pagerank_oracle_sql",
 ]
 
 _HREF_RE = r'href\s*=\s*"([^"#]*)'
+_ANCHOR_ELEM_RE = r"(?s)<a\s[^>]*>.*?</a>"
 
 
 def extract_outlinks(
@@ -69,6 +72,83 @@ def extract_outlinks(
             ),
         )
         .filter(F.col("outlink").isNotNull() & (F.col("outlink") != ""))
+    )
+
+
+def extract_anchors(
+    pages: DataFrame,
+    *,
+    url_column: str = "url",
+    html_column: str = "html",
+) -> DataFrame:
+    """→ (url, outlink, anchor) — one row per ``<a ...>text</a>``
+    element: the href target (fragment stripped) plus its inner text
+    with nested tags removed and whitespace collapsed.  Anchor text is
+    the web's crowd-sourced label for the TARGET page — the signal for
+    URL entity resolution and retrieval-style (query, document)
+    training pairs.
+
+    Map-only: one ``regexp_extract_all`` for the anchor elements, an
+    explode, and two per-element regexps (all JVM, codegen).  Anchors
+    without an href (or with an empty one) are dropped."""
+    html = F.col(html_column)
+    if dict(pages.dtypes)[html_column] == "binary":
+        html = F.decode(html, "UTF-8")
+    elem = F.col("__anchor_elem")
+    return (
+        pages.select(
+            F.col(url_column).alias("url"),
+            F.explode(
+                F.regexp_extract_all(html, F.lit(_ANCHOR_ELEM_RE), 0)
+            ).alias("__anchor_elem"),
+        )
+        .select(
+            "url",
+            F.regexp_extract(elem, _HREF_RE, 1).alias("outlink"),
+            F.trim(
+                F.regexp_replace(
+                    F.regexp_replace(elem, r"(?s)<[^>]*>", " "), r"\s+", " "
+                )
+            ).alias("anchor"),
+        )
+        .filter(F.col("outlink") != "")
+    )
+
+
+def top_anchor_texts(
+    anchors: DataFrame,
+    *,
+    k: int = 3,
+    target_column: str = "outlink",
+    anchor_column: str = "anchor",
+) -> DataFrame:
+    """→ (outlink, anchor, n_occurrences, rank) — each target page's k
+    most frequent non-empty anchor texts, rank 1 = most frequent.
+
+    One (target, anchor) groupBy with map-side partial aggregation,
+    then a per-target row_number window over the ALREADY-AGGREGATED
+    counts (bounded by distinct anchors per target, not raw links —
+    and ``rank <= k`` rides the WindowGroupLimit pushdown, so map
+    tasks prune to k before the exchange).  Ties break on anchor text
+    ascending: a deterministic total order, engine-invariant."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from pyspark.sql import Window
+
+    counts = (
+        anchors.filter(F.col(anchor_column) != "")
+        .groupBy(
+            F.col(target_column).alias("outlink"),
+            F.col(anchor_column).alias("anchor"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+    w = Window.partitionBy("outlink").orderBy(
+        F.desc("n_occurrences"), F.asc("anchor")
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
     )
 
 

@@ -13,7 +13,13 @@ import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
-from mismo_spark.graph import degrees, extract_outlinks, pagerank
+from mismo_spark.graph import (
+    degrees,
+    extract_anchors,
+    extract_outlinks,
+    pagerank,
+    top_anchor_texts,
+)
 
 
 def _numpy_pagerank(edges, n_iter, damping, teleport=None):
@@ -137,6 +143,57 @@ def test_extract_outlinks_binary_html(spark):
         ("http://a.com/1", "http://b.com/x"),
         ("http://a.com/1", "http://c.com/y"),
     }
+
+
+def test_extract_anchors(spark):
+    """Nested tags stripped, whitespace collapsed, fragment stripped,
+    multiline anchors handled, href-less anchors dropped."""
+    pages = spark.createDataFrame(
+        [
+            (
+                "p1",
+                '<a href="u1" class="x"><b>Bold</b>  text</a>'
+                '<a href="u2#frag">two\n  lines</a>'
+                "<a name='no-href'>skipped</a>"
+                '<a href="">empty target</a>',
+            ),
+        ],
+        "url string, html string",
+    )
+    got = {
+        (r["url"], r["outlink"], r["anchor"])
+        for r in extract_anchors(pages).collect()
+    }
+    assert got == {
+        ("p1", "u1", "Bold text"),
+        ("p1", "u2", "two lines"),
+    }
+
+
+def test_top_anchor_texts(spark):
+    anchors = spark.createDataFrame(
+        [
+            ("a", "t1", "home"),
+            ("b", "t1", "home"),
+            ("c", "t1", "start"),
+            ("d", "t1", "about"),
+            ("e", "t1", ""),  # empty anchors never counted
+            ("f", "t2", "solo"),
+        ],
+        "url string, outlink string, anchor string",
+    )
+    got = {
+        (r["outlink"], r["anchor"]): (r["n_occurrences"], r["rank"])
+        for r in top_anchor_texts(anchors, k=2).collect()
+    }
+    # count desc, then anchor asc on the 1-count tie: 'about' < 'start'
+    assert got == {
+        ("t1", "home"): (2, 1),
+        ("t1", "about"): (1, 2),
+        ("t2", "solo"): (1, 1),
+    }
+    with pytest.raises(ValueError):
+        top_anchor_texts(anchors, k=0)
 
 
 def test_pagerank_plan_has_no_cross_corpus_shuffle_growth(spark):
