@@ -138,3 +138,25 @@ def test_semdedup_single_assignment_pass(spark):
     # consumer branches; the assignment UDF itself is not duplicated
     # outside the cached plan
     assert plan.count("InMemoryTableScan") >= 2, plan
+
+
+def test_top_anchor_texts_prunes_before_exchange(spark):
+    """The per-target top-k must ride WindowGroupLimit pushdown: a
+    Partial group-limit BEFORE the window's exchange (map tasks prune
+    to k rows per target), and the count agg is map-side combined."""
+    from mismo_spark.graph import top_anchor_texts
+
+    anchors = spark.createDataFrame(
+        [(f"u{i}", f"t{i % 3}", f"a{i % 5}") for i in range(30)],
+        "url string, outlink string, anchor string",
+    )
+    out = top_anchor_texts(anchors, k=2)
+    out.collect()
+    plan = _plan(out)
+    partial = plan.find("WindowGroupLimit")
+    assert partial != -1 and "Partial" in plan[partial:], plan
+    # the Partial group-limit sits below (after, in toString order) the
+    # window exchange — map-side pruning, not a post-shuffle afterthought
+    exch = plan.find("Exchange hashpartitioning(outlink")
+    assert plan.find("WindowGroupLimit", exch) != -1, plan
+    assert "partial_count" in plan, plan
