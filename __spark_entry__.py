@@ -3041,6 +3041,37 @@ def q_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select("node", F.round("rank", 6).alias("rank"))
 
 
+def q_host_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED PageRank over the contracted host graph — the scale
+    move for ranking at 10^12 pages (the host graph is ~10^7 nodes).
+    Here 'host' is the documents.source label: the citation edges are
+    joined to both endpoints' sources, self-loops dropped, link counts
+    become edge weights, and pagerank runs with
+    weight_column='weight' (neighbour gets rank·w/out_strength)."""
+    from mismo_spark.graph import pagerank
+
+    edges, _ = _citation_edges(spark, sf_dir)
+    docs = _docs(spark, sf_dir)
+    s = docs.select(F.col("doc_id").alias("src"), F.col("source").alias("src_host"))
+    t = docs.select(F.col("doc_id").alias("dst"), F.col("source").alias("dst_host"))
+    host_edges = (
+        edges.join(s, "src")
+        .join(t, "dst")
+        .filter(F.col("src_host") != F.col("dst_host"))
+        .groupBy("src_host", "dst_host")
+        .agg(F.count(F.lit(1)).alias("weight"))
+    )
+    ranks = pagerank(
+        host_edges,
+        n_iter=6,
+        damping=0.85,
+        src_column="src_host",
+        dst_column="dst_host",
+        weight_column="weight",
+    )
+    return ranks.select("node", F.round("rank", 6).alias("rank"))
+
+
 def q_anchor_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """extract_anchors + top_anchor_texts (mismo_spark/graph.py) over
     synthetic pages whose anchors carry the linking doc's source label
@@ -3222,6 +3253,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trustrank": q_trustrank,
         "link_degrees": q_link_degrees,
         "anchor_texts": q_anchor_texts,
+        "host_rank": q_host_rank,
     }
 
 
@@ -5468,6 +5500,18 @@ def oracle_sql() -> dict[str, str]:
         # side rounds to the same 6 dp
         "pagerank": pagerank_oracle_sql(
             citation_edges, n_iter=6, damping=0.85, round_digits=6
+        ),
+        "host_rank": pagerank_oracle_sql(
+            f"""SELECT s.source AS src, t.source AS dst, COUNT(*) AS weight
+               FROM ({citation_edges}) e
+               JOIN documents s ON e.src = s.doc_id
+               JOIN documents t ON e.dst = t.doc_id
+               WHERE s.source <> t.source
+               GROUP BY s.source, t.source""",
+            n_iter=6,
+            damping=0.85,
+            round_digits=6,
+            weighted=True,
         ),
         "trustrank": pagerank_oracle_sql(
             citation_edges,

@@ -38,6 +38,7 @@ __all__ = [
     "extract_anchors",
     "top_anchor_texts",
     "degrees",
+    "host_graph",
     "pagerank",
     "pagerank_oracle_sql",
 ]
@@ -177,6 +178,35 @@ def degrees(
     )
 
 
+def host_graph(
+    edges: DataFrame,
+    *,
+    src_column: str = "src",
+    dst_column: str = "dst",
+    drop_self_loops: bool = True,
+) -> DataFrame:
+    """Contract a page-level edge list to the registrable-domain graph:
+    → (src, dst, weight) where weight = number of page links between
+    the two domains.  THE scale move for ranking at 10^12 pages — the
+    host graph has ~10^7 nodes, so the iterative rank runs over six
+    orders of magnitude fewer rows than the page graph; pair with
+    ``pagerank(..., weight_column="weight")``.
+
+    One projection (``registrable_domain`` — pure regexp/array
+    built-ins) + one groupBy with map-side partial aggregation.
+    Intra-domain links are dropped by default (they say nothing about
+    cross-site authority and are the bulk of all links)."""
+    from mismo_spark.lib.url import registrable_domain
+
+    e = edges.select(
+        registrable_domain(F.col(src_column)).alias("src"),
+        registrable_domain(F.col(dst_column)).alias("dst"),
+    ).filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+    if drop_self_loops:
+        e = e.filter(F.col("src") != F.col("dst"))
+    return e.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("weight"))
+
+
 def pagerank(
     edges: DataFrame,
     *,
@@ -187,6 +217,7 @@ def pagerank(
     dedupe_edges: bool = True,
     teleport: DataFrame | None = None,
     teleport_weight_column: str = "weight",
+    weight_column: str | None = None,
 ) -> DataFrame:
     """Mass-conserving PageRank over a directed edge list.
 
@@ -206,6 +237,12 @@ def pagerank(
     actual graph nodes (off-graph seeds are ignored; duplicate seed
     rows sum).
 
+    ``weight_column`` makes the walk WEIGHTED (e.g. the host graph's
+    link counts): a neighbour receives rank·w/out_strength where
+    out_strength = Σ outgoing w.  Weights must be positive (rows with
+    NULL weight are dropped); with ``dedupe_edges=True`` duplicate
+    (src, dst) rows SUM their weights instead of collapsing.
+
     Plan shape per round: ranks ⋈ cached (src, dst, out_degree) edges
     on src → groupBy(dst).sum — two shuffles, both keyed by node ids
     (AQE coalescing applies); the dangling mass is a single-row
@@ -218,20 +255,30 @@ def pagerank(
         raise ValueError(f"n_iter must be >= 1, got {n_iter}")
     if not (0.0 < damping < 1.0):
         raise ValueError(f"damping must be in (0, 1), got {damping}")
-    e = edges.select(
-        F.col(src_column).alias("src"), F.col(dst_column).alias("dst")
-    )
-    if dedupe_edges:
-        e = e.dropDuplicates(["src", "dst"])
+    if weight_column is None:
+        e = edges.select(
+            F.col(src_column).alias("src"), F.col(dst_column).alias("dst")
+        )
+        if dedupe_edges:
+            e = e.dropDuplicates(["src", "dst"])
+        e = e.withColumn("w", F.lit(1.0))
+    else:
+        e = edges.select(
+            F.col(src_column).alias("src"),
+            F.col(dst_column).alias("dst"),
+            F.col(weight_column).cast("double").alias("w"),
+        ).filter(F.col("w").isNotNull())
+        if dedupe_edges:
+            e = e.groupBy("src", "dst").agg(F.sum("w").alias("w"))
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
     )
-    # out-degree folded onto the edge table ONCE; this is the relation
-    # every round re-joins, so it is persisted (and the per-round join
-    # reuses the same node-keyed exchange)
-    out_d = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_degree"))
+    # out-strength folded onto the edge table ONCE; this is the
+    # relation every round re-joins, so it is persisted (and the
+    # per-round join reuses the same node-keyed exchange)
+    out_d = e.groupBy("src").agg(F.sum("w").alias("out_degree"))
     e_deg = e.join(out_d, "src").persist()
     n = nodes.count()  # scalar needed for the uniform teleport literal
     if n == 0:
@@ -265,7 +312,7 @@ def pagerank(
             ranks.join(e_deg, ranks["node"] == e_deg["src"])
             .select(
                 F.col("dst").alias("node"),
-                (F.col("rank") / F.col("out_degree")).alias("c"),
+                (F.col("rank") * F.col("w") / F.col("out_degree")).alias("c"),
             )
             .groupBy("node")
             .agg(F.sum("c").alias("contrib"))
@@ -302,23 +349,35 @@ def pagerank_oracle_sql(
     damping: float = 0.85,
     round_digits: int = 6,
     teleport_sql: str | None = None,
+    weighted: bool = False,
 ) -> str:
     """ANSI-SQL replay of :func:`pagerank` with the iterations UNROLLED
     as nested CTE levels (DuckDB/Postgres forbid aggregates inside a
     recursive CTE's recursive term).  ``edges_sql`` must yield columns
-    (src, dst); ``teleport_sql``, if given, must yield (node, weight)
-    and replays the personalized / TrustRank variant.  Returns
-    (node, rank) with rank rounded to ``round_digits`` — pair it with
-    the same rounding on the Spark side for the value-hash comparison.
-    ``1 - damping`` is embedded as the Python-computed float64 repr so
-    both engines multiply by the identical constant."""
+    (src, dst) — plus ``weight`` when ``weighted=True``;
+    ``teleport_sql``, if given, must yield (node, weight) and replays
+    the personalized / TrustRank variant.  Returns (node, rank) with
+    rank rounded to ``round_digits`` — pair it with the same rounding
+    on the Spark side for the value-hash comparison.  ``1 - damping``
+    is embedded as the Python-computed float64 repr so both engines
+    multiply by the identical constant."""
     d = repr(damping)
     omd = repr(1.0 - damping)
+    if weighted:
+        e_cte = (
+            f"WITH e AS (SELECT src, dst, SUM(CAST(weight AS DOUBLE)) AS w "
+            f"FROM ({edges_sql}) WHERE weight IS NOT NULL GROUP BY src, dst)"
+        )
+    else:
+        e_cte = (
+            f"WITH e AS (SELECT src, dst, CAST(1.0 AS DOUBLE) AS w "
+            f"FROM (SELECT DISTINCT src, dst FROM ({edges_sql})))"
+        )
     parts = [
-        f"WITH e AS (SELECT DISTINCT src, dst FROM ({edges_sql}))",
+        e_cte,
         "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
         "nn AS (SELECT COUNT(*) AS n FROM nodes)",
-        "deg AS (SELECT src, COUNT(*) AS out_degree FROM e GROUP BY src)",
+        "deg AS (SELECT src, SUM(w) AS out_degree FROM e GROUP BY src)",
     ]
     if teleport_sql is None:
         parts.append(
@@ -348,7 +407,8 @@ def pagerank_oracle_sql(
             f"LEFT JOIN deg ON r.node = deg.src WHERE deg.src IS NULL)"
             f" * tv.t) AS rank "
             f"FROM tv LEFT JOIN ("
-            f"SELECT e.dst AS node, SUM(r.rank / deg.out_degree) AS contrib "
+            f"SELECT e.dst AS node, "
+            f"SUM(r.rank * e.w / deg.out_degree) AS contrib "
             f"FROM {prev} r JOIN e ON r.node = e.src "
             f"JOIN deg ON e.src = deg.src GROUP BY e.dst"
             f") c ON tv.node = c.node)"

@@ -17,6 +17,7 @@ from mismo_spark.graph import (
     degrees,
     extract_anchors,
     extract_outlinks,
+    host_graph,
     pagerank,
     top_anchor_texts,
 )
@@ -142,6 +143,84 @@ def test_extract_outlinks_binary_html(spark):
     assert pairs == {
         ("http://a.com/1", "http://b.com/x"),
         ("http://a.com/1", "http://c.com/y"),
+    }
+
+
+def _numpy_weighted_pagerank(wedges, n_iter, damping):
+    """Power iteration over a {(s, d): w} weighted edge dict."""
+    nodes = sorted({s for s, _ in wedges} | {d for _, d in wedges})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    strength = np.zeros(n)
+    for (s, _), w in wedges.items():
+        strength[idx[s]] += w
+    t = np.full(n, 1.0 / n)
+    r = t.copy()
+    for _ in range(n_iter):
+        contrib = np.zeros(n)
+        for (s, d), w in wedges.items():
+            contrib[idx[d]] += r[idx[s]] * w / strength[idx[s]]
+        dangling = r[strength == 0].sum()
+        r = (1 - damping) * t + damping * (contrib + dangling * t)
+    return {v: r[idx[v]] for v in nodes}
+
+
+def test_weighted_pagerank_matches_power_iteration(spark):
+    """weight_column: neighbour gets rank*w/out_strength; duplicate
+    (src, dst) rows sum their weights under dedupe_edges."""
+    rows = [
+        ("a", "b", 3.0),
+        ("a", "c", 1.0),
+        ("b", "c", 2.0),
+        ("b", "c", 2.0),  # duplicate edge: weights sum to 4
+        ("c", "d", 5.0),  # d dangling
+    ]
+    df = spark.createDataFrame(rows, "src string, dst string, weight double")
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(df, n_iter=8, weight_column="weight").collect()
+    }
+    want = _numpy_weighted_pagerank(
+        {("a", "b"): 3.0, ("a", "c"): 1.0, ("b", "c"): 4.0, ("c", "d"): 5.0},
+        n_iter=8,
+        damping=0.85,
+    )
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-12)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_weighted_equals_unweighted_on_unit_weights(spark):
+    edges = GRAPHS["dangling"]
+    df = spark.createDataFrame(edges, "src string, dst string").withColumn(
+        "weight", F.lit(1.0)
+    )
+    plain = {r["node"]: r["rank"] for r in pagerank(df, n_iter=5).collect()}
+    weighted = {
+        r["node"]: r["rank"]
+        for r in pagerank(df, n_iter=5, weight_column="weight").collect()
+    }
+    assert plain == weighted  # bit-identical: same float expression tree
+
+
+def test_host_graph_contracts_pages_to_domains(spark):
+    edges = spark.createDataFrame(
+        [
+            ("https://www.a.com/1", "https://b.com/x"),
+            ("https://a.com/2", "http://sub.b.com/y"),
+            ("https://a.com/3", "https://a.com/4"),  # self-loop dropped
+            ("https://c.org/z", "https://a.com/1"),
+        ],
+        "src string, dst string",
+    )
+    got = {
+        (r["src"], r["dst"]): r["weight"] for r in host_graph(edges).collect()
+    }
+    assert got == {("a.com", "b.com"): 2, ("c.org", "a.com"): 1}
+    with_loops = host_graph(edges, drop_self_loops=False)
+    assert ("a.com", "a.com") in {
+        (r["src"], r["dst"]) for r in with_loops.collect()
     }
 
 
