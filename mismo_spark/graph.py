@@ -43,8 +43,15 @@ __all__ = [
     "pagerank_oracle_sql",
 ]
 
-_HREF_RE = r'href\s*=\s*"([^"#]*)'
+# captures the href VALUE for double-quoted, single-quoted and unquoted
+# attribute forms (fragment part excluded by the char classes); quoted
+# captures keep their opening quote — _strip_quote removes it
+_HREF_RE = r"""href\s*=\s*("[^"#]*|'[^'#]*|[^\s>"'#][^\s>#]*)"""
 _ANCHOR_ELEM_RE = r"(?s)<a\s[^>]*>.*?</a>"
+
+
+def _strip_quote(link: Column) -> Column:
+    return F.regexp_replace(link, r"""^["']""", "")
 
 
 def extract_outlinks(
@@ -53,8 +60,9 @@ def extract_outlinks(
     url_column: str = "url",
     html_column: str = "html",
 ) -> DataFrame:
-    """→ (url, outlink) — one row per ``href="..."`` target in the page
-    HTML (fragment part stripped, empty/intra-page targets dropped).
+    """→ (url, outlink) — one row per ``href`` target in the page HTML,
+    double-quoted, single-quoted or unquoted (fragment part stripped,
+    empty/intra-page targets dropped).
 
     Pure ``regexp_extract_all`` + explode: map-only, no UDF.  The
     ``html`` column may be binary (decoded as UTF-8) or string.  This
@@ -69,9 +77,10 @@ def extract_outlinks(
         pages.select(
             F.col(url_column).alias("url"),
             F.explode_outer(F.regexp_extract_all(html, F.lit(_HREF_RE), 1)).alias(
-                "outlink"
+                "__raw"
             ),
         )
+        .select("url", _strip_quote(F.col("__raw")).alias("outlink"))
         .filter(F.col("outlink").isNotNull() & (F.col("outlink") != ""))
     )
 
@@ -105,7 +114,7 @@ def extract_anchors(
         )
         .select(
             "url",
-            F.regexp_extract(elem, _HREF_RE, 1).alias("outlink"),
+            _strip_quote(F.regexp_extract(elem, _HREF_RE, 1)).alias("outlink"),
             F.trim(
                 F.regexp_replace(
                     F.regexp_replace(elem, r"(?s)<[^>]*>", " "), r"\s+", " "

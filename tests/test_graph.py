@@ -224,6 +224,25 @@ def test_host_graph_contracts_pages_to_domains(spark):
     }
 
 
+def test_extract_outlinks_quote_forms(spark):
+    """Real crawl HTML mixes double-quoted, single-quoted and unquoted
+    attribute values; all three lex, fragments stripped in each."""
+    pages = spark.createDataFrame(
+        [
+            (
+                "p",
+                "<a href='http://s.com/q#f'>sq</a>"
+                "<a href=http://u.com/bare>uq</a>"
+                '<a href = "http://d.com/x">spaced =</a>'
+                "<a href=''>empty</a>",
+            ),
+        ],
+        "url string, html string",
+    )
+    got = {r["outlink"] for r in extract_outlinks(pages).collect()}
+    assert got == {"http://s.com/q", "http://u.com/bare", "http://d.com/x"}
+
+
 def test_extract_anchors(spark):
     """Nested tags stripped, whitespace collapsed, fragment stripped,
     multiline anchors handled, href-less anchors dropped."""
