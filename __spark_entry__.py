@@ -3072,6 +3072,22 @@ def q_host_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select("node", F.round("rank", 6).alias("rank"))
 
 
+def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities (mismo_spark/graph.py, Kleinberg 1999)
+    over the citation graph: 6 rounds of L1-normalized
+    authority←Σhub / hub←Σauthority sweeps, normalizers broadcast
+    in-plan.  Scores rounded to 6 dp on both sides."""
+    from mismo_spark.graph import hits
+
+    edges, _ = _citation_edges(spark, sf_dir)
+    out = hits(edges, n_iter=6)
+    return out.select(
+        "node",
+        F.round("hub", 6).alias("hub"),
+        F.round("authority", 6).alias("authority"),
+    )
+
+
 def q_anchor_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """extract_anchors + top_anchor_texts (mismo_spark/graph.py) over
     synthetic pages whose anchors carry the linking doc's source label
@@ -3254,6 +3270,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_degrees": q_link_degrees,
         "anchor_texts": q_anchor_texts,
         "host_rank": q_host_rank,
+        "hits": q_hits,
     }
 
 
@@ -3663,7 +3680,7 @@ def _address_level_oracle_sql() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
-    from mismo_spark.graph import pagerank_oracle_sql
+    from mismo_spark.graph import hits_oracle_sql, pagerank_oracle_sql
 
     citation_edges = """SELECT doc_id AS src,
                       (doc_id * 17 + 7) % (SELECT count(*) FROM documents) AS dst
@@ -5501,6 +5518,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": pagerank_oracle_sql(
             citation_edges, n_iter=6, damping=0.85, round_digits=6
         ),
+        "hits": hits_oracle_sql(citation_edges, n_iter=6, round_digits=6),
         "host_rank": pagerank_oracle_sql(
             f"""SELECT s.source AS src, t.source AS dst, COUNT(*) AS weight
                FROM ({citation_edges}) e

@@ -41,6 +41,8 @@ __all__ = [
     "host_graph",
     "pagerank",
     "pagerank_oracle_sql",
+    "hits",
+    "hits_oracle_sql",
 ]
 
 # captures the href VALUE for double-quoted, single-quoted and unquoted
@@ -351,6 +353,134 @@ def pagerank(
     return ranks
 
 
+def hits(
+    edges: DataFrame,
+    *,
+    n_iter: int = 10,
+    src_column: str = "src",
+    dst_column: str = "dst",
+    dedupe_edges: bool = True,
+) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg, JACM 1999) over a directed
+    edge list → (node, hub, authority).
+
+    Per round: authority(v) = Σ_{u→v} hub(u), then hub(u) = Σ_{u→v}
+    authority(v), each L1-normalized to sum 1 (the norm choice only
+    rescales — the ranking converges to the principal eigenvectors of
+    AᵀA / AAᵀ either way, and L1 keeps the oracle replay exact).
+    Nodes that are never a source have hub 0; never a target,
+    authority 0.
+
+    Plan shape per half-round: scores ⋈ persisted edges → groupBy the
+    other endpoint (map-side partial sum), then a broadcast single-row
+    normalizer — same no-driver-collect, localCheckpoint-per-round
+    discipline as :func:`pagerank`."""
+    if n_iter < 1:
+        raise ValueError(f"n_iter must be >= 1, got {n_iter}")
+    e = edges.select(
+        F.col(src_column).alias("src"), F.col(dst_column).alias("dst")
+    )
+    if dedupe_edges:
+        e = e.dropDuplicates(["src", "dst"])
+    e = e.persist()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.select(
+            "node", F.lit(0.0).alias("hub"), F.lit(0.0).alias("authority")
+        )
+
+    def _half_round(scores, join_on, group_to, score_col):
+        """scores(node, s) pushed across the edges: join on one
+        endpoint, sum per the other, L1-normalize, 0-fill."""
+        raw = (
+            scores.join(e, scores["node"] == e[join_on])
+            .groupBy(F.col(group_to).alias("node"))
+            .agg(F.sum(score_col).alias("s"))
+        )
+        total = F.broadcast(raw.agg(F.sum("s").alias("__total")))
+        return (
+            nodes.join(raw, "node", "left")
+            .crossJoin(total)
+            .select(
+                "node",
+                (F.coalesce(F.col("s"), F.lit(0.0)) / F.col("__total")).alias(
+                    score_col
+                ),
+            )
+        )
+
+    hub = nodes.select("node", F.lit(1.0 / n).alias("hub"))
+    auth = None
+    for _ in range(n_iter):
+        auth = _half_round(hub, "src", "dst", "hub").withColumnRenamed(
+            "hub", "authority"
+        ).localCheckpoint(eager=False)
+        hub = _half_round(auth, "dst", "src", "authority").withColumnRenamed(
+            "authority", "hub"
+        ).localCheckpoint(eager=False)
+    return hub.join(auth, "node")
+
+
+def hits_oracle_sql(
+    edges_sql: str,
+    *,
+    n_iter: int = 10,
+    round_digits: int = 6,
+) -> str:
+    """ANSI-SQL replay of :func:`hits`, iterations unrolled as CTE
+    levels (two per round).  ``edges_sql`` must yield (src, dst);
+    returns (node, hub, authority) rounded to ``round_digits``."""
+    # MATERIALIZED: every CTE here is referenced more than once per
+    # level; without the hint DuckDB inlines them, and the unrolled
+    # levels re-expand the edge scan exponentially (observed as
+    # "Too many open files" on the parquet source)
+    parts = [
+        f"WITH e AS MATERIALIZED (SELECT DISTINCT src, dst FROM ({edges_sql}))",
+        "nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        "nn AS (SELECT COUNT(*) AS n FROM nodes)",
+        (
+            "h0 AS MATERIALIZED (SELECT node, "
+            "CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS s FROM nodes)"
+        ),
+    ]
+    prev_h = "h0"
+    prev_a = None
+    for i in range(1, n_iter + 1):
+        cur_a, cur_h = f"a{i}", f"h{i}"
+        parts.append(
+            f"{cur_a}r AS MATERIALIZED (SELECT e.dst AS node, SUM(x.s) AS s "
+            f"FROM {prev_h} x JOIN e ON x.node = e.src GROUP BY e.dst)"
+        )
+        parts.append(
+            f"{cur_a} AS MATERIALIZED (SELECT nodes.node, "
+            f"COALESCE(r.s, 0) / (SELECT SUM(s) FROM {cur_a}r) AS s "
+            f"FROM nodes LEFT JOIN {cur_a}r r ON nodes.node = r.node)"
+        )
+        parts.append(
+            f"{cur_h}r AS MATERIALIZED (SELECT e.src AS node, SUM(x.s) AS s "
+            f"FROM {cur_a} x JOIN e ON x.node = e.dst GROUP BY e.src)"
+        )
+        parts.append(
+            f"{cur_h} AS MATERIALIZED (SELECT nodes.node, "
+            f"COALESCE(r.s, 0) / (SELECT SUM(s) FROM {cur_h}r) AS s "
+            f"FROM nodes LEFT JOIN {cur_h}r r ON nodes.node = r.node)"
+        )
+        prev_h, prev_a = cur_h, cur_a
+    parts_sql = ",\n".join(parts)
+    return (
+        f"{parts_sql}\n"
+        f"SELECT h.node, ROUND(h.s, {round_digits}) AS hub, "
+        f"ROUND(a.s, {round_digits}) AS authority "
+        f"FROM {prev_h} h JOIN {prev_a} a ON h.node = a.node"
+    )
+
+
 def pagerank_oracle_sql(
     edges_sql: str,
     *,
@@ -374,23 +504,23 @@ def pagerank_oracle_sql(
     omd = repr(1.0 - damping)
     if weighted:
         e_cte = (
-            f"WITH e AS (SELECT src, dst, SUM(CAST(weight AS DOUBLE)) AS w "
+            f"WITH e AS MATERIALIZED (SELECT src, dst, SUM(CAST(weight AS DOUBLE)) AS w "
             f"FROM ({edges_sql}) WHERE weight IS NOT NULL GROUP BY src, dst)"
         )
     else:
         e_cte = (
-            f"WITH e AS (SELECT src, dst, CAST(1.0 AS DOUBLE) AS w "
+            f"WITH e AS MATERIALIZED (SELECT src, dst, CAST(1.0 AS DOUBLE) AS w "
             f"FROM (SELECT DISTINCT src, dst FROM ({edges_sql})))"
         )
     parts = [
         e_cte,
-        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        "nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e)",
         "nn AS (SELECT COUNT(*) AS n FROM nodes)",
-        "deg AS (SELECT src, SUM(w) AS out_degree FROM e GROUP BY src)",
+        "deg AS MATERIALIZED (SELECT src, SUM(w) AS out_degree FROM e GROUP BY src)",
     ]
     if teleport_sql is None:
         parts.append(
-            "tv AS (SELECT node, "
+            "tv AS MATERIALIZED (SELECT node, "
             "CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS t FROM nodes)"
         )
     else:
@@ -400,7 +530,7 @@ def pagerank_oracle_sql(
             f"GROUP BY nodes.node)"
         )
         parts.append(
-            "tv AS (SELECT nodes.node, "
+            "tv AS MATERIALIZED (SELECT nodes.node, "
             "COALESCE(tw.w, 0) / (SELECT SUM(w) FROM tw) AS t "
             "FROM nodes LEFT JOIN tw ON nodes.node = tw.node)"
         )
@@ -409,7 +539,7 @@ def pagerank_oracle_sql(
     for i in range(1, n_iter + 1):
         cur = f"r{i}"
         parts.append(
-            f"{cur} AS (SELECT tv.node, "
+            f"{cur} AS MATERIALIZED (SELECT tv.node, "
             f"{omd} * tv.t + {d} * ("
             f"COALESCE(c.contrib, 0) + "
             f"(SELECT COALESCE(SUM(r.rank), 0) FROM {prev} r "

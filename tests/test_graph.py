@@ -17,6 +17,7 @@ from mismo_spark.graph import (
     degrees,
     extract_anchors,
     extract_outlinks,
+    hits,
     host_graph,
     pagerank,
     top_anchor_texts,
@@ -222,6 +223,57 @@ def test_host_graph_contracts_pages_to_domains(spark):
     assert ("a.com", "a.com") in {
         (r["src"], r["dst"]) for r in with_loops.collect()
     }
+
+
+def _numpy_hits(edges, n_iter):
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    eset = set(edges)
+    h = np.full(n, 1.0 / n)
+    a = np.zeros(n)
+    for _ in range(n_iter):
+        a = np.zeros(n)
+        for s, d in eset:
+            a[idx[d]] += h[idx[s]]
+        a /= a.sum()
+        h2 = np.zeros(n)
+        for s, d in eset:
+            h2[idx[s]] += a[idx[d]]
+        h = h2 / h2.sum()
+    return (
+        {v: h[idx[v]] for v in nodes},
+        {v: a[idx[v]] for v in nodes},
+    )
+
+
+@pytest.mark.parametrize("name", sorted(GRAPHS))
+def test_hits_matches_power_iteration(spark, name):
+    edges = GRAPHS[name]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    rows = hits(df, n_iter=6).collect()
+    got_h = {r["node"]: r["hub"] for r in rows}
+    got_a = {r["node"]: r["authority"] for r in rows}
+    want_h, want_a = _numpy_hits(edges, n_iter=6)
+    assert set(got_h) == set(want_h)
+    for v in want_h:
+        assert got_h[v] == pytest.approx(want_h[v], abs=1e-12)
+        assert got_a[v] == pytest.approx(want_a[v], abs=1e-12)
+    # L1-normalized: both score families sum to 1
+    assert sum(got_h.values()) == pytest.approx(1.0, abs=1e-9)
+    assert sum(got_a.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_hits_star_separates_hub_from_authority(spark):
+    """In an in-star, the spokes are pure hubs and the hub node the
+    pure authority (plus the hub's own back-edge to s1)."""
+    df = spark.createDataFrame(GRAPHS["star_in"], "src string, dst string")
+    rows = {r["node"]: r for r in hits(df, n_iter=10).collect()}
+    assert rows["hub"]["authority"] > rows["s1"]["authority"]
+    assert rows["s2"]["hub"] > rows["hub"]["hub"]
+    assert rows["s2"]["authority"] == 0.0  # never a link target
+    with pytest.raises(ValueError):
+        hits(df, n_iter=0)
 
 
 def test_extract_outlinks_quote_forms(spark):
