@@ -17,7 +17,11 @@ Modes: ``outlinks`` writes the raw (url, outlink) edge list;
 ``degrees`` writes (node, out_degree, in_degree); ``pagerank`` writes
 (node, rank) — pass ``--seeds`` (a (node, weight) parquet) for the
 personalized / TrustRank variant that demotes link clusters
-unreachable from the trusted seed set.
+unreachable from the trusted seed set; ``hits`` writes
+(node, hub, authority).  ``--contract-hosts`` first collapses the page
+graph to registrable-domain edges with link-count weights (the scale
+move at 10^12 pages: ~10^7 host nodes) and ranks hosts with the
+weighted walk.
 """
 
 from __future__ import annotations
@@ -32,7 +36,15 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--input", required=True, help="parquet path of pages (url, html)")
     ap.add_argument("--output", required=True, help="output parquet path")
     ap.add_argument(
-        "--mode", choices=("outlinks", "degrees", "pagerank"), default="pagerank"
+        "--mode",
+        choices=("outlinks", "degrees", "pagerank", "hits"),
+        default="pagerank",
+    )
+    ap.add_argument(
+        "--contract-hosts", action="store_true",
+        help="collapse page edges to the registrable-domain graph "
+        "(link-count weights) before ranking; pagerank then runs the "
+        "weighted walk over hosts",
     )
     ap.add_argument("--url-column", default="url")
     ap.add_argument("--html-column", default="html")
@@ -55,25 +67,40 @@ def main(argv: list[str] | None = None) -> None:
         .getOrCreate()
     )
 
-    from mismo_spark.graph import degrees, extract_outlinks, pagerank
+    from mismo_spark.graph import (
+        degrees,
+        extract_outlinks,
+        hits,
+        host_graph,
+        pagerank,
+    )
 
     pages = spark.read.parquet(args.input)
     edges = extract_outlinks(
         pages, url_column=args.url_column, html_column=args.html_column
     )
+    src_col, dst_col, weight_col = "url", "outlink", None
+    if args.contract_hosts:
+        edges = host_graph(edges, src_column="url", dst_column="outlink")
+        src_col, dst_col, weight_col = "src", "dst", "weight"
     if args.mode == "outlinks":
         out = edges
     elif args.mode == "degrees":
-        out = degrees(edges, src_column="url", dst_column="outlink")
+        out = degrees(edges, src_column=src_col, dst_column=dst_col)
+    elif args.mode == "hits":
+        out = hits(
+            edges, n_iter=args.n_iter, src_column=src_col, dst_column=dst_col
+        )
     else:
         seeds = spark.read.parquet(args.seeds) if args.seeds else None
         out = pagerank(
             edges,
             n_iter=args.n_iter,
             damping=args.damping,
-            src_column="url",
-            dst_column="outlink",
+            src_column=src_col,
+            dst_column=dst_col,
             teleport=seeds,
+            weight_column=weight_col,
         )
     out.write.mode("overwrite").parquet(args.output)
 

@@ -758,3 +758,32 @@ def test_link_graph_job_pagerank_and_degrees(spark, tmp_path):
         for r in spark.read.parquet(out_d).collect()
     }
     assert deg["u3"] == (2, 2) and deg["u4"] == (0, 1)
+
+
+def test_link_graph_job_hits_and_host_contraction(spark, tmp_path):
+    from jobs.link_graph import main as graph_main
+
+    src = str(tmp_path / "pages2.parquet")
+    rows = [
+        ("https://a.com/1", '<a href="https://b.com/x">x</a><a href="https://b.com/y">y</a>'),
+        ("https://a.com/2", '<a href="https://b.com/x">x</a>'),
+        ("https://b.com/x", '<a href="https://a.com/1">back</a>'),
+    ]
+    spark.createDataFrame(rows, "url string, html string").write.mode(
+        "overwrite"
+    ).parquet(src)
+
+    out_h = str(tmp_path / "hits.parquet")
+    graph_main(["--input", src, "--output", out_h, "--mode", "hits", "--n-iter", "4"])
+    hits_rows = {r["node"]: r for r in spark.read.parquet(out_h).collect()}
+    assert set(spark.read.parquet(out_h).columns) == {"node", "hub", "authority"}
+    assert sum(r["hub"] for r in hits_rows.values()) == pytest.approx(1.0, abs=1e-9)
+
+    out_c = str(tmp_path / "hostrank.parquet")
+    graph_main([
+        "--input", src, "--output", out_c, "--contract-hosts", "--n-iter", "4",
+    ])
+    ranks = {r["node"]: r["rank"] for r in spark.read.parquet(out_c).collect()}
+    # host graph: a.com -> b.com (weight 3), b.com -> a.com (weight 1)
+    assert set(ranks) == {"a.com", "b.com"}
+    assert sum(ranks.values()) == pytest.approx(1.0, abs=1e-9)
