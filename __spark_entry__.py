@@ -3088,6 +3088,22 @@ def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_link_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source link reciprocity (mismo_spark/graph.py reciprocity)
+    over the citation graph — the link-farm spam feature: fraction of
+    a node's distinct out-edges whose reverse edge exists."""
+    from mismo_spark.graph import reciprocity
+
+    edges, _ = _citation_edges(spark, sf_dir)
+    out = reciprocity(edges)
+    return out.select(
+        "node",
+        "n_out",
+        "n_reciprocal",
+        F.round("reciprocity", 6).alias("reciprocity"),
+    )
+
+
 def q_anchor_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """extract_anchors + top_anchor_texts (mismo_spark/graph.py) over
     synthetic pages whose anchors carry the linking doc's source label
@@ -3271,6 +3287,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_texts": q_anchor_texts,
         "host_rank": q_host_rank,
         "hits": q_hits,
+        "link_reciprocity": q_link_reciprocity,
     }
 
 
@@ -5519,6 +5536,24 @@ def oracle_sql() -> dict[str, str]:
             citation_edges, n_iter=6, damping=0.85, round_digits=6
         ),
         "hits": hits_oracle_sql(citation_edges, n_iter=6, round_digits=6),
+        "link_reciprocity": f"""
+            WITH e AS MATERIALIZED (
+              SELECT DISTINCT src, dst FROM ({citation_edges}) WHERE src <> dst
+            ),
+            r AS (
+              SELECT e.src FROM e
+              WHERE EXISTS (
+                SELECT 1 FROM e e2 WHERE e2.src = e.dst AND e2.dst = e.src
+              )
+            ),
+            o AS (SELECT src AS node, COUNT(*) AS n_out FROM e GROUP BY src),
+            c AS (SELECT src AS node, COUNT(*) AS n_reciprocal FROM r GROUP BY src)
+            SELECT o.node, o.n_out::BIGINT AS n_out,
+                   COALESCE(c.n_reciprocal, 0)::BIGINT AS n_reciprocal,
+                   ROUND(COALESCE(c.n_reciprocal, 0) / CAST(o.n_out AS DOUBLE), 6)
+                     AS reciprocity
+            FROM o LEFT JOIN c ON o.node = c.node
+        """,
         "host_rank": pagerank_oracle_sql(
             f"""SELECT s.source AS src, t.source AS dst, COUNT(*) AS weight
                FROM ({citation_edges}) e

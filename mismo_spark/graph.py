@@ -43,6 +43,7 @@ __all__ = [
     "pagerank_oracle_sql",
     "hits",
     "hits_oracle_sql",
+    "reciprocity",
 ]
 
 # captures the href VALUE for double-quoted, single-quoted and unquoted
@@ -351,6 +352,52 @@ def pagerank(
             .localCheckpoint(eager=False)
         )
     return ranks
+
+
+def reciprocity(
+    edges: DataFrame,
+    *,
+    src_column: str = "src",
+    dst_column: str = "dst",
+) -> DataFrame:
+    """→ (node, n_out, n_reciprocal, reciprocity) per SOURCE node: the
+    fraction of its distinct out-edges whose reverse edge also exists.
+    Link farms and link-exchange rings reciprocate (≈ 1) while organic
+    authority links are overwhelmingly one-way — the classic cheap
+    spam feature to pair with TrustRank.  Self-loops are excluded.
+
+    One distinct pass, one LEFT SEMI self-join on the flipped key
+    (both sides share the (src, dst) exchange), two map-side-combined
+    groupBys.  No UDFs, no iteration."""
+    e = (
+        edges.select(
+            F.col(src_column).alias("src"), F.col(dst_column).alias("dst")
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .dropDuplicates(["src", "dst"])
+    )
+    flipped = e.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    )
+    rec = e.join(flipped, ["src", "dst"], "left_semi")
+    n_out = e.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("n_out")
+    )
+    n_rec = rec.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("n_reciprocal")
+    )
+    return (
+        n_out.join(n_rec, "node", "left")
+        .select(
+            "node",
+            "n_out",
+            F.coalesce("n_reciprocal", F.lit(0)).alias("n_reciprocal"),
+            (
+                F.coalesce("n_reciprocal", F.lit(0))
+                / F.col("n_out").cast("double")
+            ).alias("reciprocity"),
+        )
+    )
 
 
 def hits(

@@ -20,6 +20,7 @@ from mismo_spark.graph import (
     hits,
     host_graph,
     pagerank,
+    reciprocity,
     top_anchor_texts,
 )
 
@@ -274,6 +275,30 @@ def test_hits_star_separates_hub_from_authority(spark):
     assert rows["s2"]["authority"] == 0.0  # never a link target
     with pytest.raises(ValueError):
         hits(df, n_iter=0)
+
+
+def test_reciprocity(spark):
+    """Farm nodes (mutual ring) score 1, organic one-way links 0;
+    duplicates and self-loops don't inflate counts."""
+    edges = [
+        ("farm1", "farm2"), ("farm2", "farm1"),  # mutual pair
+        ("farm1", "farm2"),                       # duplicate edge
+        ("blog", "farm1"),                        # one-way
+        ("blog", "news"),
+        ("news", "news"),                         # self-loop ignored
+        ("news", "blog"),                         # reciprocal with blog
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {
+        r["node"]: (r["n_out"], r["n_reciprocal"], r["reciprocity"])
+        for r in reciprocity(df).collect()
+    }
+    assert got == {
+        "farm1": (1, 1, 1.0),
+        "farm2": (1, 1, 1.0),
+        "blog": (2, 1, 0.5),
+        "news": (1, 1, 1.0),
+    }
 
 
 def test_extract_outlinks_quote_forms(spark):
