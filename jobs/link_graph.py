@@ -37,7 +37,7 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--output", required=True, help="output parquet path")
     ap.add_argument(
         "--mode",
-        choices=("outlinks", "degrees", "pagerank", "hits"),
+        choices=("outlinks", "degrees", "pagerank", "hits", "reciprocity"),
         default="pagerank",
     )
     ap.add_argument(
@@ -73,6 +73,7 @@ def main(argv: list[str] | None = None) -> None:
         hits,
         host_graph,
         pagerank,
+        reciprocity,
     )
 
     pages = spark.read.parquet(args.input)
@@ -91,6 +92,8 @@ def main(argv: list[str] | None = None) -> None:
         out = hits(
             edges, n_iter=args.n_iter, src_column=src_col, dst_column=dst_col
         )
+    elif args.mode == "reciprocity":
+        out = reciprocity(edges, src_column=src_col, dst_column=dst_col)
     else:
         seeds = spark.read.parquet(args.seeds) if args.seeds else None
         out = pagerank(

@@ -787,3 +787,24 @@ def test_link_graph_job_hits_and_host_contraction(spark, tmp_path):
     # host graph: a.com -> b.com (weight 3), b.com -> a.com (weight 1)
     assert set(ranks) == {"a.com", "b.com"}
     assert sum(ranks.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_link_graph_job_reciprocity_mode(spark, tmp_path):
+    from jobs.link_graph import main as graph_main
+
+    src = str(tmp_path / "pages3.parquet")
+    rows = [
+        ("u1", '<a href="u2">x</a>'),
+        ("u2", '<a href="u1">y</a><a href="u3">z</a>'),
+        ("u3", "no links"),
+    ]
+    spark.createDataFrame(rows, "url string, html string").write.mode(
+        "overwrite"
+    ).parquet(src)
+    out = str(tmp_path / "recip.parquet")
+    graph_main(["--input", src, "--output", out, "--mode", "reciprocity"])
+    got = {
+        r["node"]: (r["n_out"], r["n_reciprocal"], r["reciprocity"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == {"u1": (1, 1, 1.0), "u2": (2, 1, 0.5)}
