@@ -844,30 +844,57 @@ def q_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-pass precision/recall sweep over FS-scored labeled pairs:
     groupBy(score) collapses the pair table to <= #agreement-patterns
     rows BEFORE the cumulative window, so no global single-partition
-    pass over pairs.  Label = exact text duplicate."""
-    from mismo_spark.compare.enum import EnumComparer, compare
-    from mismo_spark.fs.curve import precision_recall_curve
-    from mismo_spark.fs.weights import ComparerWeights, LevelWeights, Weights
-    from mismo_spark.linker.key import KeyLinker
-    from mismo_spark.types.linkage import Linkage
+    pass over pairs.
 
-    docs = _docs(spark, sf_dir)
-    lk = KeyLinker(["lang", "source"], task="dedupe")(docs)
-    pairs = Linkage(docs, docs, lk.links).links_with_both()
-    comparers = _len_comparers()
-    weights = _fs_weights_len()
-    scored = weights.score_compared(compare(pairs, comparers)).withColumn(
-        "is_match", F.col("text_l") == F.col("text_r")
+    Round-4 hardening of round 3's one red row:
+
+    * Label = shared 50-char text fingerprint, and the blocking is
+      (lang, source) OR that fingerprint, so the positive path actually
+      fires (the old exact-text label had tp=0/fn=0 at every shipped
+      sf — zero exact dups land in a (lang, source) block).
+    * All emitted metrics are integer micro-units computed with exact
+      integer arithmetic (``div``), so no 6-dp double-rounding ULP
+      (Spark BigDecimal HALF_UP vs DuckDB binary-double round) can
+      leak into the driver's value hash."""
+    from mismo_spark.compare.enum import compare
+    from mismo_spark.fs.curve import precision_recall_curve
+    from mismo_spark.linker.key import KeyLinker
+    from mismo_spark.linker.or_ import OrLinker
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "text_fp", F.substring("text", 1, 50)
     )
+    lk = OrLinker(
+        {
+            "langsrc": KeyLinker(["lang", "source"], task="dedupe"),
+            "textfp": KeyLinker(["text_fp"], task="dedupe"),
+        },
+        track_rules=False,
+    )(docs, docs)
+    pairs = lk.links_with_both()
+    scored = _fs_weights_len().score_compared(
+        compare(pairs, _len_comparers())
+    ).withColumn("is_match", F.col("text_fp_l") == F.col("text_fp_r"))
     curve = precision_recall_curve(scored, score="odds", label="is_match")
     return curve.select(
-        F.round("threshold", 6).alias("threshold"),
-        "tp",
-        "fp",
-        "fn",
-        "precision",
-        "recall",
-        "f1",
+        F.round(F.col("threshold") * 1e6).cast("long").alias("threshold_micro"),
+        F.col("tp").cast("long").alias("tp"),
+        F.col("fp").cast("long").alias("fp"),
+        F.col("fn").cast("long").alias("fn"),
+        F.expr("div(1000000 * tp, tp + fp)").cast("long").alias(
+            "precision_micro"
+        ),
+        F.expr(
+            "CASE WHEN tp + fn > 0 THEN div(1000000 * tp, tp + fn)"
+            " ELSE 0 END"
+        ).cast("long").alias("recall_micro"),
+    ).withColumn(
+        "f1_micro",
+        F.expr(
+            "CASE WHEN precision_micro + recall_micro > 0"
+            " THEN div(2 * precision_micro * recall_micro,"
+            " precision_micro + recall_micro) ELSE 0 END"
+        ).cast("long"),
     )
 
 
@@ -905,26 +932,62 @@ def q_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _metrics_micro(df: DataFrame, *head: str) -> DataFrame:
+    """Recompute the three blocking ratios as integer micro-units from
+    the exact count columns (div = integer division on both engines),
+    so no 6-dp double-rounding ULP can leak into the driver's hash —
+    same hardening as q_pr_curve."""
+    return df.select(
+        *head,
+        "n_naive",
+        "n_candidates",
+        "n_true",
+        "n_found",
+        F.expr(
+            "CASE WHEN n_naive > 0 THEN"
+            " div(1000000 * (n_naive - n_candidates), n_naive)"
+            " ELSE 0 END"
+        ).cast("long").alias("reduction_micro"),
+        F.expr(
+            "CASE WHEN n_true > 0 THEN div(1000000 * n_found, n_true)"
+            " ELSE 0 END"
+        ).cast("long").alias("completeness_micro"),
+        F.expr(
+            "CASE WHEN n_candidates > 0 THEN"
+            " div(1000000 * n_found, n_candidates) ELSE 0 END"
+        ).cast("long").alias("quality_micro"),
+    )
+
+
 def q_blocking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reduction ratio / pairs completeness / pairs quality of the
-    (lang, source) blocker against exact-text-duplicate ground truth."""
+    (lang, source) blocker against shared-50-char-fingerprint ground
+    truth (the corpus has ZERO exact text dups at sf<=0.01, so the old
+    exact-text truth made completeness a vacuous 0 — the fingerprint
+    truth has n_true=25 at the driver's sf0.01)."""
     from mismo_spark.linker.eval import blocking_metrics
     from mismo_spark.linker.key import KeyLinker
 
-    docs = _docs(spark, sf_dir)
+    docs = _docs(spark, sf_dir).withColumn(
+        "text_fp", F.substring("text", 1, 50)
+    )
     cand = KeyLinker(["lang", "source"], task="dedupe")(docs).links
-    true = KeyLinker(["text"], task="dedupe")(docs).links
-    return blocking_metrics(cand, true, n_left=docs.count())
+    true = KeyLinker(["text_fp"], task="dedupe")(docs).links
+    return _metrics_micro(blocking_metrics(cand, true, n_left=docs.count()))
 
 
 def q_blocking_schemes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scheme-selection scorecard: three candidate blocking keys scored
-    against exact-text-duplicate ground truth in one DataFrame — the
-    'pick the cheapest key that keeps completeness' loop."""
+    against shared-50-char-fingerprint ground truth in one DataFrame —
+    the 'pick the cheapest key that keeps completeness' loop.  Every
+    scheme finds >= 1 true pair at the shipped scales, so neither
+    completeness nor quality is vacuous."""
     from mismo_spark.linker.eval import compare_blocking_schemes
     from mismo_spark.linker.key import KeyLinker
 
-    docs = _docs(spark, sf_dir)
+    docs = _docs(spark, sf_dir).withColumn(
+        "text_fp", F.substring("text", 1, 50)
+    )
     schemes = {
         "lang_source": KeyLinker(["lang", "source"], task="dedupe")(
             docs
@@ -936,8 +999,11 @@ def q_blocking_schemes(spark: SparkSession, sf_dir: str) -> DataFrame:
             ["lang", F.floor(F.col("n_chars") / F.lit(100))], task="dedupe"
         )(docs).links,
     }
-    true = KeyLinker(["text"], task="dedupe")(docs).links
-    return compare_blocking_schemes(schemes, true, n_left=docs.count())
+    true = KeyLinker(["text_fp"], task="dedupe")(docs).links
+    return _metrics_micro(
+        compare_blocking_schemes(schemes, true, n_left=docs.count()),
+        "scheme",
+    )
 
 
 def q_incremental_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3298,24 +3364,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _TOKENS = "list_distinct(string_split_regex(lower(trim(text)), '\\s+'))"
 
 
-def _scheme_metrics_sql(name: str, cond: str) -> str:
-    """One scorecard row (scheme, n_naive, ..., pairs_quality) for a
-    blocking join condition over the documents self-join — mirrors
-    mismo_spark.linker.eval.blocking_metrics."""
-    return f"""
-            SELECT '{name}' AS scheme, n_naive::BIGINT AS n_naive,
+_METRICS_MICRO_SELECT = """
+                   n_naive::BIGINT AS n_naive,
                    n_candidates::BIGINT AS n_candidates,
                    n_true::BIGINT AS n_true, n_found::BIGINT AS n_found,
-                   CASE WHEN n_naive > 0
-                        THEN round((n_naive - n_candidates)::DOUBLE
-                                   / n_naive, 6) ELSE 0.0 END
-                     AS reduction_ratio,
-                   CASE WHEN n_true > 0
-                        THEN round(n_found::DOUBLE / n_true, 6)
-                        ELSE 0.0 END AS pairs_completeness,
-                   CASE WHEN n_candidates > 0
-                        THEN round(n_found::DOUBLE / n_candidates, 6)
-                        ELSE 0.0 END AS pairs_quality
+                   (CASE WHEN n_naive > 0
+                         THEN (1000000 * (n_naive - n_candidates)) // n_naive
+                         ELSE 0 END)::BIGINT AS reduction_micro,
+                   (CASE WHEN n_true > 0
+                         THEN (1000000 * n_found) // n_true
+                         ELSE 0 END)::BIGINT AS completeness_micro,
+                   (CASE WHEN n_candidates > 0
+                         THEN (1000000 * n_found) // n_candidates
+                         ELSE 0 END)::BIGINT AS quality_micro
+"""
+
+
+def _scheme_metrics_sql(name: str, cond: str) -> str:
+    """One scorecard row (scheme, n_naive, ..., quality_micro) for a
+    blocking join condition over the documents self-join — mirrors
+    mismo_spark.linker.eval.blocking_metrics with the ratios in integer
+    micro-units (exact on both engines) and shared-50-char-fingerprint
+    ground truth (nonzero n_true at every shipped sf)."""
+    return f"""
+            SELECT '{name}' AS scheme, {_METRICS_MICRO_SELECT}
             FROM (
               WITH cand AS (
                 SELECT DISTINCT a.doc_id AS l, b.doc_id AS r
@@ -3325,7 +3397,8 @@ def _scheme_metrics_sql(name: str, cond: str) -> str:
               troo AS (
                 SELECT DISTINCT a.doc_id AS l, b.doc_id AS r
                 FROM documents a JOIN documents b
-                  ON a.text = b.text AND a.doc_id < b.doc_id
+                  ON substr(a.text, 1, 50) = substr(b.text, 1, 50)
+                 AND a.doc_id < b.doc_id
               )
               SELECT
                 (SELECT (count(*) * (count(*) - 1)) // 2 FROM documents)
@@ -3891,13 +3964,25 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
             HAVING round(sum(a.wn * b.wn), 6) >= 0.2
         """,
-        "pr_curve": f"""
-            WITH pairs AS ({pair_block}),
+        "pr_curve": """
+            WITH pairs AS (
+              SELECT a.n_chars AS n_chars_l, b.n_chars AS n_chars_r,
+                     substr(a.text, 1, 50) AS fp_l,
+                     substr(b.text, 1, 50) AS fp_r
+              FROM documents a JOIN documents b
+                ON ((a.lang = b.lang AND a.source = b.source)
+                    OR substr(a.text, 1, 50) = substr(b.text, 1, 50))
+                   AND a.doc_id < b.doc_id
+            ),
             scored AS (
-              SELECT CASE WHEN n_chars_l = n_chars_r THEN 0.6 / 0.01
-                          WHEN abs(n_chars_l - n_chars_r) <= 20 THEN 0.3 / 0.09
-                          ELSE 0.1 / 0.9 END AS threshold,
-                     (text_l = text_r) AS y
+              SELECT CASE
+                       WHEN n_chars_l = n_chars_r
+                         THEN 0.6::DOUBLE / 0.01::DOUBLE
+                       WHEN abs(n_chars_l - n_chars_r) <= 20
+                         THEN 0.3::DOUBLE / 0.09::DOUBLE
+                       ELSE 0.1::DOUBLE / 0.9::DOUBLE
+                     END AS threshold,
+                     (fp_l = fp_r) AS y
               FROM pairs
             ),
             per AS (
@@ -3909,31 +3994,31 @@ def oracle_sql() -> dict[str, str]:
             cum AS (
               SELECT threshold,
                 sum(n_pos) OVER (ORDER BY threshold DESC
-                                 ROWS UNBOUNDED PRECEDING) AS tp,
+                                 ROWS UNBOUNDED PRECEDING)::BIGINT AS tp,
                 sum(n_neg) OVER (ORDER BY threshold DESC
-                                 ROWS UNBOUNDED PRECEDING) AS fp,
-                sum(n_pos) OVER () - sum(n_pos) OVER (ORDER BY threshold DESC
-                                 ROWS UNBOUNDED PRECEDING) AS fn
+                                 ROWS UNBOUNDED PRECEDING)::BIGINT AS fp,
+                (sum(n_pos) OVER ()
+                 - sum(n_pos) OVER (ORDER BY threshold DESC
+                                    ROWS UNBOUNDED PRECEDING))::BIGINT AS fn
               FROM per
+            ),
+            micro AS (
+              SELECT round(threshold * 1e6)::BIGINT AS threshold_micro,
+                     tp, fp, fn,
+                     (1000000 * tp) // (tp + fp) AS precision_micro,
+                     CASE WHEN tp + fn > 0
+                          THEN (1000000 * tp) // (tp + fn)
+                          ELSE 0 END AS recall_micro
+              FROM cum
             )
-            SELECT round(threshold, 6) AS threshold, tp, fp, fn,
-                   round(tp / (tp + fp)::DOUBLE, 6) AS precision,
-                   CASE WHEN tp + fn > 0
-                        THEN round(tp / (tp + fn)::DOUBLE, 6)
-                        ELSE 0.0 END AS recall,
-                   CASE WHEN tp / (tp + fp)::DOUBLE
-                             + CASE WHEN tp + fn > 0
-                                    THEN tp / (tp + fn)::DOUBLE ELSE 0.0 END > 0
-                        THEN round(2.0 * (tp / (tp + fp)::DOUBLE)
-                               * (CASE WHEN tp + fn > 0
-                                       THEN tp / (tp + fn)::DOUBLE
-                                       ELSE 0.0 END)
-                               / (tp / (tp + fp)::DOUBLE
-                                  + CASE WHEN tp + fn > 0
-                                         THEN tp / (tp + fn)::DOUBLE
-                                         ELSE 0.0 END), 6)
-                        ELSE 0.0 END AS f1
-            FROM cum
+            SELECT threshold_micro, tp, fp, fn,
+                   precision_micro::BIGINT AS precision_micro,
+                   recall_micro::BIGINT AS recall_micro,
+                   CASE WHEN precision_micro + recall_micro > 0
+                        THEN (2 * precision_micro * recall_micro)
+                             // (precision_micro + recall_micro)
+                        ELSE 0 END::BIGINT AS f1_micro
+            FROM micro
         """,
         "dup_token_spans": r"""
             WITH d AS (
@@ -4023,7 +4108,7 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 0.0 END AS dup_token_frac
             FROM d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
         """,
-        "blocking_metrics": """
+        "blocking_metrics": f"""
             WITH cand AS (
               SELECT DISTINCT least(a.doc_id, b.doc_id) AS l,
                               greatest(a.doc_id, b.doc_id) AS r
@@ -4035,7 +4120,8 @@ def oracle_sql() -> dict[str, str]:
               SELECT DISTINCT least(a.doc_id, b.doc_id) AS l,
                               greatest(a.doc_id, b.doc_id) AS r
               FROM documents a JOIN documents b
-                ON a.text = b.text AND a.doc_id < b.doc_id
+                ON substr(a.text, 1, 50) = substr(b.text, 1, 50)
+               AND a.doc_id < b.doc_id
             ),
             counts AS (
               SELECT
@@ -4045,20 +4131,7 @@ def oracle_sql() -> dict[str, str]:
                 (SELECT count(*) FROM troo) AS n_true,
                 (SELECT count(*) FROM cand JOIN troo USING (l, r)) AS n_found
             )
-            SELECT n_naive::BIGINT AS n_naive,
-                   n_candidates::BIGINT AS n_candidates,
-                   n_true::BIGINT AS n_true,
-                   n_found::BIGINT AS n_found,
-                   CASE WHEN n_naive > 0
-                        THEN round((n_naive - n_candidates)::DOUBLE
-                                   / n_naive, 6) ELSE 0.0 END
-                     AS reduction_ratio,
-                   CASE WHEN n_true > 0
-                        THEN round(n_found::DOUBLE / n_true, 6)
-                        ELSE 0.0 END AS pairs_completeness,
-                   CASE WHEN n_candidates > 0
-                        THEN round(n_found::DOUBLE / n_candidates, 6)
-                        ELSE 0.0 END AS pairs_quality
+            SELECT {_METRICS_MICRO_SELECT}
             FROM counts
         """,
         "blocking_schemes": (
