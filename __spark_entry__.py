@@ -3236,7 +3236,97 @@ def q_link_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Driver-checked query registry.
+
+    ORDER MATTERS: the driver's correctness harness verifies only the
+    first ~50 dict entries per round, so entries are ordered by
+    verification need, not topic:
+
+    1. Queries changed this round (pr_curve red-row fix + the two
+       blocking scorecards whose output schema changed with it) — they
+       need fresh CORRECTNESS rows.
+    2. The 67 queries that had no driver-green row after round 3 (the
+       r3 harness capped at the first 50 entries), highest-value first.
+    3. Remaining never-verified utility queries (will age into the
+       window next round).
+    4. The 47 rows already driver-green in CORRECTNESS_r03.json —
+       unchanged code, the r3 artifact stands as their evidence.
+    """
     return {
+        # -- 1. changed this round: need fresh driver rows ----------------
+        "pr_curve": q_pr_curve,
+        "blocking_metrics": q_blocking_metrics,
+        "blocking_schemes": q_blocking_schemes,
+        # -- 2. never driver-verified, high value first --------------------
+        "semdedup": q_semdedup,
+        "dsir_select": q_dsir_select,
+        "pagerank": q_pagerank,
+        "trustrank": q_trustrank,
+        "host_rank": q_host_rank,
+        "hits": q_hits,
+        "link_degrees": q_link_degrees,
+        "anchor_texts": q_anchor_texts,
+        "link_reciprocity": q_link_reciprocity,
+        "edit_distance_pairs": q_edit_distance,
+        "edit_distance_link": q_edit_distance_link,
+        "golden_record": q_golden_record,
+        "multi_ngram_repetition": q_multi_ngram_repetition,
+        "temperature_sample": q_temperature_sample,
+        "cluster_splits": q_cluster_splits,
+        "split_leakage": q_split_leakage,
+        "chunk_documents": q_chunk_documents,
+        "pack_sequences": q_pack_sequences,
+        "perplexity": q_perplexity,
+        "bigram_perplexity": q_bigram_perplexity,
+        "winnow_pairs": q_winnow_pairs,
+        "name_match_level": q_name_match_level,
+        "email_match_level": q_email_match_level,
+        "address_match_level": q_address_match_level,
+        "date_match_level": q_date_match_level,
+        "embedding_near_dup": q_embedding_near_dup,
+        "lsh_topk": q_lsh_topk,
+        "missed_merges": q_missed_merges,
+        "cluster_thresholds": q_cluster_thresholds,
+        "dup_lines": q_dup_lines,
+        "line_dedupe": q_line_dedupe,
+        "domain_quota": q_domain_quota,
+        "token_budget": q_token_budget,
+        "gopher_rules": q_gopher_rules,
+        "quantize_embeddings": q_quantize_embeddings,
+        "c4_clean": q_c4_clean,
+        "redact_pii": q_redact_pii,
+        "stratified_sample": q_stratified_sample,
+        "line_repetition": q_line_repetition,
+        "paragraph_repetition": q_paragraph_repetition,
+        "ngram_repetition": q_ngram_repetition,
+        "name_blocker": q_name_blocker,
+        "ngram_contamination": q_ngram_contamination,
+        "dup_ngram_fraction": q_dup_ngram_fraction,
+        "quality_buckets": q_quality_buckets,
+        "contrastive_triplets": q_contrastive_triplets,
+        "ngram_jaccard": q_ngram_jaccard,
+        # -- 3. never driver-verified, lower priority (next round's window)
+        "monge_elkan": q_monge_elkan,
+        "soft_tfidf": q_soft_tfidf,
+        "containment": q_containment,
+        "bloom_prefilter": q_bloom_prefilter,
+        "line_langs": q_line_langs,
+        "best_match_filter": q_best_match_filter,
+        "strings_norm": q_strings_norm,
+        "keep_latest": q_keep_latest,
+        "histogram": q_histogram,
+        "profile_numeric": q_profile_numeric,
+        "haversine": q_haversine,
+        "re_extract": q_re_extract,
+        "emails_dimension": q_emails_dimension,
+        "crawl_stats": q_crawl_stats,
+        "diff_updates": q_diff_updates,
+        "updates_apply": q_updates_apply,
+        "tf_frequency": q_tf_frequency,
+        "unnest_linker": q_unnest_linker,
+        "join_linker": q_join_linker,
+        "id_linker": q_id_linker,
+        # -- 4. driver-green in CORRECTNESS_r03.json (unchanged code) ------
         "key_counts": q_key_counts,
         "pair_counts_dedupe": q_pair_counts_dedupe,
         "key_linker_block": q_key_linker_block,
@@ -3278,82 +3368,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "array_ops": q_array_ops,
         "prefix_filter_pairs": q_prefix_filter_pairs,
         "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
-        "pr_curve": q_pr_curve,
         "dup_token_spans": q_dup_token_spans,
         "dup_span_stats": q_dup_span_stats,
-        "blocking_metrics": q_blocking_metrics,
-        "blocking_schemes": q_blocking_schemes,
         "incremental_cc": q_incremental_cc,
         "cc_maintain": q_cc_maintain,
         "cluster_events": q_cluster_events,
         "cluster_cohesion": q_cluster_cohesion,
-        "missed_merges": q_missed_merges,
-        "monge_elkan": q_monge_elkan,
-        "soft_tfidf": q_soft_tfidf,
-        "golden_record": q_golden_record,
-        "containment": q_containment,
-        "winnow_pairs": q_winnow_pairs,
-        "bloom_prefilter": q_bloom_prefilter,
-        "dup_lines": q_dup_lines,
-        "line_dedupe": q_line_dedupe,
-        "cluster_thresholds": q_cluster_thresholds,
-        "cluster_splits": q_cluster_splits,
-        "perplexity": q_perplexity,
-        "bigram_perplexity": q_bigram_perplexity,
-        "edit_distance_pairs": q_edit_distance,
-        "edit_distance_link": q_edit_distance_link,
-        "split_leakage": q_split_leakage,
-        "line_langs": q_line_langs,
-        "temperature_sample": q_temperature_sample,
-        "chunk_documents": q_chunk_documents,
-        "pack_sequences": q_pack_sequences,
-        "date_match_level": q_date_match_level,
-        "domain_quota": q_domain_quota,
-        "token_budget": q_token_budget,
-        "histogram": q_histogram,
-        "gopher_rules": q_gopher_rules,
-        "quantize_embeddings": q_quantize_embeddings,
-        "best_match_filter": q_best_match_filter,
-        "strings_norm": q_strings_norm,
-        "keep_latest": q_keep_latest,
-        "profile_numeric": q_profile_numeric,
-        "c4_clean": q_c4_clean,
-        "redact_pii": q_redact_pii,
-        "stratified_sample": q_stratified_sample,
-        "line_repetition": q_line_repetition,
-        "paragraph_repetition": q_paragraph_repetition,
-        "ngram_repetition": q_ngram_repetition,
-        "name_match_level": q_name_match_level,
-        "email_match_level": q_email_match_level,
-        "haversine": q_haversine,
-        "diff_updates": q_diff_updates,
-        "tf_frequency": q_tf_frequency,
-        "updates_apply": q_updates_apply,
-        "emails_dimension": q_emails_dimension,
-        "address_match_level": q_address_match_level,
-        "embedding_near_dup": q_embedding_near_dup,
-        "lsh_topk": q_lsh_topk,
-        "semdedup": q_semdedup,
-        "dsir_select": q_dsir_select,
-        "crawl_stats": q_crawl_stats,
-        "unnest_linker": q_unnest_linker,
-        "join_linker": q_join_linker,
-        "id_linker": q_id_linker,
-        "ngram_jaccard": q_ngram_jaccard,
-        "re_extract": q_re_extract,
-        "name_blocker": q_name_blocker,
-        "ngram_contamination": q_ngram_contamination,
-        "dup_ngram_fraction": q_dup_ngram_fraction,
-        "quality_buckets": q_quality_buckets,
-        "contrastive_triplets": q_contrastive_triplets,
-        "multi_ngram_repetition": q_multi_ngram_repetition,
-        "pagerank": q_pagerank,
-        "trustrank": q_trustrank,
-        "link_degrees": q_link_degrees,
-        "anchor_texts": q_anchor_texts,
-        "host_rank": q_host_rank,
-        "hits": q_hits,
-        "link_reciprocity": q_link_reciprocity,
     }
 
 
