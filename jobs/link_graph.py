@@ -96,6 +96,23 @@ def main(argv: list[str] | None = None) -> None:
         out = reciprocity(edges, src_column=src_col, dst_column=dst_col)
     else:
         seeds = spark.read.parquet(args.seeds) if args.seeds else None
+        if seeds is not None and args.contract_hosts:
+            # the graph's nodes are registrable domains now — map the
+            # page-URL seed nodes through the same contraction (summing
+            # weights per host), else the teleport join hits nothing
+            from pyspark.sql import functions as F
+
+            from mismo_spark.lib.url import registrable_domain
+
+            seeds = (
+                seeds.select(
+                    registrable_domain(F.col("node")).alias("node"),
+                    F.col("weight"),
+                )
+                .filter(F.col("node").isNotNull())
+                .groupBy("node")
+                .agg(F.sum("weight").alias("weight"))
+            )
         out = pagerank(
             edges,
             n_iter=args.n_iter,

@@ -48,13 +48,27 @@ __all__ = [
 
 # captures the href VALUE for double-quoted, single-quoted and unquoted
 # attribute forms (fragment part excluded by the char classes); quoted
-# captures keep their opening quote — _strip_quote removes it
-_HREF_RE = r"""href\s*=\s*("[^"#]*|'[^'#]*|[^\s>"'#][^\s>#]*)"""
+# captures keep their opening quote — _strip_quote removes it.  The
+# unquoted branch excludes quote characters in BOTH character classes,
+# so malformed `href=a"b>` lexes as `a` rather than `a"b`.
+_HREF_RE = r"""href\s*=\s*("[^"#]*|'[^'#]*|[^\s>"'#][^\s>#"']*)"""
 _ANCHOR_ELEM_RE = r"(?s)<a\s[^>]*>.*?</a>"
 
 
 def _strip_quote(link: Column) -> Column:
     return F.regexp_replace(link, r"""^["']""", "")
+
+
+def _graph_chk(df: DataFrame, checkpoint_dir: str | None, tag: str) -> DataFrame:
+    """Per-round lineage cut: ``localCheckpoint`` (lazy — the next
+    round's job materializes it) or durable parquet under
+    ``checkpoint_dir`` so a lost executor can't kill a long iterative
+    job.  Same discipline as ``cluster/cc.py:_chk``."""
+    if checkpoint_dir is None:
+        return df.localCheckpoint(eager=False)
+    path = f"{checkpoint_dir}/{tag}.parquet"
+    df.write.mode("overwrite").parquet(path)
+    return df.sparkSession.read.parquet(path)
 
 
 def extract_outlinks(
@@ -230,6 +244,7 @@ def pagerank(
     teleport: DataFrame | None = None,
     teleport_weight_column: str = "weight",
     weight_column: str | None = None,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Mass-conserving PageRank over a directed edge list.
 
@@ -251,17 +266,26 @@ def pagerank(
 
     ``weight_column`` makes the walk WEIGHTED (e.g. the host graph's
     link counts): a neighbour receives rank·w/out_strength where
-    out_strength = Σ outgoing w.  Weights must be positive (rows with
-    NULL weight are dropped); with ``dedupe_edges=True`` duplicate
-    (src, dst) rows SUM their weights instead of collapsing.
+    out_strength = Σ outgoing w.  Weights must be positive — rows with
+    NULL or non-positive weight are dropped (a w ≤ 0 row would make
+    out_strength ≤ 0 possible, silently breaking the Σrank=1
+    invariant); with ``dedupe_edges=True`` duplicate (src, dst) rows
+    SUM their weights instead of collapsing.
 
     Plan shape per round: ranks ⋈ cached (src, dst, out_degree) edges
     on src → groupBy(dst).sum — two shuffles, both keyed by node ids
     (AQE coalescing applies); the dangling mass is a single-row
     aggregate cross-broadcast back into the update, keeping the whole
     round one job with no driver-side scalar collect.  The teleport
-    vector rides the existing nodes join (persisted once).  Ranks are
-    localCheckpoint-ed per round so the k-round lineage never stacks.
+    vector rides the existing nodes join (persisted once); the dangling
+    node set is iteration-invariant, so it is derived once from the
+    cached relations and persisted.  Ranks are checkpointed per round —
+    ``localCheckpoint`` by default, or durable parquet under
+    ``checkpoint_dir`` (cc.py's discipline) so a lost executor can't
+    kill a long rank job at cluster scale.  The final ranks are
+    materialized before return and the cached relations unpersisted, so
+    long-lived sessions running many rank jobs don't accumulate cached
+    relations.
     """
     if n_iter < 1:
         raise ValueError(f"n_iter must be >= 1, got {n_iter}")
@@ -279,7 +303,7 @@ def pagerank(
             F.col(src_column).alias("src"),
             F.col(dst_column).alias("dst"),
             F.col(weight_column).cast("double").alias("w"),
-        ).filter(F.col("w").isNotNull())
+        ).filter(F.col("w") > 0)  # drops NULLs too (NULL > 0 is not true)
         if dedupe_edges:
             e = e.groupBy("src", "dst").agg(F.sum("w").alias("w"))
     nodes = (
@@ -317,9 +341,18 @@ def pagerank(
         )
     tvec = tvec.persist()
 
-    dangling = nodes.join(out_d, nodes["node"] == out_d["src"], "left_anti")
+    # the dangling-node SET is iteration-invariant: derive it ONCE from
+    # the already-cached tvec/e_deg relations (NOT the unpersisted base
+    # `e` — Spark's cache matches canonicalized plans, so a rebuild
+    # from `nodes`/`out_d` would recompute the full upstream edge
+    # derivation every round) and persist it for the per-round mass sum
+    dangling = (
+        tvec.select("node")
+        .join(e_deg.select("src").distinct(), tvec["node"] == F.col("src"), "left_anti")
+        .persist()
+    )
     ranks = tvec.select("node", F.col("t").alias("rank"))
-    for _ in range(n_iter):
+    for i in range(n_iter):
         contrib = (
             ranks.join(e_deg, ranks["node"] == e_deg["src"])
             .select(
@@ -335,7 +368,7 @@ def pagerank(
             dangling.join(ranks, "node")
             .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dangling_mass"))
         )
-        ranks = (
+        ranks = _graph_chk(
             tvec.join(contrib, "node", "left")
             .crossJoin(dm)
             .select(
@@ -348,9 +381,16 @@ def pagerank(
                         + F.col("dangling_mass") * F.col("t")
                     )
                 ).alias("rank"),
-            )
-            .localCheckpoint(eager=False)
+            ),
+            checkpoint_dir,
+            f"pagerank_round_{i}",
         )
+    # materialize the final round's checkpoint, then release the cached
+    # relations — a long-lived session (the oracle harness runs 100+
+    # queries in one SparkSession) must not accumulate cached relations
+    ranks.count()
+    for cached in (e_deg, tvec, dangling):
+        cached.unpersist()
     return ranks
 
 
@@ -407,6 +447,7 @@ def hits(
     src_column: str = "src",
     dst_column: str = "dst",
     dedupe_edges: bool = True,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """HITS hubs & authorities (Kleinberg, JACM 1999) over a directed
     edge list → (node, hub, authority).
@@ -420,8 +461,10 @@ def hits(
 
     Plan shape per half-round: scores ⋈ persisted edges → groupBy the
     other endpoint (map-side partial sum), then a broadcast single-row
-    normalizer — same no-driver-collect, localCheckpoint-per-round
-    discipline as :func:`pagerank`."""
+    normalizer — same no-driver-collect, checkpoint-per-round
+    discipline as :func:`pagerank` (``localCheckpoint`` by default,
+    durable parquet under ``checkpoint_dir``); the final scores are
+    materialized before return and the cached relations unpersisted."""
     if n_iter < 1:
         raise ValueError(f"n_iter must be >= 1, got {n_iter}")
     e = edges.select(
@@ -464,14 +507,28 @@ def hits(
 
     hub = nodes.select("node", F.lit(1.0 / n).alias("hub"))
     auth = None
-    for _ in range(n_iter):
-        auth = _half_round(hub, "src", "dst", "hub").withColumnRenamed(
-            "hub", "authority"
-        ).localCheckpoint(eager=False)
-        hub = _half_round(auth, "dst", "src", "authority").withColumnRenamed(
-            "authority", "hub"
-        ).localCheckpoint(eager=False)
-    return hub.join(auth, "node")
+    for i in range(n_iter):
+        auth = _graph_chk(
+            _half_round(hub, "src", "dst", "hub").withColumnRenamed(
+                "hub", "authority"
+            ),
+            checkpoint_dir,
+            f"hits_auth_{i}",
+        )
+        hub = _graph_chk(
+            _half_round(auth, "dst", "src", "authority").withColumnRenamed(
+                "authority", "hub"
+            ),
+            checkpoint_dir,
+            f"hits_hub_{i}",
+        )
+    out = hub.join(auth, "node")
+    # materialize the final half-rounds' checkpoints, then release the
+    # cached edge/node relations (long-lived-session cache hygiene)
+    out.count()
+    e.unpersist()
+    nodes.unpersist()
+    return out
 
 
 def hits_oracle_sql(
@@ -552,7 +609,7 @@ def pagerank_oracle_sql(
     if weighted:
         e_cte = (
             f"WITH e AS MATERIALIZED (SELECT src, dst, SUM(CAST(weight AS DOUBLE)) AS w "
-            f"FROM ({edges_sql}) WHERE weight IS NOT NULL GROUP BY src, dst)"
+            f"FROM ({edges_sql}) WHERE weight > 0 GROUP BY src, dst)"
         )
     else:
         e_cte = (

@@ -380,3 +380,59 @@ def test_pagerank_plan_has_no_cross_corpus_shuffle_growth(spark):
     # a non-truncated plan would repeat the edge scan ~8x
     assert plan.count("LogicalRDD") >= 1
     assert plan.count("Join") <= 6
+
+
+def test_extract_outlinks_unquoted_rejects_embedded_quote(spark):
+    """Malformed `href=a"b>` must lex as `a`, not `a"b` — the unquoted
+    branch excludes quote characters at every position."""
+    pages = spark.createDataFrame(
+        [("p", '<a href=http://u.com/a"b>x</a>')], "url string, html string"
+    )
+    got = {r["outlink"] for r in extract_outlinks(pages).collect()}
+    assert got == {"http://u.com/a"}
+
+
+def test_pagerank_durable_checkpoint_identical(spark, tmp_path):
+    """checkpoint_dir (durable parquet per round) must give EXACTLY the
+    ranks of the localCheckpoint path — same recurrence, different
+    lineage cut (cc.py's resumable-variant discipline)."""
+    edges = GRAPHS["dangling"]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    base = {r["node"]: r["rank"] for r in pagerank(df, n_iter=6).collect()}
+    durable = {
+        r["node"]: r["rank"]
+        for r in pagerank(
+            df, n_iter=6, checkpoint_dir=str(tmp_path / "pr")
+        ).collect()
+    }
+    assert base == durable
+    # the per-round parquet rounds exist on disk (resume material)
+    assert (tmp_path / "pr" / "pagerank_round_5.parquet").exists()
+
+
+def test_hits_durable_checkpoint_identical(spark, tmp_path):
+    df = spark.createDataFrame(GRAPHS["star_in"], "src string, dst string")
+    base = {
+        r["node"]: (r["hub"], r["authority"])
+        for r in hits(df, n_iter=4).collect()
+    }
+    durable = {
+        r["node"]: (r["hub"], r["authority"])
+        for r in hits(df, n_iter=4, checkpoint_dir=str(tmp_path / "h")).collect()
+    }
+    assert base == durable
+    assert (tmp_path / "h" / "hits_hub_3.parquet").exists()
+
+
+def test_pagerank_rejects_nonpositive_weights_rows(spark):
+    """Zero/negative-weight rows are dropped (docstring contract) —
+    they must not poison out_strength or break Σrank=1."""
+    df = spark.createDataFrame(
+        [("a", "b", 2.0), ("a", "c", 0.0), ("b", "a", -1.0), ("b", "a", 1.0)],
+        "src string, dst string, weight double",
+    )
+    got = {r["node"]: r["rank"] for r in pagerank(df, n_iter=5, weight_column="weight").collect()}
+    want = _numpy_pagerank([("a", "b"), ("b", "a")], n_iter=5, damping=0.85)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-12)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
