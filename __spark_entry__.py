@@ -2937,6 +2937,29 @@ def q_id_linker(spark: SparkSession, sf_dir: str) -> DataFrame:
     return IDLinker("ssn", task="dedupe")(docs).links
 
 
+def q_id_linker_indefinite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDLinker three-way split, indefinite pairs materialized
+    (mismo/linker/_id_linker.py:116-118 — NIE in the reference;
+    implemented here as the union of the policies' don't-know
+    branches).  Both policies indefinite so the union path is
+    exercised; docs capped at doc_id < 150 because the indefinite set
+    is O(n²) by definition (bounded-by-contract, like FullLinker)."""
+    from mismo_spark.linker.id import IDLinker
+
+    docs = (
+        _docs(spark, sf_dir)
+        .filter(F.col("doc_id") < 150)
+        .withColumn(
+            "ssn",
+            F.when(F.col("source") != "web", F.col("doc_id") % 97),
+        )
+    )
+    lk = IDLinker(
+        "ssn", when_null="indefinite", when_not_equal="indefinite", task="dedupe"
+    )
+    return lk.indefinite_linkage(docs).links
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Char-trigram-set Jaccard near-dup with a blocking key
     (mismo-adjacent; SURVEY §2.13 n-gram Jaccard dedup)."""
@@ -3253,10 +3276,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
        unchanged code, the r3 artifact stands as their evidence.
     """
     return {
-        # -- 1. changed this round: need fresh driver rows ----------------
+        # -- 1. changed/new this round: need fresh driver rows -------------
         "pr_curve": q_pr_curve,
         "blocking_metrics": q_blocking_metrics,
         "blocking_schemes": q_blocking_schemes,
+        "id_linker_indefinite": q_id_linker_indefinite,
         # -- 2. never driver-verified, high value first --------------------
         "semdedup": q_semdedup,
         "dsir_select": q_dsir_select,
@@ -5917,6 +5941,17 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT a.doc_id AS record_id_l, b.doc_id AS record_id_r
             FROM d a JOIN d b ON a.ssn = b.ssn AND a.doc_id < b.doc_id
+        """,
+        "id_linker_indefinite": """
+            WITH d AS (
+              SELECT doc_id,
+                     CASE WHEN source <> 'web' THEN doc_id % 97 END AS ssn
+              FROM documents WHERE doc_id < 150
+            )
+            SELECT a.doc_id AS record_id_l, b.doc_id AS record_id_r
+            FROM d a JOIN d b ON a.doc_id < b.doc_id
+            WHERE (a.ssn IS NOT NULL AND b.ssn IS NOT NULL AND a.ssn <> b.ssn)
+               OR a.ssn IS NULL OR b.ssn IS NULL
         """,
         "ngram_jaccard": """
             WITH d AS (

@@ -19,6 +19,14 @@ output) — a recorded timing carries its own evidence of the CPU it ran
 on, and a stage whose bracketing calibrations fall below
 ~70% of the nominal per-core rate is re-run once (the discarded
 timing is kept in the artifact as `<stage>_discarded_sec`).
+
+UDF-heavy stages (compare, cosine_topk, semdedup) are additionally
+bracketed by an Arrow-UDF probe (`cal_<stage>_pre/post_udf_kps`): a
+fixed 150k-pair Jaro-Winkler batch through the real
+job→ArrowEvalPython→python-worker path.  Their retry decision keys off
+that probe — round-3 evidence showed the spin cal does NOT track the
+fork/IPC-bound UDF path (a 21 s compare was discarded at spin 341
+while an 86 s retry passed at spin 864).
 """
 
 from __future__ import annotations
@@ -42,29 +50,80 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 N_ENTITIES = int(os.environ.get("BENCH_N_ENTITIES", "30000"))
 MIN_CAL_PER_CORE = float(os.environ.get("BENCH_MIN_CAL_PER_CORE", "18"))
+# nominal healthy throughput of the Arrow-UDF probe, kpairs/sec PER
+# CORE through the full job→ArrowEvalPython→python-worker path
+# (measured idle-host at local[32], 150k pairs: ~150-200 kpairs/s
+# total ≈ 5-6 k/s/core; the probe deliberately includes the job's
+# fixed fork/IPC overhead — that overhead IS the weather signal)
+MIN_UDF_KPS_PER_CORE = float(os.environ.get("BENCH_MIN_UDF_KPS_PER_CORE", "3.0"))
 # a stage is weather-poisoned (re-run once) when either bracketing
 # calibration is below this fraction of the nominal per-core rate
 RERUN_CAL_FRACTION = float(os.environ.get("BENCH_RERUN_CAL_FRACTION", "0.7"))
 STAGE_RETRIES = int(os.environ.get("BENCH_STAGE_RETRIES", "1"))
+UDF_PROBE_PAIRS = int(os.environ.get("BENCH_UDF_PROBE_PAIRS", "150000"))
+
+
+def _udf_probe_kps(spark, n_cores: int, n_pairs: int = UDF_PROBE_PAIRS) -> float:
+    """Time a FIXED workload through the actual pandas-UDF path —
+    Spark job → ArrowEvalPython → forked Python workers → Jaro-Winkler
+    kernel — and return kpairs/sec.
+
+    The spin calibration measures burst CPU in THIS process only; the
+    compare stage's cost lives in fork/IPC/page-cache behaviour of the
+    executor's Python UDF workers, which the spin never touches
+    (observed: a 21 s compare discarded at spin-cal 341 while an 86 s
+    retry passed at 864).  This probe IS that path, so a stage timing
+    bracketed by it carries evidence of the weather that matters."""
+    from pyspark.sql import functions as F
+
+    from mismo_spark.text.similarity import _jw_udf
+
+    df = spark.range(n_pairs, numPartitions=n_cores).select(
+        F.concat(F.lit("/a/"), F.md5(F.col("id").cast("string"))).alias("a"),
+        F.concat(
+            F.lit("/a/"), F.md5((F.col("id") + 1).cast("string"))
+        ).alias("b"),
+    )
+    t0 = time.time()
+    df.select(_jw_udf(F.col("a"), F.col("b")).alias("jw")).agg(
+        F.sum("jw")
+    ).collect()
+    return n_pairs / (time.time() - t0) / 1e3
 
 
 class StageTimer:
-    """Times stages with bracketing spin calibrations; re-runs a stage
-    once when the host's delivered CPU was off-nominal during it."""
+    """Times stages with bracketing calibrations; re-runs a stage once
+    when the host's delivered CPU was off-nominal during it.
 
-    def __init__(self, n_cores: int, timings: dict, extras: dict) -> None:
+    Every stage gets spin calibrations (JVM-thread burst CPU).  Stages
+    flagged ``udf=True`` ALSO get the Arrow-UDF probe
+    (``cal_<stage>_{pre,post}_udf_kps``) and their retry decision keys
+    off THAT probe — the spin loop provably does not track the
+    fork/IPC-bound Python-worker path those stages live in."""
+
+    def __init__(self, n_cores: int, timings: dict, extras: dict, spark) -> None:
         self.n = n_cores
         self.timings = timings
         self.extras = extras
+        self.spark = spark
         self._last_cal: float | None = None  # post-cal chains into next pre-cal
+        self._last_udf: float | None = None
 
     def _cal(self) -> float:
         return _calibrate(self.n)[f"cal_{self.n}core_mups"]
 
-    def run(self, name: str, fn) -> None:
+    def run(self, name: str, fn, udf: bool = False) -> None:
         floor = RERUN_CAL_FRACTION * MIN_CAL_PER_CORE * self.n
+        udf_floor = RERUN_CAL_FRACTION * MIN_UDF_KPS_PER_CORE * self.n
         for attempt in range(STAGE_RETRIES + 1):
             pre = self._last_cal if self._last_cal is not None else self._cal()
+            pre_udf = None
+            if udf:
+                pre_udf = (
+                    self._last_udf
+                    if self._last_udf is not None
+                    else _udf_probe_kps(self.spark, self.n)
+                )
             t0 = time.time()
             fn()
             dt = time.time() - t0
@@ -72,12 +131,25 @@ class StageTimer:
             self._last_cal = post
             self.extras[f"cal_{name}_pre_mups"] = round(pre, 1)
             self.extras[f"cal_{name}_post_mups"] = round(post, 1)
-            if min(pre, post) >= floor or attempt == STAGE_RETRIES:
+            if udf:
+                post_udf = _udf_probe_kps(self.spark, self.n)
+                self._last_udf = post_udf
+                self.extras[f"cal_{name}_pre_udf_kps"] = round(pre_udf, 1)
+                self.extras[f"cal_{name}_post_udf_kps"] = round(post_udf, 1)
+                healthy = min(pre_udf, post_udf) >= udf_floor
+            else:
+                # a UDF probe result is stale evidence for the NEXT
+                # udf stage only if nothing ran in between; any
+                # non-udf stage invalidates it
+                self._last_udf = None
+                healthy = min(pre, post) >= floor
+            if healthy or attempt == STAGE_RETRIES:
                 self.timings[name] = round(dt, 3)
                 return
             # poisoned: keep the evidence, re-run fresh
             self.extras[f"{name}_discarded_sec"] = round(dt, 3)
             self._last_cal = None
+            self._last_udf = None
 
 
 def main() -> None:
@@ -146,7 +218,7 @@ def main() -> None:
     ).collect()
     extras["warmup_sec"] = round(time.time() - t0, 3)
 
-    timer = StageTimer(n, timings, extras)
+    timer = StageTimer(n, timings, extras, spark)
     state: dict = {}
 
     # ---- q1: blocking (domain key ∪ minhash LSH) ------------------------
@@ -181,7 +253,7 @@ def main() -> None:
         state["n_compared"] = compared.count()
         state["compared"] = compared
 
-    timer.run("compare", run_compare)
+    timer.run("compare", run_compare, udf=True)
     extras["compared_pairs_per_sec"] = round(
         state["n_compared"] / timings["compare"], 1
     )
@@ -288,7 +360,7 @@ def main() -> None:
     def run_topk():
         state["n_topk"] = cosine_topk(emb, emb.limit(100), k=10).count()
 
-    timer.run("cosine_topk", run_topk)
+    timer.run("cosine_topk", run_topk, udf=True)
 
     # ---- q8: SemDeDup over the embeddings table --------------------------
     from mismo_spark.ann.semdedup import seed_centroids, semdedup
@@ -304,7 +376,7 @@ def main() -> None:
             .count()
         )
 
-    timer.run("semdedup", run_semdedup)
+    timer.run("semdedup", run_semdedup, udf=True)
     extras["semdedup_kept"] = state["n_semdedup_kept"]
 
     # ---- q9: DSIR selection over the documents table ---------------------

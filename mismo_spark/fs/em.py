@@ -96,7 +96,14 @@ def _initial_weights(
     comparers: Sequence[EnumComparer], compared: DataFrame
 ) -> Weights:
     """m uniform 1/K; u = observed label proportions
-    (mismo/fs/_train_em.py:60-70) — from one joint histogram job."""
+    (mismo/fs/_train_em.py:60-70) — from one joint histogram job.
+
+    NOT on the production path (``em_from_sample`` supersedes it with
+    the single-job joint-histogram formulation): retained as the
+    independent oracle for the bit-parity test
+    (tests/test_fs_train.py::test_em_from_sample_matches_per_iteration_jobs)
+    that guards em_from_sample's 'bit-identical to the
+    per-iteration-job formulation' claim."""
     dims = [c.name for c in comparers]
     hist = compared.groupBy(*dims).agg(F.count(F.lit(1)).alias("n")).collect()
     return _initial_weights_from_joint(comparers, hist)

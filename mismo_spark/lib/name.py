@@ -60,15 +60,27 @@ def name_tokens(*cols: Column) -> Column:
 def load_nickname_pairs(source) -> list[tuple[str, str]]:
     """Resolve a nickname-pair source to a list of (canonical, nick).
 
-    ``source`` may be ``None`` (the built-in sample), an existing list
-    of pairs, or a path to a two-column CSV (``canonical,nick``; a
-    header row is auto-detected and skipped).  The table is
+    ``source`` may be ``None`` (the bundled table —
+    ``lib/data/nicknames.csv``, ~330 classic English diminutive pairs,
+    mirroring the reference's bundled nickname CSV
+    mismo/lib/name/_nicknames.py:106-125 — falling back to the tiny
+    in-code sample if the data file is missing from a trimmed
+    install), an existing list of pairs, or a path to a two-column CSV
+    (``canonical,nick``; a header row is auto-detected and skipped).
+    The table is
     broadcast-sized by contract — the reference materializes the whole
     `nicknames` package lookup the same way
     (mismo/lib/name/_nicknames.py:86-105) — so a driver-side read is
     the right shape: the pairs become literals / a broadcast join, and
     executors never touch the file."""
     if source is None:
+        import os
+
+        bundled = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "data", "nicknames.csv"
+        )
+        if os.path.exists(bundled):
+            return load_nickname_pairs(bundled)
         return list(_NICKNAME_PAIRS)
     if isinstance(source, list):
         return source

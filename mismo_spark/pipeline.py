@@ -49,14 +49,22 @@ def normalized_domain(url_col) -> F.Column:
 def pair_features(pairs: DataFrame) -> DataFrame:
     """Compute each pairwise similarity ONCE as a feature column.
 
-    Critical plan shape: an EnumComparer level that calls e.g.
-    ``jw(df) >= 0.93`` per level would evaluate the similarity
-    expression per THRESHOLD — Catalyst does not reliably CSE repeated
-    expressions across ``when`` branches, and repeated pandas-UDF calls
-    each get their own ArrowEvalPython node (a full extra
-    Python+Arrow round-trip over every row).  Deriving the features
-    first means one JVM projection + exactly one Arrow pass, and the
-    comparer CASEs become trivial column thresholds."""
+    Critical plan shape, in two halves:
+
+    * Here: an EnumComparer level that called e.g. ``jw(df) >= 0.93``
+      per level would build the similarity expression per THRESHOLD —
+      repeated pandas-UDF calls each get their own ArrowEvalPython
+      round-trip.  Deriving the features first means exactly one Arrow
+      pass and the comparer levels become column thresholds.
+    * In EnumComparer.label_column: a separate projection is NOT a
+      codegen barrier — whole-stage codegen defers a projected
+      expression to its first use, and a use inside a CASE-chain branch
+      is CONDITIONAL, so subexpression elimination can't hoist it and
+      each extra threshold re-evaluates the full feature expression
+      (measured 2.8× on this stage).  label_column therefore emits
+      ``least(when...)`` — unconditional evaluation, CSE applies, each
+      feature is computed once per row with no materialization barrier
+      needed."""
     return pairs.select(
         ID_L,
         ID_R,

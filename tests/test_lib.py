@@ -283,3 +283,86 @@ def test_id_linker(spark):
     lk = IDLinker("ssn", task="dedupe")(recs)
     got = {(r["record_id_l"], r["record_id_r"]) for r in lk.links.collect()}
     assert got == {(1, 2)}
+
+
+def test_id_linker_indefinite_three_way_split(spark):
+    """The three pair classes partition all pairs: matches ∪ nonmatches
+    ∪ indefinite, per policy (mismo/linker/_id_linker.py:116-118 — NIE
+    there; implemented here)."""
+    recs = spark.createDataFrame(
+        [(1, "ssn1"), (2, "ssn1"), (3, "ssn2"), (4, None)],
+        "record_id long, ssn string",
+    )
+
+    def pairs_of(linkage):
+        return {(r["record_id_l"], r["record_id_r"]) for r in linkage.links.collect()}
+
+    # unequal ids indefinite, nulls nonmatch
+    lk = IDLinker("ssn", when_not_equal="indefinite", task="dedupe")
+    assert pairs_of(lk(recs)) == {(1, 2)}
+    assert pairs_of(lk.indefinite_linkage(recs)) == {(1, 3), (2, 3)}
+
+    # nulls indefinite, unequal nonmatch
+    lk = IDLinker("ssn", when_null="indefinite", task="dedupe")
+    assert pairs_of(lk.indefinite_linkage(recs)) == {(1, 4), (2, 4), (3, 4)}
+
+    # both indefinite: every non-match pair is indefinite
+    lk = IDLinker("ssn", when_null="indefinite", when_not_equal="indefinite", task="dedupe")
+    assert pairs_of(lk.indefinite_linkage(recs)) == {
+        (1, 3), (2, 3), (1, 4), (2, 4), (3, 4),
+    }
+
+    # both nonmatch: nothing is indefinite (typed empty links)
+    lk = IDLinker("ssn", task="dedupe")
+    empty = lk.indefinite_linkage(recs)
+    assert empty.links.count() == 0
+    assert set(empty.links.columns) == {"record_id_l", "record_id_r"}
+
+    # condition form (the scale path) agrees with the materialized form
+    lk = IDLinker("ssn", when_not_equal="indefinite", task="dedupe")
+    from pyspark.sql import functions as F
+
+    cand = (
+        recs.select(F.col("record_id").alias("record_id_l"), F.col("ssn").alias("ssn_l"))
+        .crossJoin(
+            recs.select(F.col("record_id").alias("record_id_r"), F.col("ssn").alias("ssn_r"))
+        )
+        .filter(F.col("record_id_l") < F.col("record_id_r"))
+    )
+    cond = lk.indefinite_condition(F.col("ssn_l"), F.col("ssn_r"))
+    got = {
+        (r["record_id_l"], r["record_id_r"])
+        for r in cand.filter(cond).select("record_id_l", "record_id_r").collect()
+    }
+    assert got == {(1, 3), (2, 3)}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        IDLinker("ssn", when_null="maybe")
+
+
+def test_bundled_nickname_table(spark):
+    """The bundled CSV (lib/data/nicknames.csv) is the default source:
+    several hundred pairs, normalized-uppercase, loadable through
+    nickname_pairs, and NameComparer-visible (e.g. PEGGY~MARGARET)."""
+    from mismo_spark.lib.name import load_nickname_pairs, nickname_pairs
+
+    pairs = load_nickname_pairs(None)
+    assert len(pairs) >= 300
+    assert ("MARGARET", "PEGGY") in pairs
+    assert ("EDWARD", "TED") in pairs
+    df = spark.createDataFrame(
+        [("Peggy", "Margaret"), ("Ted", "Edward"), ("Ted", "Margaret")],
+        "a string, b string",
+    )
+    out = {
+        (r["a"], r["b"]): r["is_nickname_match"]
+        for r in with_nickname_match(df, "a", "b").collect()
+    }
+    assert out == {
+        ("Peggy", "Margaret"): True,
+        ("Ted", "Edward"): True,
+        ("Ted", "Margaret"): False,
+    }
+    assert nickname_pairs(spark).count() == len(pairs)
