@@ -37,6 +37,59 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
+def _micro(col, name: str):
+    """Quantize a double to integer micro-units (half-up) for the
+    driver's raw value-hash compare.  ``F.round(x, 6)`` is NOT safe for
+    that hash: Spark rounds the decimal string (Java BigDecimal
+    HALF_UP) while DuckDB rounds the binary double, and the two can
+    disagree exactly at a 6-dp boundary (the round-3 ``pr_curve`` red
+    row).  ``floor(x*1e6 + 0.5)`` is a single IEEE-identical expression
+    on both engines — divergence now needs the *unquantized* inputs to
+    straddle a floor boundary (~1e-10 per value) instead of any
+    decimal-halfway case.  NaN/±inf are mapped to sentinels so DuckDB's
+    BIGINT cast cannot error where Spark's saturates."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (
+        F.when(c.isNull(), F.lit(None).cast("long"))
+        .when(F.isnan(c), F.lit(-1000000001))
+        .when(c >= F.lit(1e12), F.lit(1000000002))
+        .when(c <= F.lit(-1e12), F.lit(-1000000002))
+        .otherwise(F.floor(c * F.lit(1000000.0) + F.lit(0.5)))
+        .cast("long")
+        .alias(name)
+    )
+
+
+def _micro_sql(expr: str) -> str:
+    """DuckDB-side mirror of :func:`_micro` (same CASE arms, same
+    floor/cast sequence — see the Spark docstring for why)."""
+    return (
+        f"CASE WHEN ({expr}) IS NULL THEN NULL "
+        f"WHEN isnan({expr}) THEN -1000000001 "
+        f"WHEN ({expr}) >= 1e12 THEN 1000000002 "
+        f"WHEN ({expr}) <= -1e12 THEN -1000000002 "
+        f"ELSE CAST(floor(({expr}) * 1000000 + 0.5) AS BIGINT) END"
+    )
+
+
+def _micro_wrap(df: DataFrame, keep: list[str], micro: list[str]) -> DataFrame:
+    """Project ``keep`` unchanged and each ``micro`` double column as
+    ``<name>_micro`` via :func:`_micro`."""
+    return df.select(*keep, *[_micro(c, f"{c}_micro") for c in micro])
+
+
+def _micro_wrap_sql(sql: str, keep: list[str], micro: list[str]) -> str:
+    """Oracle-side mirror of :func:`_micro_wrap`: wrap the original
+    oracle in a subselect that micro-quantizes the named columns.
+    Identifiers are double-quoted so names like ``min``/``max`` stay
+    column references."""
+    cols = ", ".join(
+        [f'"{c}"' for c in keep]
+        + [f'{_micro_sql(chr(34) + c + chr(34))} AS {c}_micro' for c in micro]
+    )
+    return f"SELECT {cols} FROM ({sql})"
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: near-dup clustering of the documents table at sf0.001."""
     from mismo_spark.cluster.cc import connected_components
@@ -1166,7 +1219,7 @@ def q_missed_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "record_id_l",
         "record_id_r",
-        F.round("odds", 6).alias("odds"),
+        _micro("odds", "odds_micro"),
         "component_l",
         "component_r",
     )
@@ -1191,7 +1244,7 @@ def q_monge_elkan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         "record_id_l",
         "record_id_r",
-        F.round(monge_elkan(F.col("toks_l"), F.col("toks_r")), 6).alias("me_sim"),
+        _micro(monge_elkan(F.col("toks_l"), F.col("toks_r")), "me_sim_micro"),
     )
 
 
@@ -1214,7 +1267,7 @@ def q_soft_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "record_id_l",
         "record_id_r",
-        F.round("soft_tfidf", 6).alias("soft_tfidf"),
+        _micro("soft_tfidf", "soft_tfidf_micro"),
     )
 
 
@@ -1262,12 +1315,14 @@ def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         "record_id_l",
         "record_id_r",
-        F.round(containment(F.col("tokens_l"), F.col("tokens_r")), 6).alias(
-            "containment_lr"
+        _micro(
+            containment(F.col("tokens_l"), F.col("tokens_r")),
+            "containment_lr_micro",
         ),
-        F.round(
-            overlap_coefficient(F.col("tokens_l"), F.col("tokens_r")), 6
-        ).alias("overlap_coef"),
+        _micro(
+            overlap_coefficient(F.col("tokens_l"), F.col("tokens_r")),
+            "overlap_coef_micro",
+        ),
     )
 
 
@@ -1360,10 +1415,19 @@ def q_cluster_thresholds(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = _fs_weights_len().score_compared(
         compare(pairs, _len_comparers())
     )
-    return components_at_thresholds(
+    out = components_at_thresholds(
         scored.select("record_id_l", "record_id_r", "odds"),
         [50.0, 1.0],
         docs.select("record_id"),
+    )
+    # integer micro-units: DuckDB's `SELECT 50.0` is DECIMAL(3,1), not
+    # DOUBLE — exact-literal multiply keeps the driver hash type-stable
+    return out.select(
+        (F.col("threshold") * F.lit(1000000.0)).cast("long").alias(
+            "threshold_micro"
+        ),
+        "record_id",
+        "component",
     )
 
 
@@ -1408,7 +1472,12 @@ def q_line_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.col("text"), F.lit("\n" + _DE_LINE)),
         ).otherwise(F.col("text")),
     )
-    return line_lang_fractions(docs2, id_col="doc_id", min_fraction=0.2)
+    out = line_lang_fractions(docs2, id_col="doc_id", min_fraction=0.2)
+    return _micro_wrap(
+        out,
+        ["doc_id", "n_lines", "dominant_lang", "is_multilingual"],
+        ["frac_en", "frac_es", "frac_de", "frac_fr", "frac_und"],
+    )
 
 
 def _line_langs_oracle_sql() -> str:
@@ -1720,11 +1789,8 @@ def q_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir)
     out = unigram_perplexity(docs, id_col="doc_id")
-    return out.select(
-        "doc_id",
-        "n_tokens",
-        F.round("cross_entropy", 6).alias("cross_entropy"),
-        F.round("perplexity", 6).alias("perplexity"),
+    return _micro_wrap(
+        out, ["doc_id", "n_tokens"], ["cross_entropy", "perplexity"]
     )
 
 
@@ -1809,11 +1875,8 @@ def q_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir)
     out = bigram_perplexity(docs, id_col="doc_id")
-    return out.select(
-        "doc_id",
-        "n_tokens",
-        F.round("cross_entropy", 6).alias("cross_entropy"),
-        F.round("perplexity", 6).alias("perplexity"),
+    return _micro_wrap(
+        out, ["doc_id", "n_tokens"], ["cross_entropy", "perplexity"]
     )
 
 
@@ -1909,7 +1972,8 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mismo_spark.profile import histogram
 
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    return histogram(li, "l_extendedprice", bins=20, lo=0.0, hi=100_000.0)
+    out = histogram(li, "l_extendedprice", bins=20, lo=0.0, hi=100_000.0)
+    return _micro_wrap(out, ["bin", "n"], ["lo", "hi"])
 
 
 def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1933,7 +1997,9 @@ def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = quantize_embeddings(emb)
     return out.select(
         "vec_id",
-        F.round("scale", 9).alias("scale"),
+        F.floor(F.col("scale") * F.lit(1e9) + F.lit(0.5))
+        .cast("long")
+        .alias("scale_nano"),
         F.array_join(F.col("q"), ",").alias("q"),
     )
 
@@ -1955,7 +2021,7 @@ def q_best_match_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = weights.score_compared(compare(pairs, comparers))
     best = Linkage(docs, docs, scored).best_match_per_right("odds")
     return best.links.select(
-        "record_id_l", "record_id_r", F.round("odds", 6).alias("odds")
+        "record_id_l", "record_id_r", _micro("odds", "odds_micro")
     )
 
 
@@ -1995,11 +2061,10 @@ def q_profile_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     out = profile_numeric(li, ["l_quantity", "l_extendedprice", "l_discount"])
-    return out.select(
-        "column", "n", "n_null", "n_distinct",
-        F.round("min", 6).alias("min"), F.round("max", 6).alias("max"),
-        F.round("mean", 6).alias("mean"), F.round("p50", 6).alias("p50"),
-        F.round("p95", 6).alias("p95"),
+    return _micro_wrap(
+        out,
+        ["column", "n", "n_null", "n_distinct"],
+        ["min", "max", "mean", "p50", "p95"],
     )
 
 
@@ -2064,7 +2129,10 @@ def q_line_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle-free array algebra per document."""
     from mismo_spark.textqa.repetition import line_repetition_signals
 
-    return line_repetition_signals(_docs(spark, sf_dir), id_col="doc_id")
+    out = line_repetition_signals(_docs(spark, sf_dir), id_col="doc_id")
+    return _micro_wrap(
+        out, ["doc_id"], ["dup_line_frac", "dup_line_char_frac"]
+    )
 
 
 def q_paragraph_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2073,8 +2141,18 @@ def q_paragraph_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     paragraphs=True — the \\n\\n-delimited variants)."""
     from mismo_spark.textqa.repetition import line_repetition_signals
 
-    return line_repetition_signals(
+    out = line_repetition_signals(
         _docs(spark, sf_dir), id_col="doc_id", paragraphs=True
+    )
+    return _micro_wrap(
+        out,
+        ["doc_id"],
+        [
+            "dup_line_frac",
+            "dup_line_char_frac",
+            "dup_paragraph_frac",
+            "dup_paragraph_char_frac",
+        ],
     )
 
 
@@ -2084,7 +2162,10 @@ def q_ngram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles only."""
     from mismo_spark.textqa.repetition import ngram_repetition_signals
 
-    return ngram_repetition_signals(_docs(spark, sf_dir), n=2, id_col="doc_id")
+    out = ngram_repetition_signals(_docs(spark, sf_dir), n=2, id_col="doc_id")
+    return _micro_wrap(
+        out, ["doc_id"], ["top_ngram_char_frac", "dup_ngram_char_frac"]
+    )
 
 
 def q_email_match_level(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2179,9 +2260,10 @@ def q_haversine(spark: SparkSession, sf_dir: str) -> DataFrame:
     lon = ((F.col("c_custkey") * 7) % 360).cast("double") - 180.0 + 0.5
     return cust.select(
         "c_custkey",
-        F.round(
-            distance_km(lat1=lat, lon1=lon, lat2=F.lit(40.7), lon2=F.lit(-74.0)), 4
-        ).alias("dist_km"),
+        _micro(
+            distance_km(lat1=lat, lon1=lon, lat2=F.lit(40.7), lon2=F.lit(-74.0)),
+            "dist_km_micro",
+        ),
     )
 
 
@@ -2217,7 +2299,7 @@ def q_tf_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "c_custkey",
         "c_mktsegment",
-        F.round("c_mktsegment_frequency", 6).alias("freq"),
+        _micro("c_mktsegment_frequency", "freq_micro"),
     )
 
 
@@ -2231,15 +2313,23 @@ def q_updates_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_totalprice"
     )
     k = F.col("o_orderkey")
+    # +1.0 is binary-exact, so the mutated price is bit-identical on
+    # both engines (a round(x, 2) here would reintroduce the HALF_UP
+    # divergence the _micro quantization exists to avoid)
     after = orders.filter(k % 11 != 0).withColumn(
         "o_totalprice",
-        F.when(k % 10 == 0, F.round(F.col("o_totalprice") + 1.0, 2)).otherwise(
+        F.when(k % 10 == 0, F.col("o_totalprice") + F.lit(1.0)).otherwise(
             F.col("o_totalprice")
         ),
     )
     u = Updates.from_tables(orders, after, join_on="o_orderkey")
     res = u.apply_to(orders)
-    return res.select("o_orderkey", F.round("o_totalprice", 2).alias("price"))
+    return res.select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("long")
+        .alias("price_centi"),
+    )
 
 
 def q_emails_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2369,7 +2459,7 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") + 100000).alias("vec_id"), pert.alias("embedding")
     )
     allv = base.unionByName(dups)
-    return embedding_near_duplicates(
+    out = embedding_near_duplicates(
         allv,
         min_cosine=0.95,
         dim=64,
@@ -2377,6 +2467,11 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         band_bits=8,
         seed=42,
     )
+    # numpy einsum (Spark) and list_dot_product (DuckDB) sum in
+    # different orders → last-ULP cosine differences; quantize for the
+    # driver's raw value-hash (the 0.95 gate is far from every value:
+    # planted ≈0.9988, background ≤0.51, so the ROW SET is stable)
+    return out.select("id_l", "id_r", _micro("cosine", "cosine_micro"))
 
 
 def q_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2402,8 +2497,15 @@ def q_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
     dup_rel = emb.filter(F.col("vec_id") % 5 == 0).select(
         F.col("vec_id").alias("id_l"), (F.col("vec_id") + 100000).alias("id_r")
     )
-    return contrastive_triplets(
+    out = contrastive_triplets(
         allv, dup_rel, dim=64, n_bands=8, band_bits=8, seed=42
+    )
+    return out.select(
+        "anchor_id",
+        "positive_id",
+        _micro("pos_cosine", "pos_cosine_micro"),
+        "negative_id",
+        _micro("neg_cosine", "neg_cosine_micro"),
     )
 
 
@@ -2465,7 +2567,9 @@ def _embedding_near_dup_oracle_sql(
           JOIN allv a ON a.id = cand.id_l
           JOIN allv c ON c.id = cand.id_r
         )
-        SELECT id_l, id_r, cosine FROM scored WHERE cosine >= 0.95
+        SELECT id_l, id_r,
+               CAST(floor(cosine * 1000000 + 0.5) AS BIGINT) AS cosine_micro
+        FROM scored WHERE cosine >= 0.95
     """
 
 
@@ -2493,7 +2597,7 @@ def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus, queries, k=5, dim=64, n_bands=16, band_bits=8, seed=42
     )
     return out.select(
-        "query_id", "neighbour_id", F.round("cosine", 6).alias("cosine")
+        "query_id", "neighbour_id", _micro("cosine", "cosine_micro")
     )
 
 
@@ -2630,8 +2734,12 @@ def _contrastive_oracle_sql(
                 ) AS rn FROM neg_scored)
           WHERE rn = 1
         )
-        SELECT anchor_id, positive_id, round(pos_cosine, 9) AS pos_cosine,
-               negative_id, round(neg_cosine, 9) AS neg_cosine
+        SELECT anchor_id, positive_id,
+               CAST(floor(pos_cosine * 1000000 + 0.5) AS BIGINT)
+                 AS pos_cosine_micro,
+               negative_id,
+               CAST(floor(neg_cosine * 1000000 + 0.5) AS BIGINT)
+                 AS neg_cosine_micro
         FROM pos JOIN neg USING (anchor_id)
     """
 
@@ -2674,7 +2782,8 @@ def _lsh_topk_oracle_sql(
           ) AS rn
           FROM scored
         )
-        SELECT query_id, neighbour_id, round(cosine, 6) AS cosine
+        SELECT query_id, neighbour_id,
+               CAST(floor(cosine * 1000000 + 0.5) AS BIGINT) AS cosine_micro
         FROM ranked WHERE rn <= 5
     """
 
@@ -2706,7 +2815,7 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "vec_id",
         "cell",
-        F.round("cent_cos", 6).alias("cent_cos"),
+        _micro("cent_cos", "cent_cos_micro"),
         "component",
         "keep",
     )
@@ -2768,7 +2877,8 @@ _SEMDEDUP_ORACLE_SQL = """
              ) AS rn
       FROM assign a JOIN comp ON comp.id = a.id
     )
-    SELECT id AS vec_id, cell::INT AS cell, round(cent_cos, 6) AS cent_cos,
+    SELECT id AS vec_id, cell::INT AS cell,
+           CAST(floor(cent_cos * 1000000 + 0.5) AS BIGINT) AS cent_cos_micro,
            component, (rn = 1) AS keep
     FROM ranked
 """
@@ -2797,8 +2907,8 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id",
         "n_grams",
-        F.round("log_weight", 6).alias("log_weight"),
-        F.round("key", 6).alias("key"),
+        _micro("log_weight", "log_weight_micro"),
+        _micro("key", "key_micro"),
     )
 
 
@@ -2851,8 +2961,9 @@ _DSIR_ORACLE_SQL = r"""
              )) AS key
       FROM documents d LEFT JOIN per_doc p USING (doc_id)
     )
-    SELECT doc_id, n_grams::BIGINT AS n_grams, round(lw, 6) AS log_weight,
-           round(key, 6) AS key
+    SELECT doc_id, n_grams::BIGINT AS n_grams,
+           CAST(floor(lw * 1000000 + 0.5) AS BIGINT) AS log_weight_micro,
+           CAST(floor(key * 1000000 + 0.5) AS BIGINT) AS key_micro
     FROM keyed ORDER BY key DESC, doc_id LIMIT 50
 """
 
@@ -2884,7 +2995,7 @@ def q_crawl_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "domain",
         "n_pages",
         F.col("approx_distinct_texts").alias("distinct_texts"),
-        "dup_rate",
+        _micro("dup_rate", "dup_rate_micro"),
     )
 
 
@@ -2966,9 +3077,12 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mismo_spark.dedupe import ngram_jaccard_pairs
 
     docs = _docs(spark, sf_dir)
-    return ngram_jaccard_pairs(
+    out = ngram_jaccard_pairs(
         docs, "text", n=3, blocking_key="source", min_jaccard=0.35
-    ).withColumn("jaccard_sim", F.round("jaccard_sim", 6))
+    )
+    return _micro_wrap(
+        out, [c for c in out.columns if c != "jaccard_sim"], ["jaccard_sim"]
+    )
 
 
 def q_re_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3031,7 +3145,12 @@ def q_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir)
     bench = docs.filter(F.col("doc_id") % 97 == 0).select("text")
-    return ngram_contamination(docs, bench, n=3, id_col="record_id")
+    out = ngram_contamination(docs, bench, n=3, id_col="record_id")
+    return _micro_wrap(
+        out,
+        ["record_id", "n_ngrams", "n_contaminated"],
+        ["contamination_frac"],
+    )
 
 
 def q_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3040,8 +3159,11 @@ def q_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate, all on 8-byte n-gram hashes)."""
     from mismo_spark.textqa.contamination import duplicated_ngram_fraction
 
-    return duplicated_ngram_fraction(
+    out = duplicated_ngram_fraction(
         _docs(spark, sf_dir), n=3, min_df=2, id_col="record_id"
+    )
+    return _micro_wrap(
+        out, ["record_id", "n_ngrams", "n_duplicated"], ["duplicated_frac"]
     )
 
 
@@ -3052,11 +3174,17 @@ def q_multi_ngram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     ONE generate + ONE (id, n, gram) groupBy — not |ns| corpus passes."""
     from mismo_spark.textqa.repetition import multi_ngram_repetition_signals
 
-    return multi_ngram_repetition_signals(
+    out = multi_ngram_repetition_signals(
         spark.read.parquet(f"{sf_dir}/documents.parquet"),
         top_ns=(2, 3, 4),
         dup_ns=(5, 6, 7, 8, 9, 10),
         id_col="doc_id",
+    )
+    return _micro_wrap(
+        out,
+        ["doc_id"],
+        [f"top_{n}gram_char_frac" for n in (2, 3, 4)]
+        + [f"dup_{n}gram_char_frac" for n in (5, 6, 7, 8, 9, 10)],
     )
 
 
@@ -3100,12 +3228,12 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mass-conserving PageRank (mismo_spark/graph.py) over the
     deterministic citation graph: 6 iterations, damping 0.85, dangling
     mass redistributed in-plan (no driver collect per round).  Ranks
-    rounded to 6 dp on BOTH sides for the value-hash compare."""
+    quantized to integer micro-units on BOTH sides (see _micro)."""
     from mismo_spark.graph import pagerank
 
     edges, _ = _citation_edges(spark, sf_dir)
     ranks = pagerank(edges, n_iter=6, damping=0.85)
-    return ranks.select("node", F.round("rank", 6).alias("rank"))
+    return ranks.select("node", _micro("rank", "rank_micro"))
 
 
 def q_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3127,7 +3255,7 @@ def q_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     ranks = pagerank(edges, n_iter=6, damping=0.85, teleport=seeds)
-    return ranks.select("node", F.round("rank", 6).alias("rank"))
+    return ranks.select("node", _micro("rank", "rank_micro"))
 
 
 def q_host_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3158,22 +3286,23 @@ def q_host_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         dst_column="dst_host",
         weight_column="weight",
     )
-    return ranks.select("node", F.round("rank", 6).alias("rank"))
+    return ranks.select("node", _micro("rank", "rank_micro"))
 
 
 def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HITS hubs & authorities (mismo_spark/graph.py, Kleinberg 1999)
     over the citation graph: 6 rounds of L1-normalized
     authority←Σhub / hub←Σauthority sweeps, normalizers broadcast
-    in-plan.  Scores rounded to 6 dp on both sides."""
+    in-plan.  Scores quantized to integer micro-units on both sides
+    (see _micro)."""
     from mismo_spark.graph import hits
 
     edges, _ = _citation_edges(spark, sf_dir)
     out = hits(edges, n_iter=6)
     return out.select(
         "node",
-        F.round("hub", 6).alias("hub"),
-        F.round("authority", 6).alias("authority"),
+        _micro("hub", "hub_micro"),
+        _micro("authority", "authority_micro"),
     )
 
 
@@ -3189,7 +3318,9 @@ def q_link_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "node",
         "n_out",
         "n_reciprocal",
-        F.round("reciprocity", 6).alias("reciprocity"),
+        F.expr("div(1000000 * n_reciprocal, n_out)")
+        .cast("long")
+        .alias("reciprocity_micro"),
     )
 
 
@@ -3831,7 +3962,7 @@ def oracle_sql() -> dict[str, str]:
         FROM documents a JOIN documents b
           ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
     """
-    return {
+    sql = {
         "key_counts": """
             SELECT lang, source, count(*)::BIGINT AS n
             FROM documents
@@ -4426,7 +4557,7 @@ def oracle_sql() -> dict[str, str]:
               FROM pairs
             )
             SELECT s.record_id_l, s.record_id_r,
-                   round(s.odds, 6) AS odds,
+                   CAST(floor(s.odds * 1000000 + 0.5) AS BIGINT) AS odds_micro,
                    a1.component AS component_l, a2.component AS component_r
             FROM scored s
             JOIN assign a1 ON s.record_id_l = a1.record_id
@@ -4449,7 +4580,7 @@ def oracle_sql() -> dict[str, str]:
                AND a.doc_id < b.doc_id
             )
             SELECT record_id_l, record_id_r,
-                   round(
+                   CAST(floor(
                      list_sum(list_transform(tl, x ->
                        list_max(list_transform(tr, y ->
                          CASE WHEN greatest(length(x), length(y)) = 0
@@ -4457,7 +4588,7 @@ def oracle_sql() -> dict[str, str]:
                               ELSE 1.0 - levenshtein(x, y)::DOUBLE
                                    / greatest(length(x), length(y))
                          END))))
-                     / len(tl), 6) AS me_sim
+                     / len(tl) * 1000000 + 0.5) AS BIGINT) AS me_sim_micro
             FROM pairs
         """,
         "soft_tfidf": r"""
@@ -4514,7 +4645,8 @@ def oracle_sql() -> dict[str, str]:
             ),
             sums AS (SELECT l, r, sum(c) AS s FROM best GROUP BY 1, 2)
             SELECT p.l AS record_id_l, p.r AS record_id_r,
-                   round(coalesce(s.s, 0.0), 6) AS soft_tfidf
+                   CAST(floor(coalesce(s.s, 0.0) * 1000000 + 0.5) AS BIGINT)
+                     AS soft_tfidf_micro
             FROM pairs p LEFT JOIN sums s ON p.l = s.l AND p.r = s.r
         """,
         "golden_record": """
@@ -4572,13 +4704,15 @@ def oracle_sql() -> dict[str, str]:
                AND a.doc_id < b.doc_id
             )
             SELECT record_id_l, record_id_r,
-                   CASE WHEN len(tl) = 0 THEN 0.0
-                        ELSE round(len(list_intersect(tl, tr))::DOUBLE
-                                   / len(tl), 6) END AS containment_lr,
-                   CASE WHEN least(len(tl), len(tr)) = 0 THEN 0.0
-                        ELSE round(len(list_intersect(tl, tr))::DOUBLE
-                                   / least(len(tl), len(tr)), 6)
-                   END AS overlap_coef
+                   CASE WHEN len(tl) = 0 THEN 0
+                        ELSE CAST(floor(len(list_intersect(tl, tr))::DOUBLE
+                                   / len(tl) * 1000000 + 0.5) AS BIGINT)
+                   END AS containment_lr_micro,
+                   CASE WHEN least(len(tl), len(tr)) = 0 THEN 0
+                        ELSE CAST(floor(len(list_intersect(tl, tr))::DOUBLE
+                                   / least(len(tl), len(tr)) * 1000000 + 0.5)
+                                  AS BIGINT)
+                   END AS overlap_coef_micro
             FROM pairs
         """,
         "bloom_prefilter": """
@@ -4776,9 +4910,11 @@ def oracle_sql() -> dict[str, str]:
                 SELECT u, min(v) AS mn FROM r1 GROUP BY u
               ) m ON m.u = d.doc_id
             )
-            SELECT 50.0 AS threshold, record_id, component FROM a50
+            SELECT CAST(50000000 AS BIGINT) AS threshold_micro,
+                   record_id, component FROM a50
             UNION ALL
-            SELECT 1.0 AS threshold, record_id, component FROM a1
+            SELECT CAST(1000000 AS BIGINT) AS threshold_micro,
+                   record_id, component FROM a1
         """,
         "cluster_splits": """
             WITH RECURSIVE
@@ -4882,8 +5018,12 @@ def oracle_sql() -> dict[str, str]:
             FROM c WHERE tokens_before < 500
         """,
         "histogram": """
-            SELECT bin, 0.0 + bin * 5000.0 AS lo,
-                   0.0 + (bin + 1) * 5000.0 AS hi, count(*)::BIGINT AS n
+            SELECT bin,
+                   CAST(floor((0.0 + bin * 5000.0) * 1000000 + 0.5) AS BIGINT)
+                     AS lo_micro,
+                   CAST(floor((0.0 + (bin + 1) * 5000.0) * 1000000 + 0.5)
+                        AS BIGINT) AS hi_micro,
+                   count(*)::BIGINT AS n
             FROM (
               SELECT least(greatest(floor(
                        (CAST(l_extendedprice AS DOUBLE) - 0.0) / 5000.0
@@ -4950,7 +5090,8 @@ def oracle_sql() -> dict[str, str]:
               FROM embeddings
             )
             SELECT vec_id,
-              round(maxabs / 127.0, 9) AS scale,
+              CAST(floor((maxabs / 127.0) * 1e9 + 0.5) AS BIGINT)
+                AS scale_nano,
               CASE WHEN maxabs = 0
                    THEN array_to_string(list_transform(e, x -> 0), ',')
                    ELSE array_to_string(list_transform(e,
@@ -4978,7 +5119,9 @@ def oracle_sql() -> dict[str, str]:
               SELECT *, max(raw_odds) OVER (PARTITION BY record_id_r) AS mx
               FROM odds_t
             )
-            SELECT record_id_l, record_id_r, round(raw_odds, 6) AS odds
+            SELECT record_id_l, record_id_r,
+                   CAST(floor(raw_odds * 1000000 + 0.5) AS BIGINT)
+                     AS odds_micro
             FROM winmax WHERE raw_odds = mx
         """,
         "fs_score": f"""
@@ -5647,8 +5790,8 @@ def oracle_sql() -> dict[str, str]:
             top_ns=(2, 3, 4), dup_ns=(5, 6, 7, 8, 9, 10)
         ),
         # iterations unrolled as nested CTE levels (DuckDB forbids
-        # aggregates in a recursive CTE's recursive term); the Spark
-        # side rounds to the same 6 dp
+        # aggregates in a recursive CTE's recursive term); ranks are
+        # integer micro-units on both sides (floor(x*1e6+0.5))
         "pagerank": pagerank_oracle_sql(
             citation_edges, n_iter=6, damping=0.85, round_digits=6
         ),
@@ -5667,8 +5810,8 @@ def oracle_sql() -> dict[str, str]:
             c AS (SELECT src AS node, COUNT(*) AS n_reciprocal FROM r GROUP BY src)
             SELECT o.node, o.n_out::BIGINT AS n_out,
                    COALESCE(c.n_reciprocal, 0)::BIGINT AS n_reciprocal,
-                   ROUND(COALESCE(c.n_reciprocal, 0) / CAST(o.n_out AS DOUBLE), 6)
-                     AS reciprocity
+                   ((1000000 * COALESCE(c.n_reciprocal, 0)) // o.n_out)::BIGINT
+                     AS reciprocity_micro
             FROM o LEFT JOIN c ON o.node = c.node
         """,
         "host_rank": pagerank_oracle_sql(
@@ -5841,11 +5984,11 @@ def oracle_sql() -> dict[str, str]:
               FROM customer
             )
             SELECT c_custkey,
-                   round(2 * 6371.0 * asin(sqrt(
+                   CAST(floor(2 * 6371.0 * asin(sqrt(
                      pow(sin(radians(40.7 - lat) / 2), 2)
                      + cos(radians(lat)) * cos(radians(40.7))
                        * pow(sin(radians(-74.0 - lon) / 2), 2)
-                   )), 4) AS dist_km
+                   )) * 1000000 + 0.5) AS BIGINT) AS dist_km_micro
             FROM coords
         """,
         "diff_updates": """
@@ -5871,9 +6014,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "tf_frequency": """
             SELECT c_custkey, c_mktsegment,
-                   round(
+                   CAST(floor(
                      count(*) OVER (PARTITION BY c_mktsegment)::DOUBLE
-                     / (SELECT count(*) FROM customer), 6) AS freq
+                     / (SELECT count(*) FROM customer) * 1000000 + 0.5)
+                     AS BIGINT) AS freq_micro
             FROM customer
         """,
         # md5-family variants make the full LSH / simhash pipelines
@@ -5885,15 +6029,20 @@ def oracle_sql() -> dict[str, str]:
             WITH a AS (
               SELECT o_orderkey,
                      CASE WHEN o_orderkey % 10 = 0
-                          THEN round(o_totalprice + 1.0, 2)
+                          THEN o_totalprice + 1.0
                           ELSE o_totalprice END AS o_totalprice
               FROM orders WHERE o_orderkey % 11 <> 0
             )
-            SELECT b.o_orderkey, round(b.o_totalprice, 2) AS price
+            SELECT b.o_orderkey,
+                   CAST(floor(b.o_totalprice * 100 + 0.5) AS BIGINT)
+                     AS price_centi
             FROM orders b
             WHERE b.o_orderkey NOT IN (SELECT o_orderkey FROM a)
             UNION ALL
-            SELECT o_orderkey, round(o_totalprice, 2) AS price FROM a
+            SELECT o_orderkey,
+                   CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                     AS price_centi
+            FROM a
         """,
         "emails_dimension": _emails_dimension_oracle_sql(),
         "address_match_level": _address_level_oracle_sql(),
@@ -5912,8 +6061,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT day, domain,
                    count(*) AS n_pages,
                    count(DISTINCT text) AS distinct_texts,
-                   round(1 - count(DISTINCT text)::DOUBLE / count(*), 6)
-                     AS dup_rate
+                   CAST(floor(
+                     (1 - count(DISTINCT text)::DOUBLE / count(*))
+                     * 1000000 + 0.5) AS BIGINT) AS dup_rate_micro
             FROM p GROUP BY day, domain
         """,
         "unnest_linker": f"""
@@ -5970,7 +6120,9 @@ def oracle_sql() -> dict[str, str]:
                      END AS j
               FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
             )
-            SELECT record_id_l, record_id_r, round(j, 6) AS jaccard_sim
+            SELECT record_id_l, record_id_r,
+                   CAST(floor(j * 1000000 + 0.5) AS BIGINT)
+                     AS jaccard_sim_micro
             FROM pairs WHERE j >= 0.35
         """,
         "re_extract": """
@@ -6092,3 +6244,61 @@ def oracle_sql() -> dict[str, str]:
             n_bits=32, seed=42, n_blocks=4, max_hamming=3
         ),
     }
+    # micro-quantize the textqa fraction/perplexity oracles to mirror
+    # the _micro_wrap projection on the Spark side (see _micro for why
+    # round(x, 6) is unsafe under the driver's raw value-hash)
+    for name, keep, micro in _MICRO_WRAPPED:
+        sql[name] = _micro_wrap_sql(sql[name], keep, micro)
+    return sql
+
+
+_MICRO_WRAPPED = [
+    ("line_repetition", ["doc_id"], ["dup_line_frac", "dup_line_char_frac"]),
+    (
+        "paragraph_repetition",
+        ["doc_id"],
+        [
+            "dup_line_frac",
+            "dup_line_char_frac",
+            "dup_paragraph_frac",
+            "dup_paragraph_char_frac",
+        ],
+    ),
+    (
+        "ngram_repetition",
+        ["doc_id"],
+        ["top_ngram_char_frac", "dup_ngram_char_frac"],
+    ),
+    (
+        "multi_ngram_repetition",
+        ["doc_id"],
+        [f"top_{n}gram_char_frac" for n in (2, 3, 4)]
+        + [f"dup_{n}gram_char_frac" for n in (5, 6, 7, 8, 9, 10)],
+    ),
+    (
+        "ngram_contamination",
+        ["record_id", "n_ngrams", "n_contaminated"],
+        ["contamination_frac"],
+    ),
+    (
+        "dup_ngram_fraction",
+        ["record_id", "n_ngrams", "n_duplicated"],
+        ["duplicated_frac"],
+    ),
+    ("perplexity", ["doc_id", "n_tokens"], ["cross_entropy", "perplexity"]),
+    (
+        "bigram_perplexity",
+        ["doc_id", "n_tokens"],
+        ["cross_entropy", "perplexity"],
+    ),
+    (
+        "line_langs",
+        ["doc_id", "n_lines", "dominant_lang", "is_multilingual"],
+        ["frac_en", "frac_es", "frac_de", "frac_fr", "frac_und"],
+    ),
+    (
+        "profile_numeric",
+        ["column", "n", "n_null", "n_distinct"],
+        ["min", "max", "mean", "p50", "p95"],
+    ),
+]

@@ -539,7 +539,8 @@ def hits_oracle_sql(
 ) -> str:
     """ANSI-SQL replay of :func:`hits`, iterations unrolled as CTE
     levels (two per round).  ``edges_sql`` must yield (src, dst);
-    returns (node, hub, authority) rounded to ``round_digits``."""
+    returns (node, hub_micro, authority_micro) quantized to integer
+    micro-units (see pagerank_oracle_sql for why not round())."""
     # MATERIALIZED: every CTE here is referenced more than once per
     # level; without the hint DuckDB inlines them, and the unrolled
     # levels re-expand the edge scan exponentially (observed as
@@ -579,8 +580,9 @@ def hits_oracle_sql(
     parts_sql = ",\n".join(parts)
     return (
         f"{parts_sql}\n"
-        f"SELECT h.node, ROUND(h.s, {round_digits}) AS hub, "
-        f"ROUND(a.s, {round_digits}) AS authority "
+        f"SELECT h.node, "
+        f"CAST(floor(h.s * 1000000 + 0.5) AS BIGINT) AS hub_micro, "
+        f"CAST(floor(a.s * 1000000 + 0.5) AS BIGINT) AS authority_micro "
         f"FROM {prev_h} h JOIN {prev_a} a ON h.node = a.node"
     )
 
@@ -599,11 +601,15 @@ def pagerank_oracle_sql(
     recursive CTE's recursive term).  ``edges_sql`` must yield columns
     (src, dst) — plus ``weight`` when ``weighted=True``;
     ``teleport_sql``, if given, must yield (node, weight) and replays
-    the personalized / TrustRank variant.  Returns (node, rank) with
-    rank rounded to ``round_digits`` — pair it with the same rounding
-    on the Spark side for the value-hash comparison.  ``1 - damping``
-    is embedded as the Python-computed float64 repr so both engines
-    multiply by the identical constant."""
+    the personalized / TrustRank variant.  Returns (node, rank_micro)
+    with rank quantized to integer micro-units via
+    ``floor(rank*1e6 + 0.5)`` — an IEEE-identical expression on both
+    engines, unlike ``round(x, 6)`` whose halfway handling differs
+    (Spark = BigDecimal HALF_UP on the decimal string, DuckDB = binary
+    double) — pair it with the same quantization on the Spark side for
+    the value-hash comparison.  ``1 - damping`` is embedded as the
+    Python-computed float64 repr so both engines multiply by the
+    identical constant."""
     d = repr(damping)
     omd = repr(1.0 - damping)
     if weighted:
@@ -660,5 +666,6 @@ def pagerank_oracle_sql(
     parts_sql = ",\n".join(parts)
     return (
         f"{parts_sql}\n"
-        f"SELECT node, ROUND(rank, {round_digits}) AS rank FROM {prev}"
+        f"SELECT node, CAST(floor(rank * 1000000 + 0.5) AS BIGINT)"
+        f" AS rank_micro FROM {prev}"
     )
