@@ -2303,6 +2303,112 @@ def q_tf_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _py_micro(p: float) -> int:
+    """Python-side mirror of :func:`_micro` for driver-computed scalars
+    (CPython floats ARE IEEE doubles, so ``p * 1000000.0 + 0.5`` then
+    ``floor`` is the identical op sequence the oracle runs in SQL)."""
+    import math
+
+    return int(math.floor(p * 1000000.0 + 0.5))
+
+
+def q_level_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fs.train.level_proportions (mismo/fs/_train.py:17-41): add-1
+    smoothed agreement-level proportions over the (lang, source)
+    blocked pairs.  The K-float driver list is re-emitted as a
+    DataFrame in micro units (_py_micro = the oracle's exact IEEE op
+    sequence, so the driver hash is engine-stable)."""
+    from mismo_spark.compare.enum import compare
+    from mismo_spark.fs.train import level_proportions
+    from mismo_spark.linker.key import KeyLinker
+    from mismo_spark.types.linkage import Linkage
+
+    docs = _docs(spark, sf_dir)
+    lk = KeyLinker(["lang", "source"], task="dedupe")(docs)
+    pairs = Linkage(docs, docs, lk.links).links_with_both()
+    cmp_ = _len_comparers()[0]
+    compared = compare(pairs, [cmp_])
+    props = level_proportions(compared, cmp_)
+    rows = [(lev, _py_micro(p)) for lev, p in enumerate(props)]
+    return spark.createDataFrame(rows, "level long, prop_micro long")
+
+
+def q_train_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fs.train.train_using_labels (mismo/fs/_train.py:226-268): m from
+    the label_true equi-join (label = doc_id % 37), u from
+    sample_all_links' bounded pair sample.  The docs subset is capped
+    under 1000 rows per side so the sqrt(max_pairs) hash-sample keeps
+    EVERY id and both estimates replay exactly in SQL (no xxhash64
+    ordering reaches the result)."""
+    from mismo_spark.fs.train import train_using_labels
+
+    docs = (
+        _docs(spark, sf_dir)
+        .filter((F.col("doc_id") % 7 == 0) & (F.col("doc_id") < 6300))
+        .withColumn("label_true", F.col("doc_id") % 37)
+    )
+    comparers = _len_comparers()
+    w = train_using_labels(comparers, docs, docs, max_pairs=1_000_000)
+    rows = []
+    for c in comparers:
+        for lev in range(len(c.level_names)):
+            lw = w[c.name][lev]
+            rows.append((c.name, lev, _py_micro(lw.m), _py_micro(lw.u)))
+    return spark.createDataFrame(
+        rows, "comparer string, level long, m_micro long, u_micro long"
+    )
+
+
+def q_bcubed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cluster.metrics.bcubed_prf (Bagga & Baldwin 1998) of the
+    (lang, source) clustering against shared-50-char-fingerprint truth
+    — the one-joint-groupBy formulation (Σ o²/|c|, Σ o²/|t|), no
+    per-record work.  The one-row score is re-emitted in micro units
+    via _py_micro."""
+    from mismo_spark.cluster.cc import connected_components
+    from mismo_spark.cluster.metrics import bcubed_prf
+    from mismo_spark.linker.key import KeyLinker
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "label_true", F.coalesce(F.substring("text", 1, 50), F.lit(""))
+    )
+    assignments = connected_components(
+        KeyLinker(["lang", "source"], task="dedupe")(docs).links,
+        docs.select("record_id"),
+    )
+    a = assignments.join(docs.select("record_id", "label_true"), "record_id")
+    d = bcubed_prf(a)
+    rows = [
+        (
+            int(d["n"]),
+            _py_micro(d["precision"]),
+            _py_micro(d["recall"]),
+            _py_micro(d["f1"]),
+        )
+    ]
+    return spark.createDataFrame(
+        rows, "n long, precision_micro long, recall_micro long, f1_micro long"
+    )
+
+
+def q_full_linker(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FullLinker (mismo/linker/_basic.py:11-25): all n(n−1)/2 dedupe
+    pairs of a bounded subset (the contract: FullLinker is only for
+    inputs small enough to cross)."""
+    from mismo_spark.linker.basic import FullLinker
+
+    sub = _docs(spark, sf_dir).filter(F.col("doc_id") % 101 == 0)
+    return FullLinker(task="dedupe")(sub).links
+
+
+def q_empty_linker(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EmptyLinker (mismo/linker/_basic.py:28-40): zero pairs with the
+    correctly-typed links schema."""
+    from mismo_spark.linker.basic import EmptyLinker
+
+    return EmptyLinker(task="dedupe")(_docs(spark, sf_dir)).links
+
+
 def q_updates_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Updates.from_tables + apply_to roundtrip
     (mismo/types/_updates.py:192-375): rows only in `before` keep their
@@ -3481,6 +3587,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unnest_linker": q_unnest_linker,
         "join_linker": q_join_linker,
         "id_linker": q_id_linker,
+        "level_proportions": q_level_proportions,
+        "train_labels": q_train_labels,
+        "bcubed": q_bcubed,
+        "full_linker": q_full_linker,
+        "empty_linker": q_empty_linker,
         # -- 4. driver-green in CORRECTNESS_r03.json (unchanged code) ------
         "key_counts": q_key_counts,
         "pair_counts_dedupe": q_pair_counts_dedupe,
@@ -6243,6 +6354,105 @@ def oracle_sql() -> dict[str, str]:
         "simhash_pairs": _simhash_oracle_sql(
             n_bits=32, seed=42, n_blocks=4, max_hamming=3
         ),
+        "level_proportions": f"""
+            WITH pairs AS ({pair_block}),
+            lab AS (
+              SELECT CASE WHEN n_chars_l = n_chars_r THEN 0
+                          WHEN abs(n_chars_l - n_chars_r) <= 20 THEN 1
+                          ELSE 2 END AS level
+              FROM pairs
+            ),
+            cnt AS (SELECT level, count(*) AS n FROM lab GROUP BY level),
+            lev AS (SELECT unnest([0, 1, 2]) AS level),
+            c2 AS (
+              SELECT lev.level, coalesce(cnt.n, 1) AS n
+              FROM lev LEFT JOIN cnt USING (level)
+            ),
+            tot AS (SELECT sum(n) AS t FROM c2)
+            SELECT level::BIGINT AS level,
+                   CAST(floor(n::DOUBLE / t * 1000000 + 0.5) AS BIGINT)
+                     AS prop_micro
+            FROM c2, tot
+        """,
+        "train_labels": """
+            WITH s AS (
+              SELECT doc_id, n_chars, doc_id % 37 AS lt
+              FROM documents WHERE doc_id % 7 = 0 AND doc_id < 6300
+            ),
+            mlab AS (
+              SELECT CASE WHEN a.n_chars = b.n_chars THEN 0
+                          WHEN abs(a.n_chars - b.n_chars) <= 20 THEN 1
+                          ELSE 2 END AS level
+              FROM s a JOIN s b ON a.lt = b.lt AND a.doc_id < b.doc_id
+            ),
+            ulab AS (
+              SELECT CASE WHEN a.n_chars = b.n_chars THEN 0
+                          WHEN abs(a.n_chars - b.n_chars) <= 20 THEN 1
+                          ELSE 2 END AS level
+              FROM s a CROSS JOIN s b WHERE a.doc_id <> b.doc_id
+            ),
+            lev AS (SELECT unnest([0, 1, 2]) AS level),
+            mc AS (
+              SELECT lev.level, coalesce(c.n, 1) AS n
+              FROM lev LEFT JOIN (
+                SELECT level, count(*) AS n FROM mlab GROUP BY level
+              ) c USING (level)
+            ),
+            uc AS (
+              SELECT lev.level, coalesce(c.n, 1) AS n
+              FROM lev LEFT JOIN (
+                SELECT level, count(*) AS n FROM ulab GROUP BY level
+              ) c USING (level)
+            ),
+            mt AS (SELECT sum(n) AS t FROM mc),
+            ut AS (SELECT sum(n) AS t FROM uc)
+            SELECT 'len_cmp' AS comparer, mc.level::BIGINT AS level,
+                   CAST(floor(mc.n::DOUBLE / mt.t * 1000000 + 0.5) AS BIGINT)
+                     AS m_micro,
+                   CAST(floor(uc.n::DOUBLE / ut.t * 1000000 + 0.5) AS BIGINT)
+                     AS u_micro
+            FROM mc JOIN uc USING (level), mt, ut
+        """,
+        "bcubed": """
+            WITH a AS (
+              SELECT doc_id,
+                     min(doc_id) OVER (PARTITION BY lang, source)
+                       AS component,
+                     coalesce(substr(text, 1, 50), '') AS label_true
+              FROM documents
+            ),
+            cells AS (
+              SELECT component, label_true, count(*) AS o
+              FROM a GROUP BY component, label_true
+            ),
+            cs AS (SELECT component, count(*) AS nc FROM a GROUP BY component),
+            ts AS (
+              SELECT label_true, count(*) AS nt FROM a GROUP BY label_true
+            ),
+            agg AS (
+              SELECT sum(o * o / nc) AS p, sum(o * o / nt) AS r,
+                     sum(o) AS n
+              FROM cells JOIN cs USING (component) JOIN ts USING (label_true)
+            )
+            SELECT n::BIGINT AS n,
+                   CAST(floor(p / n * 1000000 + 0.5) AS BIGINT)
+                     AS precision_micro,
+                   CAST(floor(r / n * 1000000 + 0.5) AS BIGINT)
+                     AS recall_micro,
+                   CAST(floor(2 * (p / n) * (r / n) / ((p / n) + (r / n))
+                              * 1000000 + 0.5) AS BIGINT) AS f1_micro
+            FROM agg
+        """,
+        "full_linker": """
+            SELECT a.doc_id AS record_id_l, b.doc_id AS record_id_r
+            FROM documents a JOIN documents b
+              ON a.doc_id < b.doc_id
+            WHERE a.doc_id % 101 = 0 AND b.doc_id % 101 = 0
+        """,
+        "empty_linker": """
+            SELECT doc_id AS record_id_l, doc_id AS record_id_r
+            FROM documents WHERE FALSE
+        """,
     }
     # micro-quantize the textqa fraction/perplexity oracles to mirror
     # the _micro_wrap projection on the Spark side (see _micro for why
