@@ -2409,6 +2409,256 @@ def q_empty_linker(spark: SparkSession, sf_dir: str) -> DataFrame:
     return EmptyLinker(task="dedupe")(_docs(spark, sf_dir)).links
 
 
+def _em_comparers():
+    """_len_comparers plus a 2-level lang-equality comparer so the EM
+    joint histogram is a genuine 3×2 pattern table (joint ≠ product of
+    marginals — exercises the joint-histogram formulation, not just
+    per-dimension proportions)."""
+    from mismo_spark.compare.enum import EnumComparer
+
+    return _len_comparers() + [
+        EnumComparer(
+            "lang_cmp",
+            [("same", lambda df: df["lang_l"] == df["lang_r"])],
+        ),
+    ]
+
+
+def q_train_em(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fs.em.train_using_em (mismo/fs/_train_em.py:17-93): 5 fixed EM
+    iterations over the joint (len-level, lang-level) agreement-pattern
+    histogram of all ordered pairs of a bounded docs subset (doc_id
+    %7 == 0 → every id survives sample_all_links' sqrt(max_pairs)
+    hash-sample, so no xxhash64 ordering reaches the result).  The
+    oracle unrolls init + all 5 iterations as MATERIALIZED CTEs over
+    the same histogram — m/u per level value-checked end-to-end in
+    micro units (_py_micro = the identical IEEE op sequence)."""
+    from mismo_spark.fs.em import train_using_em
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") % 7 == 0)
+    comparers = _em_comparers()
+    w = train_using_em(comparers, docs, docs, max_pairs=1_000_000, seed=42)
+    rows = []
+    for c in comparers:
+        cw = w[c.name]
+        for lev in range(len(c.level_names)):
+            lw = cw[lev]
+            rows.append((c.name, lev, _py_micro(lw.m), _py_micro(lw.u)))
+    return spark.createDataFrame(
+        rows, "comparer string, level long, m_micro long, u_micro long"
+    )
+
+
+def _train_em_oracle_sql(*, iterations: int = 5, threshold: float = 10.0) -> str:
+    """DuckDB replay of q_train_em: the joint 3×2 pattern histogram,
+    then init + ``iterations`` EM rounds unrolled as MATERIALIZED CTEs
+    (DuckDB inlines multiply-referenced plain CTEs — the unrolled
+    iteration chain would re-expand the pair cross-join exponentially
+    otherwise).  All divisions are ``::DOUBLE`` two-operand ops in the
+    same order as the driver-side Python loop, so every m/u is
+    IEEE-identical before the final micro quantization."""
+    parts = [
+        """
+        WITH s AS MATERIALIZED (
+          SELECT doc_id, n_chars, lang FROM documents WHERE doc_id % 7 = 0
+        ),
+        pat AS MATERIALIZED (
+          SELECT CASE WHEN a.n_chars = b.n_chars THEN 0
+                      WHEN abs(a.n_chars - b.n_chars) <= 20 THEN 1
+                      ELSE 2 END AS l1,
+                 CASE WHEN a.lang = b.lang THEN 0 ELSE 1 END AS l2
+          FROM s a CROSS JOIN s b WHERE a.doc_id <> b.doc_id
+        ),
+        grid AS MATERIALIZED (
+          SELECT g1.l1, g2.l2
+          FROM (SELECT unnest([0, 1, 2]) AS l1) g1
+          CROSS JOIN (SELECT unnest([0, 1]) AS l2) g2
+        ),
+        joint AS MATERIALIZED (
+          SELECT grid.l1, grid.l2, coalesce(c.n, 0)::BIGINT AS n
+          FROM grid LEFT JOIN (
+            SELECT l1, l2, count(*) AS n FROM pat GROUP BY l1, l2
+          ) c USING (l1, l2)
+        ),
+        mar1_0 AS MATERIALIZED (SELECT l1 AS level, sum(n) AS raw FROM joint GROUP BY l1),
+        sm1_0 AS MATERIALIZED (
+          SELECT level, CASE WHEN raw = 0 THEN 1 ELSE raw END AS c FROM mar1_0
+        ),
+        w1_0 AS MATERIALIZED (
+          SELECT level, 1::DOUBLE / 3 AS m,
+                 c::DOUBLE / (SELECT sum(c) FROM sm1_0) AS u
+          FROM sm1_0
+        ),
+        mar2_0 AS MATERIALIZED (SELECT l2 AS level, sum(n) AS raw FROM joint GROUP BY l2),
+        sm2_0 AS MATERIALIZED (
+          SELECT level, CASE WHEN raw = 0 THEN 1 ELSE raw END AS c FROM mar2_0
+        ),
+        w2_0 AS MATERIALIZED (
+          SELECT level, 1::DOUBLE / 2 AS m,
+                 c::DOUBLE / (SELECT sum(c) FROM sm2_0) AS u
+          FROM sm2_0
+        )"""
+    ]
+    for k in range(1, iterations + 1):
+        p = k - 1
+        parts.append(
+            f""",
+        p{k} AS MATERIALIZED (
+          SELECT j.l1, j.l2, j.n,
+                 ((a.m / a.u) * (b.m / b.u) >= {threshold}) AS is_match
+          FROM joint j
+          JOIN w1_{p} a ON a.level = j.l1
+          JOIN w2_{p} b ON b.level = j.l2
+        ),
+        mar1_{k} AS MATERIALIZED (
+          SELECT l1 AS level,
+                 sum(CASE WHEN is_match THEN n ELSE 0 END) AS mraw,
+                 sum(CASE WHEN is_match THEN 0 ELSE n END) AS uraw
+          FROM p{k} GROUP BY l1
+        ),
+        sm1_{k} AS MATERIALIZED (
+          SELECT level,
+                 CASE WHEN mraw = 0 THEN 1 ELSE mraw END AS mc,
+                 CASE WHEN uraw = 0 THEN 1 ELSE uraw END AS uc
+          FROM mar1_{k}
+        ),
+        w1_{k} AS MATERIALIZED (
+          SELECT level, mc::DOUBLE / (SELECT sum(mc) FROM sm1_{k}) AS m,
+                 uc::DOUBLE / (SELECT sum(uc) FROM sm1_{k}) AS u
+          FROM sm1_{k}
+        ),
+        mar2_{k} AS MATERIALIZED (
+          SELECT l2 AS level,
+                 sum(CASE WHEN is_match THEN n ELSE 0 END) AS mraw,
+                 sum(CASE WHEN is_match THEN 0 ELSE n END) AS uraw
+          FROM p{k} GROUP BY l2
+        ),
+        sm2_{k} AS MATERIALIZED (
+          SELECT level,
+                 CASE WHEN mraw = 0 THEN 1 ELSE mraw END AS mc,
+                 CASE WHEN uraw = 0 THEN 1 ELSE uraw END AS uc
+          FROM mar2_{k}
+        ),
+        w2_{k} AS MATERIALIZED (
+          SELECT level, mc::DOUBLE / (SELECT sum(mc) FROM sm2_{k}) AS m,
+                 uc::DOUBLE / (SELECT sum(uc) FROM sm2_{k}) AS u
+          FROM sm2_{k}
+        )"""
+        )
+    n = iterations
+    parts.append(
+        f"""
+        SELECT 'len_cmp' AS comparer, level::BIGINT AS level,
+               CAST(floor(m * 1000000 + 0.5) AS BIGINT) AS m_micro,
+               CAST(floor(u * 1000000 + 0.5) AS BIGINT) AS u_micro
+        FROM w1_{n}
+        UNION ALL
+        SELECT 'lang_cmp' AS comparer, level::BIGINT AS level,
+               CAST(floor(m * 1000000 + 0.5) AS BIGINT) AS m_micro,
+               CAST(floor(u * 1000000 + 0.5) AS BIGINT) AS u_micro
+        FROM w2_{n}"""
+    )
+    return "".join(parts)
+
+
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k (mismo_spark/ann/ivf.py: ivf_assign +
+    ivf_topk) with the SQL-replayable seed-centroid source
+    (semdedup.seed_centroids — the 4 lowest-id vectors, zero Lloyd
+    iterations, so the oracle re-derives the centroids from the table):
+    assignment = argmax-cosine cell per corpus vector, queries (every
+    25th vector, perturbed as in q_lsh_topk) probe their n_probe=2
+    nearest cells, exact-cosine re-rank to top-5.  Cell assignment,
+    probe selection AND the re-rank are all value-checked; k-means
+    TRAINING (Lloyd iterations) stays pytest-gated
+    (tests/test_round5.py recall + partition-prune plan tests) as the
+    genuinely iterative part."""
+    from mismo_spark.ann.ivf import ivf_assign, ivf_topk
+    from mismo_spark.ann.semdedup import seed_centroids
+
+    emb = _emb(spark, sf_dir)
+    v = F.col("embedding").cast("array<double>")
+    corpus = emb.select("vec_id", v.alias("embedding"))
+    centroids = seed_centroids(corpus, 4)
+    indexed = ivf_assign(corpus, centroids)
+    pert = F.concat(
+        F.array(F.element_at(v, 1) + F.lit(0.05)), F.slice(v, 2, 63)
+    )
+    queries = emb.filter(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 200000).alias("vec_id"), pert.alias("embedding")
+    )
+    out = ivf_topk(indexed, queries, centroids, k=5, n_probe=2)
+    return out.select(
+        "query_id", "neighbour_id", _micro("cosine", "cosine_micro")
+    )
+
+
+_IVF_TOPK_ORACLE_SQL = """
+    WITH c AS (
+      SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    cents AS (
+      SELECT row_number() OVER (ORDER BY id) - 1 AS cell, v AS cv
+      FROM (SELECT * FROM c ORDER BY id LIMIT 4)
+    ),
+    q AS (
+      SELECT id + 200000 AS id, [v[1] + 0.05] || v[2:] AS v
+      FROM c WHERE id % 25 = 0
+    ),
+    csim AS (
+      SELECT c.id, cents.cell,
+             list_dot_product(c.v, cents.cv)
+               / (sqrt(list_dot_product(c.v, c.v))
+                  * sqrt(list_dot_product(cents.cv, cents.cv))) AS cc
+      FROM c CROSS JOIN cents
+    ),
+    assign AS (
+      SELECT id, cell FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY id ORDER BY cc DESC, cell ASC
+        ) AS rn FROM csim
+      ) WHERE rn = 1
+    ),
+    qsim AS (
+      SELECT q.id, cents.cell,
+             list_dot_product(q.v, cents.cv)
+               / (sqrt(list_dot_product(q.v, q.v))
+                  * sqrt(list_dot_product(cents.cv, cents.cv))) AS cc
+      FROM q CROSS JOIN cents
+    ),
+    probe AS (
+      SELECT id, cell FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY id ORDER BY cc DESC, cell ASC
+        ) AS rn FROM qsim
+      ) WHERE rn <= 2
+    ),
+    cand AS (
+      SELECT probe.id AS query_id, assign.id AS neighbour_id
+      FROM probe JOIN assign ON probe.cell = assign.cell
+      WHERE probe.id <> assign.id
+    ),
+    scored AS (
+      SELECT query_id, neighbour_id,
+             list_dot_product(qv.v, cv.v)
+               / (sqrt(list_dot_product(qv.v, qv.v))
+                  * sqrt(list_dot_product(cv.v, cv.v))) AS cosine
+      FROM cand
+      JOIN q qv ON qv.id = cand.query_id
+      JOIN c cv ON cv.id = cand.neighbour_id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbour_id ASC
+      ) AS rn
+      FROM scored
+    )
+    SELECT query_id, neighbour_id,
+           CAST(floor(cosine * 1000000 + 0.5) AS BIGINT) AS cosine_micro
+    FROM ranked WHERE rn <= 5
+"""
+
+
 def q_updates_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Updates.from_tables + apply_to roundtrip
     (mismo/types/_updates.py:192-375): rows only in `before` keep their
@@ -3592,6 +3842,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bcubed": q_bcubed,
         "full_linker": q_full_linker,
         "empty_linker": q_empty_linker,
+        "train_em": q_train_em,
+        "ivf_topk": q_ivf_topk,
         # -- 4. driver-green in CORRECTNESS_r03.json (unchanged code) ------
         "key_counts": q_key_counts,
         "pair_counts_dedupe": q_pair_counts_dedupe,
@@ -6453,6 +6705,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id AS record_id_l, doc_id AS record_id_r
             FROM documents WHERE FALSE
         """,
+        "train_em": _train_em_oracle_sql(),
+        "ivf_topk": _IVF_TOPK_ORACLE_SQL,
     }
     # micro-quantize the textqa fraction/perplexity oracles to mirror
     # the _micro_wrap projection on the Spark side (see _micro for why
