@@ -2659,6 +2659,106 @@ _IVF_TOPK_ORACLE_SQL = """
 """
 
 
+def q_pairwise_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering scorecard in one row: distributed pairwise
+    precision/recall/F1 (cluster/metrics.pairwise_prf — the north-rule
+    F1 ≥ 0.99 gate metric, computed from cluster sizes without
+    materializing pairs) plus adjusted Rand and Fowlkes-Mallows
+    (cluster/eval.py, sklearn-equivalent driver-side forms), of the
+    (lang, source) clustering against shared-50-char-fingerprint truth.
+    Every intermediate (comb2 sums over the contingency table) is an
+    exact integer in float64, so tp/pred/true hash as BIGINTs and the
+    ratios are IEEE-identical before micro quantization."""
+    from mismo_spark.cluster.cc import connected_components
+    from mismo_spark.cluster.eval import adjusted_rand_score, fowlkes_mallows
+    from mismo_spark.cluster.metrics import pairwise_prf
+    from mismo_spark.linker.key import KeyLinker
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "label_true", F.coalesce(F.substring("text", 1, 50), F.lit(""))
+    )
+    assignments = connected_components(
+        KeyLinker(["lang", "source"], task="dedupe")(docs).links,
+        docs.select("record_id"),
+    ).join(docs.select("record_id", "label_true"), "record_id")
+    d = pairwise_prf(assignments)
+    ari = adjusted_rand_score(assignments)
+    fm = fowlkes_mallows(assignments)
+    rows = [
+        (
+            int(d["tp"]),
+            int(d["pred_pairs"]),
+            int(d["true_pairs"]),
+            _py_micro(d["precision"]),
+            _py_micro(d["recall"]),
+            _py_micro(d["f1"]),
+            _py_micro(ari),
+            _py_micro(fm),
+        )
+    ]
+    return spark.createDataFrame(
+        rows,
+        "tp long, pred_pairs long, true_pairs long, precision_micro long,"
+        " recall_micro long, f1_micro long, ari_micro long, fm_micro long",
+    )
+
+
+_PAIRWISE_EVAL_ORACLE_SQL = """
+    WITH a AS (
+      SELECT doc_id,
+             min(doc_id) OVER (PARTITION BY lang, source) AS component,
+             coalesce(substr(text, 1, 50), '') AS label_true
+      FROM documents
+    ),
+    cells AS (
+      SELECT component, label_true, count(*) AS o
+      FROM a GROUP BY component, label_true
+    ),
+    cs AS (SELECT component, count(*) AS nc FROM a GROUP BY component),
+    ts AS (SELECT label_true, count(*) AS nt FROM a GROUP BY label_true),
+    agg AS (
+      SELECT (SELECT sum(o * (o - 1) / 2) FROM cells) AS tp,
+             (SELECT sum(nc * (nc - 1) / 2) FROM cs) AS pred,
+             (SELECT sum(nt * (nt - 1) / 2) FROM ts) AS trueb,
+             (SELECT count(*) FROM a) AS n
+    ),
+    m AS (
+      SELECT tp, pred, trueb, n,
+             CASE WHEN pred > 0 THEN tp / pred ELSE 1.0::DOUBLE END AS p,
+             CASE WHEN trueb > 0 THEN tp / trueb ELSE 1.0::DOUBLE END AS r,
+             -- ARI: contingency rows = true, cols = pred
+             n * (n - 1) / 2 AS total
+      FROM agg
+    ),
+    m2 AS (
+      SELECT *,
+             CASE WHEN (p + r) > 0 THEN 2 * p * r / (p + r)
+                  ELSE 0.0::DOUBLE END AS f1,
+             CASE WHEN total > 0 THEN trueb * pred / total
+                  ELSE 0.0::DOUBLE END AS expected,
+             (trueb + pred) / 2 AS max_index
+      FROM m
+    ),
+    m3 AS (
+      SELECT *,
+             CASE WHEN max_index = expected THEN 1.0::DOUBLE
+                  ELSE (tp - expected) / (max_index - expected) END AS ari,
+             CASE WHEN pred = 0 OR trueb = 0 THEN 0.0::DOUBLE
+                  ELSE tp / sqrt(pred * trueb) END AS fm
+      FROM m2
+    )
+    SELECT CAST(tp AS BIGINT) AS tp,
+           CAST(pred AS BIGINT) AS pred_pairs,
+           CAST(trueb AS BIGINT) AS true_pairs,
+           CAST(floor(p * 1000000 + 0.5) AS BIGINT) AS precision_micro,
+           CAST(floor(r * 1000000 + 0.5) AS BIGINT) AS recall_micro,
+           CAST(floor(f1 * 1000000 + 0.5) AS BIGINT) AS f1_micro,
+           CAST(floor(ari * 1000000 + 0.5) AS BIGINT) AS ari_micro,
+           CAST(floor(fm * 1000000 + 0.5) AS BIGINT) AS fm_micro
+    FROM m3
+"""
+
+
 def q_updates_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Updates.from_tables + apply_to roundtrip
     (mismo/types/_updates.py:192-375): rows only in `before` keep their
@@ -3844,6 +3944,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "empty_linker": q_empty_linker,
         "train_em": q_train_em,
         "ivf_topk": q_ivf_topk,
+        "pairwise_eval": q_pairwise_eval,
         # -- 4. driver-green in CORRECTNESS_r03.json (unchanged code) ------
         "key_counts": q_key_counts,
         "pair_counts_dedupe": q_pair_counts_dedupe,
@@ -6707,6 +6808,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "train_em": _train_em_oracle_sql(),
         "ivf_topk": _IVF_TOPK_ORACLE_SQL,
+        "pairwise_eval": _PAIRWISE_EVAL_ORACLE_SQL,
     }
     # micro-quantize the textqa fraction/perplexity oracles to mirror
     # the _micro_wrap projection on the Spark side (see _micro for why
