@@ -2759,6 +2759,88 @@ _PAIRWISE_EVAL_ORACLE_SQL = """
 """
 
 
+def q_entropy_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Information-theoretic clustering scores (cluster/eval.py,
+    sklearn-equivalent): homogeneity / completeness / V-measure and NMI
+    of the same (lang, source)-vs-fingerprint clustering as
+    q_pairwise_eval.  Entropies and MI replay in SQL as Σ p·ln(p) over
+    the contingency table; summation order can differ between numpy and
+    the SQL aggregate by ~1 ULP per term, which the micro quantization
+    absorbs (boundary-straddle probability ~1e-9 per value)."""
+    from mismo_spark.cluster.cc import connected_components
+    from mismo_spark.cluster.eval import (
+        homogeneity_completeness_v,
+        normalized_mutual_info,
+    )
+    from mismo_spark.linker.key import KeyLinker
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "label_true", F.coalesce(F.substring("text", 1, 50), F.lit(""))
+    )
+    assignments = connected_components(
+        KeyLinker(["lang", "source"], task="dedupe")(docs).links,
+        docs.select("record_id"),
+    ).join(docs.select("record_id", "label_true"), "record_id")
+    hcv = homogeneity_completeness_v(assignments)
+    nmi = normalized_mutual_info(assignments)
+    rows = [
+        (
+            _py_micro(hcv["homogeneity"]),
+            _py_micro(hcv["completeness"]),
+            _py_micro(hcv["v_measure"]),
+            _py_micro(nmi),
+        )
+    ]
+    return spark.createDataFrame(
+        rows,
+        "homogeneity_micro long, completeness_micro long,"
+        " v_measure_micro long, nmi_micro long",
+    )
+
+
+_ENTROPY_EVAL_ORACLE_SQL = """
+    WITH a AS (
+      SELECT doc_id,
+             min(doc_id) OVER (PARTITION BY lang, source) AS component,
+             coalesce(substr(text, 1, 50), '') AS label_true
+      FROM documents
+    ),
+    cells AS (
+      SELECT component, label_true, count(*) AS o
+      FROM a GROUP BY component, label_true
+    ),
+    cs AS (SELECT component, count(*) AS nc FROM a GROUP BY component),
+    ts AS (SELECT label_true, count(*) AS nt FROM a GROUP BY label_true),
+    n AS (SELECT count(*) AS n FROM a),
+    ent AS (
+      SELECT
+        (SELECT -sum((nt / n.n) * ln(nt / n.n)) FROM ts, n) AS h_true,
+        (SELECT -sum((nc / n.n) * ln(nc / n.n)) FROM cs, n) AS h_pred,
+        (SELECT sum((o / n.n) * ln((n.n * o) / (nt * nc)))
+         FROM cells
+         JOIN ts USING (label_true) JOIN cs USING (component), n) AS mi
+    ),
+    hc AS (
+      SELECT
+        CASE WHEN h_true <> 0 THEN mi / h_true ELSE 1.0::DOUBLE END AS h,
+        CASE WHEN h_pred <> 0 THEN mi / h_pred ELSE 1.0::DOUBLE END AS c,
+        CASE WHEN (h_true + h_pred) <> 0
+             THEN mi / ((h_true + h_pred) / 2)
+             ELSE 1.0::DOUBLE END AS nmi
+      FROM ent
+    )
+    SELECT
+      CAST(floor(h * 1000000 + 0.5) AS BIGINT) AS homogeneity_micro,
+      CAST(floor(c * 1000000 + 0.5) AS BIGINT) AS completeness_micro,
+      CAST(floor(
+        CASE WHEN (h + c) <> 0 THEN 2 * h * c / (h + c)
+             ELSE 0.0::DOUBLE END * 1000000 + 0.5) AS BIGINT)
+        AS v_measure_micro,
+      CAST(floor(nmi * 1000000 + 0.5) AS BIGINT) AS nmi_micro
+    FROM hc
+"""
+
+
 def q_updates_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Updates.from_tables + apply_to roundtrip
     (mismo/types/_updates.py:192-375): rows only in `before` keep their
@@ -3945,6 +4027,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_em": q_train_em,
         "ivf_topk": q_ivf_topk,
         "pairwise_eval": q_pairwise_eval,
+        "entropy_eval": q_entropy_eval,
         # -- 4. driver-green in CORRECTNESS_r03.json (unchanged code) ------
         "key_counts": q_key_counts,
         "pair_counts_dedupe": q_pair_counts_dedupe,
@@ -6809,6 +6892,7 @@ def oracle_sql() -> dict[str, str]:
         "train_em": _train_em_oracle_sql(),
         "ivf_topk": _IVF_TOPK_ORACLE_SQL,
         "pairwise_eval": _PAIRWISE_EVAL_ORACLE_SQL,
+        "entropy_eval": _ENTROPY_EVAL_ORACLE_SQL,
     }
     # micro-quantize the textqa fraction/perplexity oracles to mirror
     # the _micro_wrap projection on the Spark side (see _micro for why
