@@ -2841,6 +2841,67 @@ _ENTROPY_EVAL_ORACLE_SQL = """
 """
 
 
+def q_rand_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain Rand index + raw mutual information
+    (cluster/eval.py rand_score / mutual_info_score,
+    mismo/cluster/_eval.py:122-169) of the same clustering as
+    q_pairwise_eval — the two remaining SQL-expressible sklearn-family
+    scores (AMI's hypergeometric E[MI] term is driver-side only and
+    stays pytest-gated)."""
+    from mismo_spark.cluster.cc import connected_components
+    from mismo_spark.cluster.eval import mutual_info_score, rand_score
+    from mismo_spark.linker.key import KeyLinker
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "label_true", F.coalesce(F.substring("text", 1, 50), F.lit(""))
+    )
+    assignments = connected_components(
+        KeyLinker(["lang", "source"], task="dedupe")(docs).links,
+        docs.select("record_id"),
+    ).join(docs.select("record_id", "label_true"), "record_id")
+    rows = [
+        (
+            _py_micro(rand_score(assignments)),
+            _py_micro(mutual_info_score(assignments)),
+        )
+    ]
+    return spark.createDataFrame(rows, "rand_micro long, mi_micro long")
+
+
+_RAND_MI_ORACLE_SQL = """
+    WITH a AS (
+      SELECT doc_id,
+             min(doc_id) OVER (PARTITION BY lang, source) AS component,
+             coalesce(substr(text, 1, 50), '') AS label_true
+      FROM documents
+    ),
+    cells AS (
+      SELECT component, label_true, count(*) AS o
+      FROM a GROUP BY component, label_true
+    ),
+    cs AS (SELECT component, count(*) AS nc FROM a GROUP BY component),
+    ts AS (SELECT label_true, count(*) AS nt FROM a GROUP BY label_true),
+    agg AS (
+      SELECT (SELECT sum(o * (o - 1) / 2) FROM cells) AS tp,
+             (SELECT sum(nc * (nc - 1) / 2) FROM cs) AS pred,
+             (SELECT sum(nt * (nt - 1) / 2) FROM ts) AS trueb,
+             (SELECT count(*) FROM a) AS n,
+             (SELECT sum((o / nn.n) * ln((nn.n * o) / (nt * nc)))
+              FROM cells
+              JOIN ts USING (label_true) JOIN cs USING (component),
+              (SELECT count(*) AS n FROM a) nn) AS mi
+    )
+    SELECT
+      CAST(floor(
+        CASE WHEN n * (n - 1) / 2 = 0 THEN 1.0::DOUBLE
+             ELSE (n * (n - 1) / 2 + 2 * tp - trueb - pred)
+                  / (n * (n - 1) / 2) END * 1000000 + 0.5) AS BIGINT)
+        AS rand_micro,
+      CAST(floor(mi * 1000000 + 0.5) AS BIGINT) AS mi_micro
+    FROM agg
+"""
+
+
 def q_updates_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Updates.from_tables + apply_to roundtrip
     (mismo/types/_updates.py:192-375): rows only in `before` keep their
@@ -4028,6 +4089,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "pairwise_eval": q_pairwise_eval,
         "entropy_eval": q_entropy_eval,
+        "rand_mi": q_rand_mi,
         # -- 4. driver-green in CORRECTNESS_r03.json (unchanged code) ------
         "key_counts": q_key_counts,
         "pair_counts_dedupe": q_pair_counts_dedupe,
@@ -6893,6 +6955,7 @@ def oracle_sql() -> dict[str, str]:
         "ivf_topk": _IVF_TOPK_ORACLE_SQL,
         "pairwise_eval": _PAIRWISE_EVAL_ORACLE_SQL,
         "entropy_eval": _ENTROPY_EVAL_ORACLE_SQL,
+        "rand_mi": _RAND_MI_ORACLE_SQL,
     }
     # micro-quantize the textqa fraction/perplexity oracles to mirror
     # the _micro_wrap projection on the Spark side (see _micro for why

@@ -7,10 +7,16 @@ import pytest
 from pyspark.sql import functions as F
 
 from mismo_spark.cluster.eval import (
+    adjusted_mutual_info,
     adjusted_rand_score,
+    completeness_score,
     fowlkes_mallows,
     homogeneity_completeness_v,
+    homogeneity_score,
+    mutual_info_score,
     normalized_mutual_info,
+    rand_score,
+    v_measure_score,
 )
 from mismo_spark.lib.address import (
     AddressesMatchLevel,
@@ -55,6 +61,49 @@ def test_eval_matches_known_values(spark):
     )
     # contingency [[2,0,0],[0,1,1]]; sklearn ARI = 0.5714285714
     assert adjusted_rand_score(df) == pytest.approx(0.57142857, abs=1e-6)
+    # RI: of the 6 pairs, only (3,4) disagrees (same true, split pred)
+    assert rand_score(df) == pytest.approx(5.0 / 6.0, abs=1e-9)
+    # MI: (2/4)ln2 + (1/4)ln2 + (1/4)ln2 = ln 2
+    import math
+
+    assert mutual_info_score(df) == pytest.approx(math.log(2.0), abs=1e-9)
+
+
+def test_ami_chance_correction(spark):
+    import math
+
+    # identical non-trivial clustering → AMI exactly 1
+    same = spark.createDataFrame(
+        [(1, 0, 0), (2, 0, 0), (3, 1, 1), (4, 1, 1), (5, 2, 2)],
+        "record_id long, component long, label_true long",
+    )
+    assert adjusted_mutual_info(same) == pytest.approx(1.0, abs=1e-12)
+    # a clustering independent of truth → AMI near 0 while raw NMI is
+    # inflated by chance (the whole point of the correction)
+    rows = [(i, i % 2, (i * 7 + 3) % 5) for i in range(40)]
+    indep = spark.createDataFrame(
+        rows, "record_id long, component long, label_true long"
+    )
+    ami = adjusted_mutual_info(indep)
+    nmi = normalized_mutual_info(indep)
+    assert abs(ami) < 0.3
+    assert ami < nmi + 1e-9
+    # all averaging variants stay chance-corrected near 0 here
+    for method in ("min", "max", "geometric"):
+        assert abs(adjusted_mutual_info(indep, average_method=method)) < 0.3
+    with pytest.raises(ValueError):
+        adjusted_mutual_info(indep, average_method="bogus")
+
+
+def test_individual_hcv_wrappers(spark):
+    df = spark.createDataFrame(
+        [(1, 0, 0), (2, 0, 0), (3, 1, 1), (4, 2, 1)],
+        "record_id long, component long, label_true long",
+    )
+    hcv = homogeneity_completeness_v(df)
+    assert homogeneity_score(df) == pytest.approx(hcv["homogeneity"])
+    assert completeness_score(df) == pytest.approx(hcv["completeness"])
+    assert v_measure_score(df) == pytest.approx(hcv["v_measure"])
 
 
 def test_parse_street1(spark):
