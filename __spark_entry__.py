@@ -2288,6 +2288,81 @@ def q_diff_updates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_diff_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DiffStats (mismo/types/_diff.py:294-340): the six-way row-count
+    summary of the same before/after orders reconciliation as
+    q_diff_updates — insertions / deletions / updates / unchanged plus
+    the derived before/after totals."""
+    from mismo_spark.types.diff import diff_tables
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+    before = orders.filter(F.col("o_orderkey") % 7 != 0)
+    after = orders.withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 10 == 0, F.round(F.col("o_totalprice") + 1.0, 2)
+        ).otherwise(F.col("o_totalprice")),
+    ).filter(F.col("o_orderkey") % 11 != 0)
+    s = diff_tables(before, after, "o_orderkey").stats()
+    rows = [
+        (
+            s.n_before(),
+            s.n_after(),
+            s.n_insertions(),
+            s.n_deletions(),
+            s.n_updates(),
+            s.n_unchanged(),
+        )
+    ]
+    return spark.createDataFrame(
+        rows,
+        "n_before long, n_after long, n_insertions long, n_deletions long,"
+        " n_updates long, n_unchanged long",
+    )
+
+
+_DIFF_STATS_ORACLE_SQL = """
+    WITH b AS (
+      SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 7 <> 0
+    ),
+    a AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 10 = 0
+                  THEN round(o_totalprice + 1.0, 2)
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderkey % 11 <> 0
+    ),
+    j AS (
+      SELECT b.o_orderkey AS bk, a.o_orderkey AS ak,
+             b.o_totalprice AS bp, a.o_totalprice AS ap
+      FROM b FULL OUTER JOIN a ON b.o_orderkey = a.o_orderkey
+    ),
+    c AS (
+      SELECT
+        count(*) FILTER (bk IS NULL) AS ins,
+        count(*) FILTER (ak IS NULL) AS del,
+        count(*) FILTER (
+          bk IS NOT NULL AND ak IS NOT NULL
+          AND NOT (bp IS NOT DISTINCT FROM ap)
+        ) AS upd,
+        count(*) FILTER (
+          bk IS NOT NULL AND ak IS NOT NULL
+          AND (bp IS NOT DISTINCT FROM ap)
+        ) AS unch
+      FROM j
+    )
+    SELECT CAST(del + upd + unch AS BIGINT) AS n_before,
+           CAST(ins + upd + unch AS BIGINT) AS n_after,
+           CAST(ins AS BIGINT) AS n_insertions,
+           CAST(del AS BIGINT) AS n_deletions,
+           CAST(upd AS BIGINT) AS n_updates,
+           CAST(unch AS BIGINT) AS n_unchanged
+    FROM c
+"""
+
+
 def q_tf_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF add_frequencies (mismo/tf/_tf.py:60-92) over mktsegment."""
     from mismo_spark.tf import add_frequencies
@@ -4090,6 +4165,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pairwise_eval": q_pairwise_eval,
         "entropy_eval": q_entropy_eval,
         "rand_mi": q_rand_mi,
+        "diff_stats": q_diff_stats,
         # -- 4. driver-green in CORRECTNESS_r03.json (unchanged code) ------
         "key_counts": q_key_counts,
         "pair_counts_dedupe": q_pair_counts_dedupe,
@@ -6956,6 +7032,7 @@ def oracle_sql() -> dict[str, str]:
         "pairwise_eval": _PAIRWISE_EVAL_ORACLE_SQL,
         "entropy_eval": _ENTROPY_EVAL_ORACLE_SQL,
         "rand_mi": _RAND_MI_ORACLE_SQL,
+        "diff_stats": _DIFF_STATS_ORACLE_SQL,
     }
     # micro-quantize the textqa fraction/perplexity oracles to mirror
     # the _micro_wrap projection on the Spark side (see _micro for why

@@ -37,6 +37,31 @@ def ids_only(df: DataFrame, alias: str) -> DataFrame:
     return df.select(F.col("record_id").alias(alias))
 
 
+def remove_condition_overlap(conditions) -> list[Column]:
+    """Constrain each join condition so it cannot produce a pair an
+    earlier condition already produced: ``cond_i AND NOT cond_0 AND …
+    AND NOT cond_{i-1}`` (mismo/joins/_core.py:148-162).
+
+    At the plan level this turns an OR-of-rules union into DISJOINT
+    branches, trading re-evaluation of earlier predicates per branch
+    for removal of the distinct/groupBy shuffle an
+    ``OrLinker(track_rules=False)`` otherwise pays — the right trade
+    when the predicates are cheap column ops and the pair table is
+    huge.  ``True``/``False`` literals are accepted like the
+    reference's ``ibis.literal`` path."""
+    out: list[Column] = []
+    priors: list[Column] = []
+    for cond in conditions:
+        if isinstance(cond, bool):
+            cond = F.lit(cond)
+        modified = cond
+        for prior in priors:
+            modified = modified & ~prior
+        priors.append(cond)
+        out.append(modified)
+    return out
+
+
 def make_linkage(
     left: DataFrame,
     right: DataFrame,

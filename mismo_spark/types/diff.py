@@ -27,6 +27,10 @@ class Diff:
     insertions: DataFrame
     deletions: DataFrame
     updates: DataFrame  # key + struct<before,after> per shared column
+    # rows present in both sides with no shared-column change
+    # (mismo/types/_diff.py:60-68); None for Diffs built before this
+    # field existed (older to_parquets layouts)
+    unchanged: DataFrame | None = None
 
     def to_parquets(self, directory: str, overwrite: bool = False) -> None:
         """mismo/types/_diff.py:177-190."""
@@ -34,15 +38,28 @@ class Diff:
         self.insertions.write.mode(mode).parquet(os.path.join(directory, "insertions.parquet"))
         self.deletions.write.mode(mode).parquet(os.path.join(directory, "deletions.parquet"))
         self.updates.write.mode(mode).parquet(os.path.join(directory, "updates.parquet"))
+        if self.unchanged is not None:
+            self.unchanged.write.mode(mode).parquet(
+                os.path.join(directory, "unchanged.parquet")
+            )
 
     @staticmethod
     def from_parquets(spark: SparkSession, directory: str) -> "Diff":
         """mismo/types/_diff.py:192-205."""
+        unchanged_path = os.path.join(directory, "unchanged.parquet")
         return Diff(
             insertions=spark.read.parquet(os.path.join(directory, "insertions.parquet")),
             deletions=spark.read.parquet(os.path.join(directory, "deletions.parquet")),
             updates=spark.read.parquet(os.path.join(directory, "updates.parquet")),
+            unchanged=(
+                spark.read.parquet(unchanged_path)
+                if os.path.exists(unchanged_path)
+                else None
+            ),
         )
+
+    def stats(self) -> "DiffStats":
+        return DiffStats(self)
 
 
 def diff_tables(before: DataFrame, after: DataFrame, key: str) -> Diff:
@@ -71,12 +88,69 @@ def diff_tables(before: DataFrame, after: DataFrame, key: str) -> Diff:
             ).alias(c)
         )
     updates = both.select(*cols)
+    unchanged = both.select("a.*")
     if any_changed is not None:
         # keep only rows where something actually changed
         # (mismo/types/_diff.py:70-72)
         flags = both.select(*cols, any_changed.alias("__chg"))
         updates = flags.filter(F.col("__chg")).drop("__chg")
-    return Diff(insertions=insertions, deletions=deletions, updates=updates)
+        unchanged = both.filter(~any_changed).select("a.*")
+    return Diff(
+        insertions=insertions,
+        deletions=deletions,
+        updates=updates,
+        unchanged=unchanged,
+    )
+
+
+class DiffStats:
+    """Row-count summary of a Diff (mismo/types/_diff.py:294-340):
+    insertions / deletions / updates / unchanged, with before/after
+    totals derived (before = deletions + updates + unchanged, after =
+    insertions + updates + unchanged — the 1-1 key contract).  Counts
+    are computed lazily and memoized; each is an aggregate over one of
+    the diff's projections of the single full-outer join, so persist
+    the joined diff first if you need all of them over a huge table."""
+
+    def __init__(self, diff: Diff) -> None:
+        self._diff = diff
+        self._cache: dict[str, int] = {}
+
+    def _count(self, name: str, df: DataFrame | None) -> int:
+        if name not in self._cache:
+            if df is None:
+                raise ValueError(
+                    "this Diff has no 'unchanged' table (loaded from an "
+                    "older to_parquets layout); rebuild it with diff_tables"
+                )
+            self._cache[name] = df.count()
+        return self._cache[name]
+
+    def n_insertions(self) -> int:
+        return self._count("insertions", self._diff.insertions)
+
+    def n_deletions(self) -> int:
+        return self._count("deletions", self._diff.deletions)
+
+    def n_updates(self) -> int:
+        return self._count("updates", self._diff.updates)
+
+    def n_unchanged(self) -> int:
+        return self._count("unchanged", self._diff.unchanged)
+
+    def n_before(self) -> int:
+        return self.n_deletions() + self.n_updates() + self.n_unchanged()
+
+    def n_after(self) -> int:
+        return self.n_insertions() + self.n_updates() + self.n_unchanged()
+
+    def __repr__(self) -> str:
+        return (
+            f"DiffStats(before={self.n_before():_}, after={self.n_after():_},"
+            f" unchanged={self.n_unchanged():_}, updates={self.n_updates():_},"
+            f" insertions={self.n_insertions():_},"
+            f" deletions={self.n_deletions():_})"
+        )
 
 
 def value_change(updated: Column) -> Column:

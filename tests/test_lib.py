@@ -241,9 +241,38 @@ def test_diff_tables(spark, tmp_path):
     ).collect()[0]
     assert changes["cs"] == "changed"
     assert changes["cn"] == "unchanged"
+    assert {r["id"] for r in d.unchanged.collect()} == {1}
+    stats = d.stats()
+    assert stats.n_insertions() == 1
+    assert stats.n_deletions() == 1
+    assert stats.n_updates() == 1
+    assert stats.n_unchanged() == 1
+    assert stats.n_before() == 3
+    assert stats.n_after() == 3
+    assert "before=3" in repr(stats)
     d.to_parquets(str(tmp_path / "diff"))
     d2 = Diff.from_parquets(spark, str(tmp_path / "diff"))
     assert d2.insertions.count() == 1
+    assert d2.unchanged is not None and d2.unchanged.count() == 1
+    assert d2.stats().n_after() == 3
+
+
+def test_remove_condition_overlap(spark):
+    from mismo_spark.linker.base import remove_condition_overlap
+
+    df = spark.createDataFrame(
+        [(1, 1), (2, 4), (3, 9), (4, 16)], "x long, y long"
+    )
+    conds = remove_condition_overlap(
+        [F.col("x") <= 2, F.col("y") <= 9, True]
+    )
+    # disjoint branches partition the rows exactly once each
+    sizes = [df.filter(c).count() for c in conds]
+    assert sizes == [2, 1, 1]
+    assert sum(sizes) == df.count()
+    # bool literals accepted like the reference's ibis.literal path
+    only_true = remove_condition_overlap([False, True])
+    assert df.filter(only_true[1]).count() == df.count()
 
 
 # ---- structs / re_extract / IDLinker ---------------------------------------
