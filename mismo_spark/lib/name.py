@@ -186,6 +186,25 @@ def are_aliases(
     return needle.isin(*lits) | (an == bn)
 
 
+def is_nickname_for(
+    nickname: Column,
+    canonical: Column,
+    *,
+    pairs: list[tuple[str, str]] | str | None = None,
+) -> Column:
+    """True when ``nickname`` is a known nickname of ``canonical``
+    (DIRECTIONAL — 'BILL is a nickname for WILLIAM' but not the
+    reverse) or the two are equal; case-insensitive, ends-trimmed
+    (mismo/lib/name/_nicknames.py:40-84).  Same broadcast-literal
+    ``isin`` shape as :func:`are_aliases`."""
+    pairs = load_nickname_pairs(pairs)
+    nn = F.lower(F.trim(nickname))
+    cn = F.lower(F.trim(canonical))
+    needle = F.concat_ws("\x1f", cn, nn)
+    lits = sorted({f"{x.lower()}\x1f{y.lower()}" for x, y in pairs})
+    return needle.isin(*lits) | (nn == cn)
+
+
 def initials_equal(a: Column, b: Column) -> Column:
     """First letter matches and at least one side is a single letter
     (mismo/lib/name/_compare.py:22-29)."""
@@ -257,6 +276,64 @@ def name_match_level(
         ],
         else_=F.lit(int(NameMatchLevel.ELSE)),
     )
+
+
+def normalize_name_struct(name: Column) -> Column:
+    """Normalize every field of a
+    struct<prefix,given,middle,surname,suffix,nickname> name
+    (mismo/lib/name/_clean.py:43-68: the struct-level normalize_name —
+    our :func:`normalize_name` is the field-level normalizer)."""
+    return F.struct(
+        *[normalize_name(name[f]).alias(f) for f in NAME_FIELDS]
+    )
+
+
+class NameDimension:
+    """Prepare, block, and compare on a human-name struct column
+    (mismo/lib/name/_dimension.py:8-73): ``prepare_for_fast_linking``
+    adds the normalized struct, ``prepare_for_blocking`` adds the
+    flattened unique token array (an UnnestLinker-ready blocking key),
+    ``compare`` adds the NameMatchLevel column on a pairs table."""
+
+    def __init__(
+        self,
+        column: str,
+        *,
+        column_normed: str = "{column}_normed",
+        column_tokens: str = "{column}_tokens",
+        column_compared: str = "{column}_compared",
+        nickname_pairs: list[tuple[str, str]] | str | None = None,
+    ) -> None:
+        self.column = column
+        self.column_normed = column_normed.format(column=column)
+        self.column_tokens = column_tokens.format(column=column)
+        self.column_compared = column_compared.format(column=column)
+        self.comparer = NameComparer(
+            self.column_normed + "_l",
+            self.column_normed + "_r",
+            result_column=self.column_compared,
+            nickname_pairs=nickname_pairs,
+        )
+
+    def prepare_for_fast_linking(self, df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            self.column_normed, normalize_name_struct(df[self.column])
+        )
+
+    def prepare_for_blocking(self, df: DataFrame) -> DataFrame:
+        normed = df[self.column_normed]
+        return df.withColumn(
+            self.column_tokens,
+            F.array_distinct(
+                F.filter(
+                    name_tokens(*[normed[f] for f in NAME_FIELDS]),
+                    lambda t: (t.isNotNull()) & (t != ""),
+                )
+            ),
+        )
+
+    def compare(self, pairs: DataFrame) -> DataFrame:
+        return self.comparer(pairs)
 
 
 class NameComparer:

@@ -284,10 +284,12 @@ class KeyLinker:
             )
         return est.filter(F.col("__npairs") > self.max_pairs).select(*key_cols)
 
-    def key_counts(self, df: DataFrame, side: int = 0) -> DataFrame:
+    def key_counts(self, df: DataFrame, side: int = 0) -> "KeyCountsTable":
+        from mismo_spark.types.counts_table import KeyCountsTable
+
         keyed = self._keyed(df, side)
         key_cols = [c for c in keyed.columns if c != "record_id"]
-        return (
+        return KeyCountsTable(
             keyed.groupBy(*key_cols)
             .agg(F.count(F.lit(1)).alias("n"))
             .orderBy(F.desc("n"), *key_cols)
@@ -317,7 +319,9 @@ class KeyLinker:
             out = lc.join(rc, key_cols, "inner").select(
                 *key_cols, (F.col("__nl") * F.col("__nr")).cast("long").alias("n")
             )
-        return out.orderBy(F.desc("n"), *key_cols)
+        from mismo_spark.types.counts_table import PairCountsTable
+
+        return PairCountsTable(out.orderBy(F.desc("n"), *key_cols))
 
 
 def key_counts(df: DataFrame, keys: Sequence[str]) -> DataFrame:

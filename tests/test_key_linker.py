@@ -180,3 +180,27 @@ def test_skew_split_plan_shape(spark):
     assert "BroadcastHashJoin" in plan, plan
     # cold path separation happens with broadcast anti-joins
     assert "LeftAnti, BuildRight" in plan, plan
+
+
+def test_counts_table_wrapper(spark):
+    from mismo_spark.linker.key import KeyLinker
+    from mismo_spark.types.counts_table import (
+        CountsTable,
+        KeyCountsTable,
+        PairCountsTable,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "a"), (4, "b")], "record_id long, k string"
+    )
+    lk = KeyLinker(["k"], task="dedupe")
+    kc = lk.key_counts(df)
+    assert isinstance(kc, KeyCountsTable) and isinstance(kc, CountsTable)
+    # still a full DataFrame: chainable ops work
+    assert kc.filter(F.col("n") > 1).count() == 1
+    assert kc.n_total() == 4
+    assert kc.n_total() == 4  # memoized path
+    pc = lk.pair_counts(df)
+    assert isinstance(pc, PairCountsTable)
+    assert pc.n_total() == 3  # C(3,2) + C(1,2)

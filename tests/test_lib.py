@@ -152,6 +152,73 @@ def test_nickname_match(spark):
     assert out == [True, False, True]
 
 
+def test_is_nickname_for_directional(spark):
+    from mismo_spark.lib.name import is_nickname_for
+
+    df = spark.createDataFrame(
+        [
+            ("Bill", "William"),   # nick → canonical: True
+            ("William", "Bill"),   # reversed: False (directional)
+            ("sue", "sue"),        # equal: True
+            ("Sue", "William"),    # unrelated: False
+        ],
+        "nick string, canon string",
+    )
+    out = [
+        r["hit"]
+        for r in df.select(
+            is_nickname_for(df["nick"], df["canon"]).alias("hit")
+        ).collect()
+    ]
+    assert out == [True, False, True, False]
+
+
+def test_name_dimension_pipeline(spark):
+    from mismo_spark.lib.name import NameDimension, NameMatchLevel
+
+    def name(given, surname, nickname=None):
+        return (None, given, None, surname, None, nickname)
+
+    schema = (
+        "record_id long, name struct<prefix:string,given:string,"
+        "middle:string,surname:string,suffix:string,nickname:string>"
+    )
+    df = spark.createDataFrame(
+        [
+            (1, name("José", "van-Dyke")),
+            (2, name("Bill", "Smith")),
+            (3, name("William", "Smith")),
+        ],
+        schema,
+    )
+    dim = NameDimension("name")
+    prepped = dim.prepare_for_blocking(dim.prepare_for_fast_linking(df))
+    rows = {r["record_id"]: r for r in prepped.collect()}
+    assert rows[1]["name_normed"]["given"] == "JOSE"
+    assert rows[1]["name_normed"]["surname"] == "VANDYKE"
+    assert set(rows[1]["name_tokens"]) == {"JOSE", "VANDYKE"}
+    # compare: nickname pair (Bill, William) with equal surname
+    pairs = (
+        prepped.select(
+            F.col("record_id").alias("record_id_l"),
+            F.col("name_normed").alias("name_normed_l"),
+        )
+        .crossJoin(
+            prepped.select(
+                F.col("record_id").alias("record_id_r"),
+                F.col("name_normed").alias("name_normed_r"),
+            )
+        )
+        .filter(F.col("record_id_l") < F.col("record_id_r"))
+    )
+    compared = {
+        (r["record_id_l"], r["record_id_r"]): r["name_compared"]
+        for r in dim.compare(pairs).collect()
+    }
+    assert compared[(2, 3)] == int(NameMatchLevel.NICKNAMES)
+    assert compared[(1, 2)] == int(NameMatchLevel.ELSE)
+
+
 # ---- arrays ----------------------------------------------------------------
 
 
