@@ -13,7 +13,19 @@ docstrings as ``mismo/<path>:<line>`` for parity checking only.
 """
 
 from mismo_spark.session import get_spark
+from mismo_spark.exceptions import (
+    MismoError,
+    MismoWarning,
+    SlowJoinWarning,
+    UnsupportedBackendError,
+)
 from mismo_spark.types.linkage import Linkage
+from mismo_spark.types.counts_table import (
+    CountsTable,
+    KeyCountsTable,
+    LinkCountsTable,
+    PairCountsTable,
+)
 from mismo_spark.linker.key import KeyLinker, key_counts, pair_counts
 from mismo_spark.linker.basic import FullLinker, EmptyLinker
 from mismo_spark.linker.join import JoinLinker, SlowJoinError, check_join_plan
@@ -29,6 +41,14 @@ from mismo_spark.cluster.metrics import degree, pairwise_prf
 
 __all__ = [
     "get_spark",
+    "MismoError",
+    "MismoWarning",
+    "SlowJoinWarning",
+    "UnsupportedBackendError",
+    "CountsTable",
+    "KeyCountsTable",
+    "LinkCountsTable",
+    "PairCountsTable",
     "Linkage",
     "KeyLinker",
     "key_counts",

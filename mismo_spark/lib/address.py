@@ -82,6 +82,10 @@ def parse_street1(street1: Column) -> Column:
     return F.when(s.rlike(pat), parsed)
 
 
+#: Reference-exact public name (mismo/lib/geo/_regex_parse.py:662).
+parse_street1_re = parse_street1
+
+
 def featurize_address(address: Column) -> Column:
     """→ struct with street_name / street_number / street_number_sorted /
     is_pobox / street_trigrams added (mismo/lib/geo/_address.py:60-112)."""

@@ -34,6 +34,27 @@ def parse_email(full: Column) -> Column:
     return F.struct(full.alias("full"), user.alias("user"), domain.alias("domain"))
 
 
+class ParsedEmail:
+    """An email split into parts, as three Column attributes
+    (mismo/lib/email/_core.py:33-70).  No cleaning — compose with
+    :func:`clean_email` first, exactly like the reference."""
+
+    def __init__(self, full: Column, /) -> None:
+        parts = F.split(full, "@")
+        self.full = full
+        self.user = F.nullif(parts.getItem(0), F.lit(""))
+        self.domain = F.nullif(parts.getItem(1), F.lit(""))
+
+    def as_struct(self) -> Column:
+        """→ struct<full, user, domain>
+        (mismo/lib/email/_core.py:57-70)."""
+        return F.struct(
+            self.full.alias("full"),
+            self.user.alias("user"),
+            self.domain.alias("domain"),
+        )
+
+
 class EmailMatchLevel(IntEnum):
     """mismo/lib/email/_core.py:73-90."""
 

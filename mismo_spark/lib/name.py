@@ -162,6 +162,35 @@ class NameMatchLevel(IntEnum):
 NAME_FIELDS = ("prefix", "given", "middle", "surname", "suffix", "nickname")
 
 
+def NameStruct(
+    *,
+    prefix: Column | str | None = None,
+    given: Column | str | None = None,
+    middle: Column | str | None = None,
+    surname: Column | str | None = None,
+    suffix: Column | str | None = None,
+    nickname: Column | str | None = None,
+) -> Column:
+    """Build a struct<prefix,given,middle,surname,suffix,nickname>
+    column — the shape every name op here consumes
+    (mismo/lib/name/_clean.py:32-40, where NameStruct is the ibis struct
+    type; on Spark the constructor is the useful artifact).  Omitted
+    fields become NULL strings; plain str args become literals."""
+    vals = dict(prefix=prefix, given=given, middle=middle,
+                surname=surname, suffix=suffix, nickname=nickname)
+    cols = []
+    for f in NAME_FIELDS:
+        v = vals[f]
+        if v is None:
+            c = F.lit(None).cast("string")
+        elif isinstance(v, str):
+            c = F.lit(v)
+        else:
+            c = v
+        cols.append(c.alias(f))
+    return F.struct(*cols)
+
+
 def are_aliases(
     a: Column, b: Column, *, pairs: list[tuple[str, str]] | str | None = None
 ) -> Column:

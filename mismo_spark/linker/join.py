@@ -18,15 +18,9 @@ from pyspark.sql import Column, DataFrame
 from mismo_spark.linker.base import make_linkage
 from mismo_spark.types.linkage import Linkage
 
+from mismo_spark.exceptions import SlowJoinError, SlowJoinWarning
+
 _SLOW_MARKERS = ("CartesianProduct", "BroadcastNestedLoopJoin")
-
-
-class SlowJoinError(RuntimeError):
-    pass
-
-
-class SlowJoinWarning(UserWarning):
-    pass
 
 
 def check_join_plan(df: DataFrame, on_slow: str = "error") -> None:
@@ -39,10 +33,10 @@ def check_join_plan(df: DataFrame, on_slow: str = "error") -> None:
     if hits:
         msg = f"join would execute as {hits[0]} (O(n*m)); rewrite as equi-join"
         if on_slow == "error":
-            raise SlowJoinError(msg)
+            raise SlowJoinError(msg, algorithm=hits[0])
         import warnings
 
-        warnings.warn(msg, SlowJoinWarning)
+        warnings.warn(SlowJoinWarning(msg, algorithm=hits[0]))
 
 
 class JoinLinker:

@@ -45,3 +45,21 @@ class KeyCountsTable(CountsTable):
 
 class PairCountsTable(CountsTable):
     """Counts of pairs per blocking key (mismo/_counts_table.py:54-57)."""
+
+
+class LinkCountsTable(_ClassicDataFrame):
+    """Records binned by link count — exactly (n_records, n_links)
+    columns, validated like the reference
+    (mismo/types/_linked_table.py:326-349; its only other member is an
+    altair chart — eda, out of scope)."""
+
+    def __new__(cls, df: DataFrame) -> "LinkCountsTable":
+        return object.__new__(cls)
+
+    def __init__(self, df: DataFrame) -> None:
+        if set(df.columns) != {"n_records", "n_links"}:
+            raise ValueError(
+                "LinkCountsTable must have exactly columns"
+                " 'n_records' and 'n_links'"
+            )
+        super().__init__(df._jdf, df.sparkSession)

@@ -73,12 +73,14 @@ def with_n_links(
     )
 
 
-def link_counts(records: DataFrame, links: DataFrame, side: str = "l") -> DataFrame:
+def link_counts(records: DataFrame, links: DataFrame, side: str = "l") -> "LinkCountsTable":
     """Histogram: how many records have k links, including k=0
-    (mismo/types/_linked_table.py:247-303).  Returns (n_links, n_records).
-    """
+    (mismo/types/_linked_table.py:247-303).  Returns a
+    :class:`LinkCountsTable` of (n_links, n_records)."""
+    from mismo_spark.types.counts_table import LinkCountsTable
+
     withn = with_n_links(records, links, side)
-    return (
+    return LinkCountsTable(
         withn.groupBy(F.col("n_links"))
         .agg(F.count(F.lit(1)).alias("n_records"))
         .orderBy(F.desc("n_links"))
