@@ -951,6 +951,127 @@ def q_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bm25_queries(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        [
+            ("q1", ["hash", "join"]),
+            ("q2", ["vector", "scan", "batch"]),
+            ("q3", ["customer", "order"]),
+        ],
+        "query_id string, terms array<string>",
+    )
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-k retrieval: corpus stats from ONE explode, a
+    broadcast join of the query terms, per-query WindowGroupLimit
+    top-k.  Scores quantized to micro-units — each score is a sum of
+    ≤3 terms of integer-derived IEEE arithmetic, identical on both
+    engines."""
+    from mismo_spark.sets.bm25 import bm25_topk
+    from mismo_spark.text.features import tokenize
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", tokenize(F.lower(F.col("text"))).alias("toks")
+    )
+    top = bm25_topk(
+        docs, "toks", _bm25_queries(spark), k=10, id_column="doc_id"
+    )
+    return top.select(
+        "query_id",
+        "doc_id",
+        _micro(F.col("score"), "score_micro"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def q_meta_blocking_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Meta-blocking candidate graph (Papadakis et al. 2014): one
+    narrow (record, block) relation over three blocking schemes, blocks
+    over the purge cap dropped, pair weights from one groupBy."""
+    from mismo_spark.linker.meta import candidate_graph
+
+    docs = _docs(spark, sf_dir).select(
+        "record_id",
+        F.substring("text", 1, 20).alias("fp20"),
+        "lang",
+        "source",
+        (F.col("n_chars") - F.col("n_chars") % 50).alias("len_bin"),
+    )
+    g = candidate_graph(
+        docs,
+        ["fp20", ["lang", "source"], "len_bin"],
+        max_block_size=60,
+    )
+    return g.select(
+        "record_id_l",
+        "record_id_r",
+        F.col("cbs").cast("long").alias("cbs"),
+        _micro(F.col("js"), "js_micro"),
+    )
+
+
+def q_meta_blocking_cnp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cardinality Node Pruning over the same graph: per-node top-k by
+    Jaccard weight (integer-derived IEEE doubles — identical ranking on
+    both engines), edge kept if either endpoint retains it."""
+    from mismo_spark.linker.meta import meta_block
+
+    docs = _docs(spark, sf_dir).select(
+        "record_id",
+        F.substring("text", 1, 20).alias("fp20"),
+        "lang",
+        "source",
+        (F.col("n_chars") - F.col("n_chars") % 50).alias("len_bin"),
+    )
+    pruned = meta_block(
+        docs,
+        ["fp20", ["lang", "source"], "len_bin"],
+        scheme="cnp",
+        k=3,
+        max_block_size=60,
+    )
+    return pruned.select(
+        "record_id_l",
+        "record_id_r",
+        F.col("cbs").cast("long").alias("cbs"),
+        _micro(F.col("js"), "js_micro"),
+    )
+
+
+def q_unlinkables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unlinkables analysis (splink-style): per-record best FS odds over
+    the pr_curve blocking, collapsed to a score histogram before the
+    one cumulative window; never-compared records ride in as the NULL
+    bin.  The three distinct odds values are literal ratios — identical
+    IEEE doubles on both engines, so grouping needs no rounding."""
+    from mismo_spark.compare.enum import compare
+    from mismo_spark.fs.unlinkables import unlinkables
+    from mismo_spark.linker.key import KeyLinker
+    from mismo_spark.linker.or_ import OrLinker
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "text_fp", F.substring("text", 1, 50)
+    )
+    lk = OrLinker(
+        {
+            "langsrc": KeyLinker(["lang", "source"], task="dedupe"),
+            "textfp": KeyLinker(["text_fp"], task="dedupe"),
+        },
+        track_rules=False,
+    )(docs, docs)
+    scored = _fs_weights_len().score_compared(
+        compare(lk.links_with_both(), _len_comparers())
+    )
+    out = unlinkables(docs, scored, score="odds", round_digits=None)
+    return out.select(
+        _micro(F.col("best"), "best_micro"),
+        F.col("n_records").cast("long").alias("n_records"),
+        F.col("cum_records").cast("long").alias("cum_records"),
+        _micro(F.col("cum_prop"), "cum_prop_micro"),
+    )
+
+
 def q_dup_token_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ExactSubstr-style duplicated-span detection (Lee et al. 2022):
     positional n-gram hashes -> corpus counts -> per-doc
@@ -4082,6 +4203,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         # -- 1. changed/new this round: need fresh driver rows -------------
+        "bm25_topk": q_bm25_topk,
+        "meta_blocking_graph": q_meta_blocking_graph,
+        "meta_blocking_cnp": q_meta_blocking_cnp,
+        "unlinkables": q_unlinkables,
         "pr_curve": q_pr_curve,
         "blocking_metrics": q_blocking_metrics,
         "blocking_schemes": q_blocking_schemes,
@@ -4222,6 +4347,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 
 _TOKENS = "list_distinct(string_split_regex(lower(trim(text)), '\\s+'))"
+
+
+_META_BLOCK_CTES = """docs2 AS (
+              SELECT doc_id AS record_id, substr(text, 1, 20) AS fp20,
+                     lang, source, n_chars - n_chars % 50 AS len_bin
+              FROM documents
+            ),
+            blocks AS (
+              SELECT DISTINCT record_id, block FROM (
+                SELECT record_id, '0' || chr(31) || fp20 AS block
+                FROM docs2 WHERE fp20 IS NOT NULL
+                UNION ALL
+                SELECT record_id,
+                       '1' || chr(31) || lang || chr(31) || source AS block
+                FROM docs2 WHERE lang IS NOT NULL AND source IS NOT NULL
+                UNION ALL
+                SELECT record_id, '2' || chr(31) || CAST(len_bin AS VARCHAR)
+                FROM docs2 WHERE len_bin IS NOT NULL
+              )
+            ),
+            b2 AS (
+              SELECT record_id, block FROM blocks
+              WHERE block IN (
+                SELECT block FROM blocks GROUP BY block HAVING count(*) <= 60
+              )
+            ),
+            p AS (
+              SELECT a.record_id AS record_id_l, b.record_id AS record_id_r,
+                     count(*) AS cbs
+              FROM b2 a JOIN b2 b
+                ON a.block = b.block AND a.record_id < b.record_id
+              GROUP BY 1, 2
+            ),
+            nbc AS (SELECT record_id, count(*) AS nb FROM b2 GROUP BY 1),
+            graph AS (
+              SELECT record_id_l, record_id_r, cbs,
+                     cbs / (nbl.nb + nbr.nb - cbs) AS js
+              FROM p
+              JOIN nbc nbl ON p.record_id_l = nbl.record_id
+              JOIN nbc nbr ON p.record_id_r = nbr.record_id
+            )"""
 
 
 _METRICS_MICRO_SELECT = """
@@ -4823,6 +4989,135 @@ def oracle_sql() -> dict[str, str]:
             FROM wn a JOIN wn b ON a.tok = b.tok AND a.doc_id < b.doc_id
             GROUP BY 1, 2
             HAVING round(sum(a.wn * b.wn), 6) >= 0.2
+        """,
+        "bm25_topk": f"""
+            WITH d AS (
+              SELECT doc_id,
+                     string_split_regex(lower(trim(text)), '\\s+') AS toks
+              FROM documents
+            ),
+            tok AS (
+              SELECT doc_id, unnest(toks) AS term FROM d
+            ),
+            tf AS (
+              SELECT doc_id, term, count(*)::DOUBLE AS tf
+              FROM tok WHERE term <> '' GROUP BY 1, 2
+            ),
+            dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+            dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+            q AS (
+              SELECT * FROM (VALUES
+                ('q1', ['hash', 'join']),
+                ('q2', ['vector', 'scan', 'batch']),
+                ('q3', ['customer', 'order'])
+              ) AS t(query_id, terms)
+            ),
+            qt AS (
+              SELECT query_id, unnest(list_distinct(terms)) AS term FROM q
+            ),
+            idf AS (
+              SELECT term,
+                     ln(1.0 + ((SELECT count(*)::DOUBLE FROM d) - df + 0.5)
+                              / (df + 0.5)) AS idf
+              FROM dfreq
+            ),
+            scored AS (
+              SELECT query_id, tf.doc_id,
+                     sum((idf * (tf * {1.2 + 1.0!r}))
+                         / (tf + {1.2!r} * ({1.0 - 0.75!r}
+                              + ({0.75!r} * dl) / (SELECT avg(dl) FROM dl))))
+                       AS score
+              FROM tf
+              JOIN qt USING (term)
+              JOIN idf USING (term)
+              JOIN dl ON tf.doc_id = dl.doc_id
+              GROUP BY 1, 2
+            ),
+            ranked AS (
+              SELECT query_id, doc_id, score,
+                     row_number() OVER (
+                       PARTITION BY query_id ORDER BY score DESC, doc_id
+                     ) AS rank
+              FROM scored
+            )
+            SELECT query_id, doc_id,
+                   {_micro_sql("score")} AS score_micro,
+                   rank::BIGINT AS rank
+            FROM ranked WHERE rank <= 10
+        """,
+        "meta_blocking_graph": f"""
+            WITH {_META_BLOCK_CTES}
+            SELECT record_id_l, record_id_r, cbs::BIGINT AS cbs,
+                   {_micro_sql("js")} AS js_micro
+            FROM graph
+        """,
+        "meta_blocking_cnp": f"""
+            WITH {_META_BLOCK_CTES},
+            incident AS (
+              SELECT record_id_l AS node, record_id_r AS other, js FROM graph
+              UNION ALL
+              SELECT record_id_r AS node, record_id_l AS other, js FROM graph
+            ),
+            kept AS (
+              SELECT DISTINCT least(node, other) AS record_id_l,
+                              greatest(node, other) AS record_id_r
+              FROM (
+                SELECT node, other,
+                       row_number() OVER (
+                         PARTITION BY node ORDER BY js DESC, other
+                       ) AS rk
+                FROM incident
+              ) WHERE rk <= 3
+            )
+            SELECT g.record_id_l, g.record_id_r, g.cbs::BIGINT AS cbs,
+                   {_micro_sql("g.js")} AS js_micro
+            FROM graph g
+            JOIN kept ON g.record_id_l = kept.record_id_l
+                     AND g.record_id_r = kept.record_id_r
+        """,
+        "unlinkables": f"""
+            WITH pairs AS (
+              SELECT a.doc_id AS l, b.doc_id AS r,
+                     a.n_chars AS nl, b.n_chars AS nr
+              FROM documents a JOIN documents b
+                ON ((a.lang = b.lang AND a.source = b.source)
+                    OR substr(a.text, 1, 50) = substr(b.text, 1, 50))
+                   AND a.doc_id < b.doc_id
+            ),
+            scored AS (
+              SELECT l, r,
+                     CASE
+                       WHEN nl = nr THEN 0.6::DOUBLE / 0.01::DOUBLE
+                       WHEN abs(nl - nr) <= 20 THEN 0.3::DOUBLE / 0.09::DOUBLE
+                       ELSE 0.1::DOUBLE / 0.9::DOUBLE
+                     END AS odds
+              FROM pairs
+            ),
+            halves AS (
+              SELECT l AS record_id, odds FROM scored
+              UNION ALL
+              SELECT r AS record_id, odds FROM scored
+            ),
+            best AS (SELECT record_id, max(odds) AS best FROM halves GROUP BY 1),
+            perrec AS (
+              SELECT d.doc_id AS record_id, b.best
+              FROM documents d LEFT JOIN best b ON d.doc_id = b.record_id
+            ),
+            hist AS (SELECT best, count(*) AS n_records FROM perrec GROUP BY 1),
+            cum AS (
+              SELECT best, n_records,
+                     sum(n_records) OVER (
+                       ORDER BY best ASC NULLS FIRST
+                       ROWS UNBOUNDED PRECEDING
+                     ) AS cum_records
+              FROM hist
+            )
+            SELECT {_micro_sql("best")} AS best_micro,
+                   n_records::BIGINT AS n_records,
+                   cum_records::BIGINT AS cum_records,
+                   {_micro_sql("cum_records / (SELECT count(*) FROM documents)")}
+                     AS cum_prop_micro
+            FROM cum
         """,
         "pr_curve": """
             WITH pairs AS (
