@@ -1072,6 +1072,41 @@ def q_unlinkables(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_calibration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram data over FS-scored labeled pairs: one
+    ≤n_bins-row aggregate, label = shared 50-char fingerprint (same
+    ground truth as pr_curve).  Bin means micro-quantized; the binned
+    probabilities are ratios of identical literal-derived doubles, so
+    binning is engine-invariant."""
+    from mismo_spark.compare.enum import compare
+    from mismo_spark.fs.calibration import calibration_curve
+    from mismo_spark.linker.key import KeyLinker
+    from mismo_spark.linker.or_ import OrLinker
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "text_fp", F.substring("text", 1, 50)
+    )
+    lk = OrLinker(
+        {
+            "langsrc": KeyLinker(["lang", "source"], task="dedupe"),
+            "textfp": KeyLinker(["text_fp"], task="dedupe"),
+        },
+        track_rules=False,
+    )(docs, docs)
+    scored = _fs_weights_len().score_compared(
+        compare(lk.links_with_both(), _len_comparers())
+    ).withColumn("is_match", F.col("text_fp_l") == F.col("text_fp_r"))
+    curve = calibration_curve(scored, n_bins=10)
+    return curve.select(
+        F.col("bin").cast("long").alias("bin"),
+        _micro(F.col("p_lo"), "p_lo_micro"),
+        _micro(F.col("p_hi"), "p_hi_micro"),
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        _micro(F.col("mean_predicted"), "mean_predicted_micro"),
+        _micro(F.col("fraction_matched"), "fraction_matched_micro"),
+    )
+
+
 def q_dup_token_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ExactSubstr-style duplicated-span detection (Lee et al. 2022):
     positional n-gram hashes -> corpus counts -> per-doc
@@ -4207,6 +4242,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "meta_blocking_graph": q_meta_blocking_graph,
         "meta_blocking_cnp": q_meta_blocking_cnp,
         "unlinkables": q_unlinkables,
+        "calibration_curve": q_calibration_curve,
         "pr_curve": q_pr_curve,
         "blocking_metrics": q_blocking_metrics,
         "blocking_schemes": q_blocking_schemes,
@@ -5118,6 +5154,46 @@ def oracle_sql() -> dict[str, str]:
                    {_micro_sql("cum_records / (SELECT count(*) FROM documents)")}
                      AS cum_prop_micro
             FROM cum
+        """,
+        "calibration_curve": f"""
+            WITH pairs AS (
+              SELECT a.n_chars AS nl, b.n_chars AS nr,
+                     (substr(a.text, 1, 50) = substr(b.text, 1, 50)) AS y
+              FROM documents a JOIN documents b
+                ON ((a.lang = b.lang AND a.source = b.source)
+                    OR substr(a.text, 1, 50) = substr(b.text, 1, 50))
+                   AND a.doc_id < b.doc_id
+            ),
+            scored AS (
+              SELECT CASE
+                       WHEN nl = nr THEN 0.6::DOUBLE / 0.01::DOUBLE
+                       WHEN abs(nl - nr) <= 20 THEN 0.3::DOUBLE / 0.09::DOUBLE
+                       ELSE 0.1::DOUBLE / 0.9::DOUBLE
+                     END AS odds,
+                     y
+              FROM pairs
+            ),
+            probs AS (
+              SELECT odds / (1.0 + odds) AS p,
+                     CASE WHEN y THEN 1.0 ELSE 0.0 END AS yd
+              FROM scored
+            ),
+            binned AS (
+              SELECT least(CAST(floor(p * 10.0) AS BIGINT), 9) AS bin, p, yd
+              FROM probs
+            ),
+            agg AS (
+              SELECT bin, count(*) AS n_pairs, avg(p) AS mean_predicted,
+                     avg(yd) AS fraction_matched
+              FROM binned GROUP BY bin
+            )
+            SELECT bin,
+                   {_micro_sql("bin / 10.0")} AS p_lo_micro,
+                   {_micro_sql("(bin + 1) / 10.0")} AS p_hi_micro,
+                   n_pairs::BIGINT AS n_pairs,
+                   {_micro_sql("mean_predicted")} AS mean_predicted_micro,
+                   {_micro_sql("fraction_matched")} AS fraction_matched_micro
+            FROM agg
         """,
         "pr_curve": """
             WITH pairs AS (
