@@ -4154,6 +4154,25 @@ def q_link_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic–Adar / common-neighbor link prediction
+    (mismo_spark/graph.py link_prediction) over the citation graph —
+    the missed-merge queue: non-adjacent doc pairs sharing neighbors,
+    scored by Σ 1/ln(deg(shared)).  AA sums have ≤ a handful of terms
+    here so micro-quantization is ULP-safe."""
+    from mismo_spark.graph import link_prediction
+
+    edges, _ = _citation_edges(spark, sf_dir)
+    out = link_prediction(edges, max_degree=1000, min_common=2)
+    return out.select(
+        F.col("node_a").cast("long").alias("node_a"),
+        F.col("node_b").cast("long").alias("node_b"),
+        F.col("common_neighbors").cast("long").alias("common_neighbors"),
+        _micro("adamic_adar", "adamic_adar_micro"),
+        _micro("jaccard", "jaccard_micro"),
+    )
+
+
 def q_anchor_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """extract_anchors + top_anchor_texts (mismo_spark/graph.py) over
     synthetic pages whose anchors carry the linking doc's source label
@@ -4257,6 +4276,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_degrees": q_link_degrees,
         "anchor_texts": q_anchor_texts,
         "link_reciprocity": q_link_reciprocity,
+        "link_prediction": q_link_prediction,
         "edit_distance_pairs": q_edit_distance,
         "edit_distance_link": q_edit_distance_link,
         "golden_record": q_golden_record,
@@ -6869,6 +6889,52 @@ def oracle_sql() -> dict[str, str]:
                    ((1000000 * COALESCE(c.n_reciprocal, 0)) // o.n_out)::BIGINT
                      AS reciprocity_micro
             FROM o LEFT JOIN c ON o.node = c.node
+        """,
+        "link_prediction": f"""
+            WITH e AS MATERIALIZED ({citation_edges}),
+            und AS MATERIALIZED (
+              SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+              FROM e WHERE src <> dst
+            ),
+            nbrs AS MATERIALIZED (
+              SELECT u AS node, v AS nbr FROM und
+              UNION ALL
+              SELECT v AS node, u AS nbr FROM und
+            ),
+            deg AS MATERIALIZED (
+              SELECT node, COUNT(*) AS degree FROM nbrs GROUP BY node
+            ),
+            ws AS MATERIALIZED (
+              SELECT n.node, n.nbr, d.degree
+              FROM nbrs n JOIN deg d ON n.node = d.node
+              WHERE d.degree >= 2 AND d.degree <= 1000
+            ),
+            pairs AS (
+              SELECT a.nbr AS node_a, b.nbr AS node_b,
+                     COUNT(*) AS common_neighbors,
+                     SUM(1.0 / ln(a.degree)) AS adamic_adar
+              FROM ws a JOIN ws b
+                ON a.node = b.node AND a.nbr < b.nbr
+              GROUP BY a.nbr, b.nbr
+              HAVING COUNT(*) >= 2
+            ),
+            non_edges AS (
+              SELECT p.* FROM pairs p
+              WHERE NOT EXISTS (
+                SELECT 1 FROM und
+                WHERE und.u = p.node_a AND und.v = p.node_b
+              )
+            )
+            SELECT p.node_a::BIGINT AS node_a, p.node_b::BIGINT AS node_b,
+                   p.common_neighbors::BIGINT AS common_neighbors,
+                   {_micro_sql("p.adamic_adar")} AS adamic_adar_micro,
+                   {_micro_sql(
+                       "p.common_neighbors::DOUBLE / "
+                       "(da.degree + db.degree - p.common_neighbors)"
+                   )} AS jaccard_micro
+            FROM non_edges p
+            JOIN deg da ON p.node_a = da.node
+            JOIN deg db ON p.node_b = db.node
         """,
         "host_rank": pagerank_oracle_sql(
             f"""SELECT s.source AS src, t.source AS dst, COUNT(*) AS weight

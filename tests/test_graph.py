@@ -436,3 +436,49 @@ def test_pagerank_rejects_nonpositive_weights_rows(spark):
     for v in want:
         assert got[v] == pytest.approx(want[v], abs=1e-12)
     assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+class TestLinkPrediction:
+    """Adamic–Adar / common-neighbor prediction over a hand-computed
+    graph: edges 1-2, 1-3, 2-3, 2-4, 3-4.  Degrees 1:2, 2:3, 3:3, 4:2.
+    The only non-adjacent pair sharing neighbors is (1, 4), via {2, 3}:
+    cn=2, AA = 2/ln(3), jaccard = 2/(2+2-2) = 1.0."""
+
+    EDGES = [(1, 2), (1, 3), (2, 3), (2, 4), (3, 4)]
+
+    def _df(self, spark):
+        return spark.createDataFrame(self.EDGES, "src long, dst long")
+
+    def test_predicts_missing_pair(self, spark):
+        from mismo_spark.graph import link_prediction
+
+        out = link_prediction(self._df(spark)).collect()
+        assert len(out) == 1
+        row = out[0]
+        assert (row.node_a, row.node_b) == (1, 4)
+        assert row.common_neighbors == 2
+        assert row.adamic_adar == pytest.approx(2.0 / np.log(3.0))
+        assert row.jaccard == pytest.approx(1.0)
+
+    def test_max_degree_cap_drops_hub_wedges(self, spark):
+        from mismo_spark.graph import link_prediction
+
+        # cap 2 removes nodes 2 and 3 (degree 3) as shared neighbors;
+        # the only remaining wedge pair (2, 3) via shared 1 and 4 is an
+        # existing edge, so nothing is predicted
+        out = link_prediction(self._df(spark), max_degree=2).collect()
+        assert out == []
+
+    def test_direction_and_duplicates_ignored(self, spark):
+        from mismo_spark.graph import link_prediction
+
+        dup = self.EDGES + [(2, 1), (4, 3), (1, 2)]
+        df = spark.createDataFrame(dup, "src long, dst long")
+        out = link_prediction(df).collect()
+        assert len(out) == 1 and out[0].common_neighbors == 2
+
+    def test_min_common_filters(self, spark):
+        from mismo_spark.graph import link_prediction
+
+        out = link_prediction(self._df(spark), min_common=3).collect()
+        assert out == []
