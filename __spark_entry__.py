@@ -816,6 +816,27 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "user_id", "session_id")
 
 
+def q_time_window_link(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TimeWindowLinker (mismo_spark/linker/time.py): same-user event
+    pairs within 600 s, found via the bucket equi-join (exploded
+    adjacent-bucket probe, exactly-once generation) — never an
+    inequality join.  All arithmetic is integer microseconds
+    (unix_micros / epoch_us), so the oracle replay is exact."""
+    from mismo_spark.linker.time import TimeWindowLinker
+
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select(
+            F.col("event_id").alias("record_id"), "ts", "user_id"
+        )
+    )
+    lk = TimeWindowLinker("ts", window=600.0, keys=["user_id"], task="dedupe")
+    return lk(ev).links.select(
+        F.col("record_id_l").cast("long").alias("record_id_l"),
+        F.col("record_id_r").cast("long").alias("record_id_r"),
+    )
+
+
 def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-session aggregates via F.session_window (batch mode; the
     same expression runs under Structured Streaming with a watermark).
@@ -4384,6 +4405,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "surt": q_surt,
         "blocklist_filter": q_blocklist_filter,
         "url_match_level": q_url_match_level,
+        "time_window_link": q_time_window_link,
         "sessionize": q_sessionize,
         "session_stats": q_session_stats,
         "array_ops": q_array_ops,
@@ -6635,6 +6657,14 @@ def oracle_sql() -> dict[str, str]:
                     WHEN dom_l <> '' AND dom_l = dom_r THEN 2
                     ELSE 3 END)::INT AS lvl
             FROM piv
+        """,
+        "time_window_link": """
+            SELECT least(a.event_id, b.event_id)::BIGINT AS record_id_l,
+                   greatest(a.event_id, b.event_id)::BIGINT AS record_id_r
+            FROM events a JOIN events b
+              ON a.user_id = b.user_id
+             AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 600 * 1000000
+             AND a.event_id < b.event_id
         """,
         "sessionize": """
             SELECT event_id, user_id,
