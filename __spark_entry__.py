@@ -816,6 +816,71 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "user_id", "session_id")
 
 
+_LEARN_RULES = {
+    "fp20": lambda df: F.substring(df["text"], 1, 20),
+    "langsrc": ["lang", "source"],
+    "lenbin": lambda df: F.floor(df["n_chars"] / 100),
+    "nchars": "n_chars",
+}
+
+
+def _learn_inputs(spark: SparkSession, sf_dir: str):
+    """Records + labeled matches for blocking-rule learning: truth is
+    the shared 50-char text fingerprint (same ground truth as
+    pr_curve)."""
+    docs = _docs(spark, sf_dir).drop("doc_id")  # _docs already adds record_id
+    fp = docs.select(
+        "record_id", F.substring("text", 1, 50).alias("__fp")
+    )
+    labels = (
+        fp.alias("a")
+        .join(fp.alias("b"), F.col("a.__fp") == F.col("b.__fp"))
+        .filter(F.col("a.record_id") < F.col("b.record_id"))
+        .select(
+            F.col("a.record_id").alias("record_id_l"),
+            F.col("b.record_id").alias("record_id_r"),
+        )
+    )
+    return docs, labels
+
+
+def q_blocking_rule_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """blocking_rule_stats (mismo_spark/linker/learn.py): labeled-match
+    coverage vs corpus-wide candidate volume for 4 candidate rules —
+    the evidence table behind blocking-scheme design."""
+    from mismo_spark.linker.learn import blocking_rule_stats
+
+    docs, labels = _learn_inputs(spark, sf_dir)
+    out = blocking_rule_stats(docs, labels, _LEARN_RULES)
+    return out.select(
+        "rule",
+        F.col("covered").cast("long").alias("covered"),
+        F.col("n_labels").cast("long").alias("n_labels"),
+        _micro("recall", "recall_micro"),
+        F.col("est_pairs").cast("long").alias("est_pairs"),
+    )
+
+
+def q_blocking_rule_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """greedy_blocking_rules (mismo_spark/linker/learn.py): greedy
+    weighted set cover over the labeled matches, k=3, candidates
+    {lenbin, langsrc, nchars} (fp20 excluded — it IS the truth key and
+    would cover in one step).  The oracle unrolls the greedy choice as
+    CASE levels keyed on each step's argmin pick."""
+    from mismo_spark.linker.learn import greedy_blocking_rules
+
+    docs, labels = _learn_inputs(spark, sf_dir)
+    rules = {k: _LEARN_RULES[k] for k in ("langsrc", "lenbin", "nchars")}
+    out = greedy_blocking_rules(docs, labels, rules, k=3)
+    return out.select(
+        F.col("step").cast("long").alias("step"),
+        "rule",
+        F.col("new_covered").cast("long").alias("new_covered"),
+        F.col("cum_covered").cast("long").alias("cum_covered"),
+        F.col("est_pairs").cast("long").alias("est_pairs"),
+    )
+
+
 def q_time_window_link(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TimeWindowLinker (mismo_spark/linker/time.py): same-user event
     pairs within 600 s, found via the bucket equi-join (exploded
@@ -4298,6 +4363,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_texts": q_anchor_texts,
         "link_reciprocity": q_link_reciprocity,
         "link_prediction": q_link_prediction,
+        "time_window_link": q_time_window_link,
+        "blocking_rule_stats": q_blocking_rule_stats,
+        "blocking_rule_greedy": q_blocking_rule_greedy,
         "edit_distance_pairs": q_edit_distance,
         "edit_distance_link": q_edit_distance_link,
         "golden_record": q_golden_record,
@@ -4405,7 +4473,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "surt": q_surt,
         "blocklist_filter": q_blocklist_filter,
         "url_match_level": q_url_match_level,
-        "time_window_link": q_time_window_link,
         "sessionize": q_sessionize,
         "session_stats": q_session_stats,
         "array_ops": q_array_ops,
@@ -6657,6 +6724,186 @@ def oracle_sql() -> dict[str, str]:
                     WHEN dom_l <> '' AND dom_l = dom_r THEN 2
                     ELSE 3 END)::INT AS lvl
             FROM piv
+        """,
+        "blocking_rule_stats": """
+            WITH labels AS MATERIALIZED (
+              SELECT
+                (a.lang IS NOT NULL AND b.lang IS NOT NULL
+                 AND a.lang = b.lang AND a.source IS NOT NULL
+                 AND b.source IS NOT NULL AND a.source = b.source)
+                  AS cov_langsrc,
+                (a.n_chars IS NOT NULL AND b.n_chars IS NOT NULL
+                 AND a.n_chars = b.n_chars) AS cov_nchars,
+                (substr(a.text, 1, 20) IS NOT NULL
+                 AND substr(b.text, 1, 20) IS NOT NULL
+                 AND substr(a.text, 1, 20) = substr(b.text, 1, 20))
+                  AS cov_fp20,
+                (a.n_chars IS NOT NULL AND b.n_chars IS NOT NULL
+                 AND (a.n_chars // 100) = (b.n_chars // 100))
+                  AS cov_lenbin
+              FROM documents a JOIN documents b
+                ON substr(a.text, 1, 50) = substr(b.text, 1, 50)
+               AND a.doc_id < b.doc_id
+            ),
+            costs AS MATERIALIZED (
+              SELECT 'fp20' AS rule,
+                     COALESCE(SUM(n * (n - 1) // 2), 0) AS est_pairs
+              FROM (SELECT COUNT(*) AS n FROM documents
+                    WHERE substr(text, 1, 20) IS NOT NULL
+                    GROUP BY substr(text, 1, 20))
+              UNION ALL
+              SELECT 'langsrc', COALESCE(SUM(n * (n - 1) // 2), 0)
+              FROM (SELECT COUNT(*) AS n FROM documents
+                    WHERE lang IS NOT NULL AND source IS NOT NULL
+                    GROUP BY lang, source)
+              UNION ALL
+              SELECT 'lenbin', COALESCE(SUM(n * (n - 1) // 2), 0)
+              FROM (SELECT COUNT(*) AS n FROM documents
+                    WHERE n_chars IS NOT NULL GROUP BY n_chars // 100)
+              UNION ALL
+              SELECT 'nchars', COALESCE(SUM(n * (n - 1) // 2), 0)
+              FROM (SELECT COUNT(*) AS n FROM documents
+                    WHERE n_chars IS NOT NULL GROUP BY n_chars)
+            ),
+            counts AS (
+              SELECT COUNT(*) AS n_labels,
+                     COALESCE(SUM(cov_fp20::INT), 0) AS c_fp20,
+                     COALESCE(SUM(cov_langsrc::INT), 0) AS c_langsrc,
+                     COALESCE(SUM(cov_lenbin::INT), 0) AS c_lenbin,
+                     COALESCE(SUM(cov_nchars::INT), 0) AS c_nchars
+              FROM labels
+            ),
+            unp AS (
+              SELECT 'fp20' AS rule, c_fp20 AS covered, n_labels FROM counts
+              UNION ALL
+              SELECT 'langsrc', c_langsrc, n_labels FROM counts
+              UNION ALL
+              SELECT 'lenbin', c_lenbin, n_labels FROM counts
+              UNION ALL
+              SELECT 'nchars', c_nchars, n_labels FROM counts
+            )
+            SELECT u.rule, u.covered::BIGINT AS covered,
+                   u.n_labels::BIGINT AS n_labels,
+                   CASE WHEN (CASE WHEN u.n_labels = 0 THEN 0.0 ELSE u.covered::DOUBLE / u.n_labels END) IS NULL THEN NULL WHEN isnan(CASE WHEN u.n_labels = 0 THEN 0.0 ELSE u.covered::DOUBLE / u.n_labels END) THEN -1000000001 WHEN (CASE WHEN u.n_labels = 0 THEN 0.0 ELSE u.covered::DOUBLE / u.n_labels END) >= 1e12 THEN 1000000002 WHEN (CASE WHEN u.n_labels = 0 THEN 0.0 ELSE u.covered::DOUBLE / u.n_labels END) <= -1e12 THEN -1000000002 ELSE CAST(floor((CASE WHEN u.n_labels = 0 THEN 0.0 ELSE u.covered::DOUBLE / u.n_labels END) * 1000000 + 0.5) AS BIGINT) END
+                     AS recall_micro,
+                   c.est_pairs::BIGINT AS est_pairs
+            FROM unp u JOIN costs c ON u.rule = c.rule
+        """,
+        "blocking_rule_greedy": """
+            WITH labels AS MATERIALIZED (
+              SELECT
+                (a.lang IS NOT NULL AND b.lang IS NOT NULL
+                 AND a.lang = b.lang AND a.source IS NOT NULL
+                 AND b.source IS NOT NULL AND a.source = b.source)
+                  AS cov_langsrc,
+                (a.n_chars IS NOT NULL AND b.n_chars IS NOT NULL
+                 AND a.n_chars = b.n_chars) AS cov_nchars,
+                (substr(a.text, 1, 20) IS NOT NULL
+                 AND substr(b.text, 1, 20) IS NOT NULL
+                 AND substr(a.text, 1, 20) = substr(b.text, 1, 20))
+                  AS cov_fp20,
+                (a.n_chars IS NOT NULL AND b.n_chars IS NOT NULL
+                 AND (a.n_chars // 100) = (b.n_chars // 100))
+                  AS cov_lenbin
+              FROM documents a JOIN documents b
+                ON substr(a.text, 1, 50) = substr(b.text, 1, 50)
+               AND a.doc_id < b.doc_id
+            ),
+            costs AS MATERIALIZED (
+              SELECT 'langsrc' AS rule, COALESCE(SUM(n * (n - 1) // 2), 0) AS est_pairs
+              FROM (SELECT COUNT(*) AS n FROM documents
+                    WHERE lang IS NOT NULL AND source IS NOT NULL
+                    GROUP BY lang, source)
+              UNION ALL
+              SELECT 'lenbin', COALESCE(SUM(n * (n - 1) // 2), 0)
+              FROM (SELECT COUNT(*) AS n FROM documents
+                    WHERE n_chars IS NOT NULL GROUP BY n_chars // 100)
+              UNION ALL
+              SELECT 'nchars', COALESCE(SUM(n * (n - 1) // 2), 0)
+              FROM (SELECT COUNT(*) AS n FROM documents
+                    WHERE n_chars IS NOT NULL GROUP BY n_chars)
+            ),
+            c1 AS (
+              SELECT * FROM (
+                SELECT 'langsrc' AS rule,
+                       COALESCE(SUM(cov_langsrc::INT), 0) AS cov FROM labels
+                UNION ALL
+                SELECT 'lenbin', COALESCE(SUM(cov_lenbin::INT), 0) FROM labels
+                UNION ALL
+                SELECT 'nchars', COALESCE(SUM(cov_nchars::INT), 0) FROM labels
+              )
+            ),
+            p1 AS (
+              SELECT c.rule, c.cov FROM c1 c
+              JOIN costs ON c.rule = costs.rule
+              WHERE c.cov > 0
+              ORDER BY c.cov DESC, costs.est_pairs ASC, c.rule ASC
+              LIMIT 1
+            ),
+            u1 AS (
+              SELECT * FROM labels
+              WHERE NOT COALESCE(
+                CASE (SELECT rule FROM p1)
+                  WHEN 'langsrc' THEN cov_langsrc
+                  WHEN 'lenbin' THEN cov_lenbin
+                  WHEN 'nchars' THEN cov_nchars
+                END, FALSE)
+            ),
+            c2 AS (
+              SELECT * FROM (
+                SELECT 'langsrc' AS rule,
+                       COALESCE(SUM(cov_langsrc::INT), 0) AS cov FROM u1
+                UNION ALL
+                SELECT 'lenbin', COALESCE(SUM(cov_lenbin::INT), 0) FROM u1
+                UNION ALL
+                SELECT 'nchars', COALESCE(SUM(cov_nchars::INT), 0) FROM u1
+              )
+              WHERE rule NOT IN (SELECT rule FROM p1)
+            ),
+            p2 AS (
+              SELECT c.rule, c.cov FROM c2 c
+              JOIN costs ON c.rule = costs.rule
+              WHERE c.cov > 0
+              ORDER BY c.cov DESC, costs.est_pairs ASC, c.rule ASC
+              LIMIT 1
+            ),
+            u2 AS (
+              SELECT * FROM u1
+              WHERE NOT COALESCE(
+                CASE (SELECT rule FROM p2)
+                  WHEN 'langsrc' THEN cov_langsrc
+                  WHEN 'lenbin' THEN cov_lenbin
+                  WHEN 'nchars' THEN cov_nchars
+                END, FALSE)
+            ),
+            c3 AS (
+              SELECT * FROM (
+                SELECT 'langsrc' AS rule,
+                       COALESCE(SUM(cov_langsrc::INT), 0) AS cov FROM u2
+                UNION ALL
+                SELECT 'lenbin', COALESCE(SUM(cov_lenbin::INT), 0) FROM u2
+                UNION ALL
+                SELECT 'nchars', COALESCE(SUM(cov_nchars::INT), 0) FROM u2
+              )
+              WHERE rule NOT IN (SELECT rule FROM p1 UNION ALL SELECT rule FROM p2)
+            ),
+            p3 AS (
+              SELECT c.rule, c.cov FROM c3 c
+              JOIN costs ON c.rule = costs.rule
+              WHERE c.cov > 0
+              ORDER BY c.cov DESC, costs.est_pairs ASC, c.rule ASC
+              LIMIT 1
+            ),
+            steps AS (
+              SELECT 1 AS step, rule, cov FROM p1
+              UNION ALL SELECT 2, rule, cov FROM p2
+              UNION ALL SELECT 3, rule, cov FROM p3
+            )
+            SELECT s.step::BIGINT AS step, s.rule,
+                   s.cov::BIGINT AS new_covered,
+                   (SUM(s.cov) OVER (ORDER BY s.step))::BIGINT AS cum_covered,
+                   c.est_pairs::BIGINT AS est_pairs
+            FROM steps s JOIN costs c ON s.rule = c.rule
         """,
         "time_window_link": """
             SELECT least(a.event_id, b.event_id)::BIGINT AS record_id_l,
