@@ -4259,6 +4259,23 @@ def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_edge_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """edge_support (mismo_spark/graph.py): per-edge triangle count
+    over the citation graph — the weak-bridge detector: transitive
+    closure welds entities through single links, and a cross-entity
+    bridge is almost always support-0 while intra-entity links sit in
+    triangle neighborhoods."""
+    from mismo_spark.graph import edge_support
+
+    edges, _ = _citation_edges(spark, sf_dir)
+    out = edge_support(edges, max_degree=1000)
+    return out.select(
+        F.col("node_a").cast("long").alias("node_a"),
+        F.col("node_b").cast("long").alias("node_b"),
+        F.col("support").cast("long").alias("support"),
+    )
+
+
 def q_anchor_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """extract_anchors + top_anchor_texts (mismo_spark/graph.py) over
     synthetic pages whose anchors carry the linking doc's source label
@@ -4363,6 +4380,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_texts": q_anchor_texts,
         "link_reciprocity": q_link_reciprocity,
         "link_prediction": q_link_prediction,
+        "edge_support": q_edge_support,
         "time_window_link": q_time_window_link,
         "blocking_rule_stats": q_blocking_rule_stats,
         "blocking_rule_greedy": q_blocking_rule_greedy,
@@ -7166,6 +7184,35 @@ def oracle_sql() -> dict[str, str]:
                    ((1000000 * COALESCE(c.n_reciprocal, 0)) // o.n_out)::BIGINT
                      AS reciprocity_micro
             FROM o LEFT JOIN c ON o.node = c.node
+        """,
+        "edge_support": f"""
+            WITH e AS MATERIALIZED ({citation_edges}),
+            und AS MATERIALIZED (
+              SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+              FROM e WHERE src <> dst
+            ),
+            nbrs AS MATERIALIZED (
+              SELECT u AS node, v AS nbr FROM und
+              UNION ALL
+              SELECT v AS node, u AS nbr FROM und
+            ),
+            deg AS MATERIALIZED (
+              SELECT node, COUNT(*) AS degree FROM nbrs GROUP BY node
+            ),
+            ws AS MATERIALIZED (
+              SELECT n.node, n.nbr
+              FROM nbrs n JOIN deg d ON n.node = d.node
+              WHERE d.degree >= 2 AND d.degree <= 1000
+            ),
+            wc AS (
+              SELECT a.nbr AS node_a, b.nbr AS node_b, COUNT(*) AS support
+              FROM ws a JOIN ws b ON a.node = b.node AND a.nbr < b.nbr
+              GROUP BY a.nbr, b.nbr
+            )
+            SELECT und.u::BIGINT AS node_a, und.v::BIGINT AS node_b,
+                   COALESCE(wc.support, 0)::BIGINT AS support
+            FROM und LEFT JOIN wc
+              ON und.u = wc.node_a AND und.v = wc.node_b
         """,
         "link_prediction": f"""
             WITH e AS MATERIALIZED ({citation_edges}),

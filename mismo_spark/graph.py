@@ -490,6 +490,67 @@ def link_prediction(
     )
 
 
+def edge_support(
+    edges: DataFrame,
+    *,
+    src_column: str = "src",
+    dst_column: str = "dst",
+    max_degree: int | None = 1000,
+) -> DataFrame:
+    """→ one row per undirected edge: (node_a, node_b, support) where
+    ``support`` is the number of triangles the edge participates in
+    (common neighbors of its endpoints).  node_a < node_b; every input
+    edge appears, support 0 included.
+
+    The cluster-QA use: transitive closure welds entities through
+    single links, and a true cross-entity bridge is almost always
+    *unsupported* — no third record links to both endpoints — while
+    intra-entity links sit in dense triangle neighborhoods.  Rank
+    accepted links by (support ASC, score ASC) and the top of the list
+    is the chain-breaking review queue; combined with
+    ``cluster.decremental.remove_links`` it repairs welded clusters
+    without re-clustering from scratch.  (Support = the "embeddedness"
+    of Easley–Kleinberg; same wedge algebra as :func:`link_prediction`.)
+
+    Plan shape: identical to link_prediction's wedge join — shuffle
+    keyed by the shared neighbor, ``max_degree`` caps hub fan-out (a
+    capped hub's triangles through it are undercounted; at web scale
+    those are navigation hubs, not entity evidence) — then an equi-join
+    of wedge counts back onto the edge list instead of an anti-join."""
+    und = (
+        edges.select(
+            F.least(src_column, dst_column).alias("u"),
+            F.greatest(src_column, dst_column).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .dropDuplicates(["u", "v"])
+    )
+    nbrs = und.select(F.col("u").alias("node"), F.col("v").alias("nbr")).unionByName(
+        und.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
+    )
+    deg = nbrs.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
+    wedge_src = nbrs.join(deg, "node").filter(F.col("degree") >= 2)
+    if max_degree is not None:
+        wedge_src = wedge_src.filter(F.col("degree") <= max_degree)
+    left = wedge_src.select(F.col("node").alias("b"), F.col("nbr").alias("node_a"))
+    right = wedge_src.select(F.col("node").alias("b"), F.col("nbr").alias("node_b"))
+    wedge_counts = (
+        left.join(right, "b")
+        .filter(F.col("node_a") < F.col("node_b"))
+        .groupBy("node_a", "node_b")
+        .agg(F.count(F.lit(1)).alias("support"))
+    )
+    return (
+        und.select(F.col("u").alias("node_a"), F.col("v").alias("node_b"))
+        .join(wedge_counts, ["node_a", "node_b"], "left")
+        .select(
+            "node_a",
+            "node_b",
+            F.coalesce("support", F.lit(0)).cast("long").alias("support"),
+        )
+    )
+
+
 def reciprocity(
     edges: DataFrame,
     *,

@@ -482,3 +482,36 @@ class TestLinkPrediction:
 
         out = link_prediction(self._df(spark), min_common=3).collect()
         assert out == []
+
+
+class TestEdgeSupport:
+    """Triangle support per edge: graph = triangle {1,2,3} + pendant
+    3-4 + bridge 4-5 into triangle {5,6,7}."""
+
+    EDGES = [
+        (1, 2), (2, 3), (1, 3),
+        (3, 4), (4, 5),
+        (5, 6), (6, 7), (5, 7),
+    ]
+
+    def test_supports(self, spark):
+        from mismo_spark.graph import edge_support
+
+        df = spark.createDataFrame(self.EDGES, "src long, dst long")
+        got = {
+            (r.node_a, r.node_b): r.support
+            for r in edge_support(df).collect()
+        }
+        assert got == {
+            (1, 2): 1, (2, 3): 1, (1, 3): 1,
+            (3, 4): 0, (4, 5): 0,
+            (5, 6): 1, (6, 7): 1, (5, 7): 1,
+        }
+
+    def test_every_edge_present_once(self, spark):
+        from mismo_spark.graph import edge_support
+
+        dup = self.EDGES + [(2, 1), (7, 5)]
+        df = spark.createDataFrame(dup, "src long, dst long")
+        out = edge_support(df)
+        assert out.count() == len(self.EDGES)
