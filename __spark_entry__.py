@@ -4276,6 +4276,23 @@ def q_edge_support(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """local_clustering (mismo_spark/graph.py): per-node triangle count
+    and Watts-Strogatz clustering coefficient over the citation graph —
+    near-zero clustering flags hub records stitched onto unrelated
+    records (shared default values)."""
+    from mismo_spark.graph import local_clustering
+
+    edges, _ = _citation_edges(spark, sf_dir)
+    out = local_clustering(edges, max_degree=1000)
+    return out.select(
+        F.col("node").cast("long").alias("node"),
+        F.col("degree").cast("long").alias("degree"),
+        F.col("triangles").cast("long").alias("triangles"),
+        _micro("clustering", "clustering_micro"),
+    )
+
+
 def q_anchor_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """extract_anchors + top_anchor_texts (mismo_spark/graph.py) over
     synthetic pages whose anchors carry the linking doc's source label
@@ -4381,6 +4398,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_reciprocity": q_link_reciprocity,
         "link_prediction": q_link_prediction,
         "edge_support": q_edge_support,
+        "local_clustering": q_local_clustering,
         "time_window_link": q_time_window_link,
         "blocking_rule_stats": q_blocking_rule_stats,
         "blocking_rule_greedy": q_blocking_rule_greedy,
@@ -7184,6 +7202,40 @@ def oracle_sql() -> dict[str, str]:
                    ((1000000 * COALESCE(c.n_reciprocal, 0)) // o.n_out)::BIGINT
                      AS reciprocity_micro
             FROM o LEFT JOIN c ON o.node = c.node
+        """,
+        "local_clustering": f"""
+            WITH e AS MATERIALIZED ({citation_edges}),
+            und AS MATERIALIZED (
+              SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+              FROM e WHERE src <> dst
+            ),
+            nbrs AS MATERIALIZED (
+              SELECT u AS node, v AS nbr FROM und
+              UNION ALL
+              SELECT v AS node, u AS nbr FROM und
+            ),
+            deg AS MATERIALIZED (
+              SELECT node, COUNT(*) AS degree FROM nbrs GROUP BY node
+            ),
+            ws AS MATERIALIZED (
+              SELECT n.node, n.nbr
+              FROM nbrs n JOIN deg d ON n.node = d.node
+              WHERE d.degree >= 2 AND d.degree <= 1000
+            ),
+            tri AS (
+              SELECT a.node, COUNT(*) AS triangles
+              FROM ws a JOIN ws b ON a.node = b.node AND a.nbr < b.nbr
+              WHERE EXISTS (
+                SELECT 1 FROM und
+                WHERE und.u = a.nbr AND und.v = b.nbr
+              )
+              GROUP BY a.node
+            )
+            SELECT d.node::BIGINT AS node, d.degree::BIGINT AS degree,
+                   COALESCE(t.triangles, 0)::BIGINT AS triangles,
+                   {_micro_sql("CASE WHEN d.degree > 1000 THEN NULL WHEN d.degree < 2 THEN 0.0 ELSE 2.0 * COALESCE(t.triangles, 0) / (d.degree * (d.degree - 1)) END")}
+                     AS clustering_micro
+            FROM deg d LEFT JOIN tri t ON d.node = t.node
         """,
         "edge_support": f"""
             WITH e AS MATERIALIZED ({citation_edges}),

@@ -551,6 +551,84 @@ def edge_support(
     )
 
 
+def local_clustering(
+    edges: DataFrame,
+    *,
+    src_column: str = "src",
+    dst_column: str = "dst",
+    max_degree: int | None = 1000,
+) -> DataFrame:
+    """→ one row per node of the undirected graph: (node, degree,
+    triangles, clustering) with clustering = 2·t / (d·(d−1)) (Watts &
+    Strogatz 1998), 0.0 for degree < 2.
+
+    ER reading: a record whose link neighborhood has near-zero
+    clustering is a hub stitched onto otherwise-unrelated records (a
+    shared default value, an empty-string key) — the node-level view
+    of :func:`edge_support`'s per-edge signal.  A triangle {u,v,w} is
+    one closed wedge at each member, so t(v) = closed wedges with apex
+    v: the wedge join keyed by the apex (same plan as edge_support)
+    left-semi-joined against the edge list.  ``max_degree`` excludes
+    mega-hub apexes from the wedge join (their clustering ≈ 0 at web
+    scale anyway); excluded nodes report NULL clustering rather than a
+    fake 0."""
+    und = (
+        edges.select(
+            F.least(src_column, dst_column).alias("u"),
+            F.greatest(src_column, dst_column).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .dropDuplicates(["u", "v"])
+    )
+    nbrs = und.select(F.col("u").alias("node"), F.col("v").alias("nbr")).unionByName(
+        und.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
+    )
+    deg = nbrs.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
+    wedge_src = nbrs.join(deg, "node").filter(F.col("degree") >= 2)
+    capped = F.lit(False)
+    if max_degree is not None:
+        wedge_src = wedge_src.filter(F.col("degree") <= max_degree)
+        capped = F.col("degree") > F.lit(max_degree)
+    apex = (
+        wedge_src.select(
+            F.col("node").alias("__apex"),
+            F.col("nbr").alias("node_a"),
+        )
+        .join(
+            wedge_src.select(
+                F.col("node").alias("__apex"), F.col("nbr").alias("node_b")
+            ),
+            "__apex",
+        )
+        .filter(F.col("node_a") < F.col("node_b"))
+        .join(
+            und.select(
+                F.col("u").alias("node_a"), F.col("v").alias("node_b")
+            ),
+            ["node_a", "node_b"],
+            "left_semi",
+        )
+        .groupBy(F.col("__apex").alias("node"))
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    return (
+        deg.join(apex, "node", "left")
+        .select(
+            "node",
+            "degree",
+            F.coalesce("triangles", F.lit(0)).cast("long").alias("triangles"),
+            F.when(capped, F.lit(None).cast("double"))
+            .when(F.col("degree") < 2, F.lit(0.0))
+            .otherwise(
+                2.0
+                * F.coalesce("triangles", F.lit(0))
+                / (F.col("degree") * (F.col("degree") - 1))
+            )
+            .alias("clustering"),
+        )
+    )
+
+
 def reciprocity(
     edges: DataFrame,
     *,

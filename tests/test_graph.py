@@ -515,3 +515,38 @@ class TestEdgeSupport:
         df = spark.createDataFrame(dup, "src long, dst long")
         out = edge_support(df)
         assert out.count() == len(self.EDGES)
+
+
+class TestLocalClustering:
+    """Triangle {1,2,3} + pendant 3-4: deg 1:2, 2:2, 3:3, 4:1.
+    t(1)=t(2)=t(3)=1, t(4)=0. cc: 1→1.0, 2→1.0, 3→2/(3·2)=0.333…,
+    4→0.0 (degree<2)."""
+
+    def test_coefficients(self, spark):
+        from mismo_spark.graph import local_clustering
+
+        df = spark.createDataFrame(
+            [(1, 2), (2, 3), (1, 3), (3, 4)], "src long, dst long"
+        )
+        got = {
+            r.node: (r.degree, r.triangles, r.clustering)
+            for r in local_clustering(df).collect()
+        }
+        assert got[1] == (2, 1, 1.0)
+        assert got[2] == (2, 1, 1.0)
+        assert got[3][0] == 3 and got[3][1] == 1
+        assert got[3][2] == pytest.approx(1 / 3)
+        assert got[4] == (1, 0, 0.0)
+
+    def test_capped_hub_reports_null(self, spark):
+        from mismo_spark.graph import local_clustering
+
+        df = spark.createDataFrame(
+            [(1, 2), (2, 3), (1, 3), (3, 4)], "src long, dst long"
+        )
+        got = {
+            r.node: r.clustering
+            for r in local_clustering(df, max_degree=2).collect()
+        }
+        assert got[3] is None  # degree 3 > cap
+        assert got[1] == 1.0  # its triangle wedge has apexes 1,2 intact
