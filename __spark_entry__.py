@@ -4293,41 +4293,6 @@ def q_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_soft_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Soft TF-IDF (Cohen et al. 2003, mismo_spark/text/softtfidf.py)
-    over (lang, source) blocked pairs: token sets = first 6 lowercase
-    text tokens, JW threshold 0.9, top-8 tokens by weight.  The hybrid
-    rare-token + per-token-typo similarity neither tf-idf nor JW gives
-    alone."""
-    from mismo_spark.text.softtfidf import soft_tfidf
-
-    docs = _docs(spark, sf_dir)
-    toks = docs.select(
-        "record_id",
-        F.slice(F.split(F.lower(F.col("text")), " "), 1, 6).alias("toks"),
-    )
-    d = docs.select("record_id", "lang", "source")
-    links = (
-        d.alias("a")
-        .join(
-            d.alias("b"),
-            (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.source") == F.col("b.source"))
-            & (F.col("a.record_id") < F.col("b.record_id")),
-        )
-        .select(
-            F.col("a.record_id").alias("record_id_l"),
-            F.col("b.record_id").alias("record_id_r"),
-        )
-    )
-    out = soft_tfidf(links, toks, "toks", threshold=0.9, max_tokens=8)
-    return out.select(
-        F.col("record_id_l").cast("long").alias("record_id_l"),
-        F.col("record_id_r").cast("long").alias("record_id_r"),
-        _micro("soft_tfidf", "soft_tfidf_micro"),
-    )
-
-
 def q_anchor_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """extract_anchors + top_anchor_texts (mismo_spark/graph.py) over
     synthetic pages whose anchors carry the linking doc's source label
@@ -4434,7 +4399,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_prediction": q_link_prediction,
         "edge_support": q_edge_support,
         "local_clustering": q_local_clustering,
-        "soft_tfidf": q_soft_tfidf,
         "time_window_link": q_time_window_link,
         "blocking_rule_stats": q_blocking_rule_stats,
         "blocking_rule_greedy": q_blocking_rule_greedy,
@@ -7239,75 +7203,6 @@ def oracle_sql() -> dict[str, str]:
                      AS reciprocity_micro
             FROM o LEFT JOIN c ON o.node = c.node
         """,
-        "soft_tfidf": """
-            WITH recs AS MATERIALIZED (
-              SELECT doc_id,
-                     list_slice(string_split(lower(text), ' '), 1, 6) AS toks
-              FROM documents
-            ),
-            tf AS MATERIALIZED (
-              SELECT doc_id, token, COUNT(*) AS tf
-              FROM (SELECT doc_id, unnest(toks) AS token FROM recs)
-              WHERE token <> ''
-              GROUP BY doc_id, token
-            ),
-            dft AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
-            raw AS (
-              SELECT t.doc_id, t.token,
-                     ln(t.tf + 1.0)
-                       * ln((SELECT COUNT(*) FROM documents)::DOUBLE / d.df)
-                       AS w_raw
-              FROM tf t JOIN dft d ON t.token = d.token
-            ),
-            topk AS (
-              SELECT doc_id, token, w_raw FROM (
-                SELECT *, row_number() OVER (
-                  PARTITION BY doc_id ORDER BY w_raw DESC, token ASC
-                ) AS rn FROM raw
-              ) WHERE rn <= 8
-            ),
-            nrm AS (
-              SELECT doc_id, sqrt(SUM(w_raw * w_raw)) AS nn
-              FROM topk GROUP BY doc_id
-            ),
-            w AS MATERIALIZED (
-              SELECT t.doc_id, t.token,
-                     CASE WHEN n.nn = 0 THEN 0.0 ELSE t.w_raw / n.nn END AS w
-              FROM topk t JOIN nrm n ON t.doc_id = n.doc_id
-            ),
-            links AS MATERIALIZED (
-              SELECT a.doc_id AS l, b.doc_id AS r
-              FROM documents a JOIN documents b
-                ON a.lang = b.lang AND a.source = b.source
-               AND a.doc_id < b.doc_id
-            ),
-            crossed AS (
-              SELECT lk.l, lk.r, wl.token AS tok_l, wl.w AS w_l,
-                     wr.token AS tok_r, wr.w AS w_r,
-                     CASE WHEN wl.token = wr.token THEN 1.0
-                          ELSE jaro_winkler_similarity(wl.token, wr.token)
-                     END AS jw
-              FROM links lk
-              JOIN w wl ON wl.doc_id = lk.l
-              JOIN w wr ON wr.doc_id = lk.r
-            ),
-            best AS (
-              SELECT l, r, w_l, jw, w_r FROM (
-                SELECT *, row_number() OVER (
-                  PARTITION BY l, r, tok_l
-                  ORDER BY jw DESC, w_r DESC, tok_r DESC
-                ) AS rn
-                FROM crossed WHERE jw >= 0.9
-              ) WHERE rn = 1
-            ),
-            scored AS (
-              SELECT l, r, SUM(w_l * w_r * jw) AS s
-              FROM best GROUP BY l, r
-            )
-            SELECT lk.l::BIGINT AS record_id_l, lk.r::BIGINT AS record_id_r,
-                   {m} AS soft_tfidf_micro
-            FROM links lk LEFT JOIN scored sc ON lk.l = sc.l AND lk.r = sc.r
-        """.format(m=_micro_sql("COALESCE(sc.s, 0.0)")),
         "local_clustering": f"""
             WITH e AS MATERIALIZED ({citation_edges}),
             und AS MATERIALIZED (
