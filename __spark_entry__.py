@@ -4293,6 +4293,21 @@ def q_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007,
+    mismo_spark/graph.py) over the citation graph, 4 sweeps — the
+    dense-core splitter for transitively over-merged components.
+    Integer-only arithmetic, so the oracle replay is engine-exact."""
+    from mismo_spark.graph import label_propagation
+
+    edges, _ = _citation_edges(spark, sf_dir)
+    out = label_propagation(edges, n_iter=4)
+    return out.select(
+        F.col("node").cast("long").alias("node"),
+        F.col("label").cast("long").alias("label"),
+    )
+
+
 def q_anchor_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """extract_anchors + top_anchor_texts (mismo_spark/graph.py) over
     synthetic pages whose anchors carry the linking doc's source label
@@ -4399,6 +4414,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_prediction": q_link_prediction,
         "edge_support": q_edge_support,
         "local_clustering": q_local_clustering,
+        "label_propagation": q_label_propagation,
         "time_window_link": q_time_window_link,
         "blocking_rule_stats": q_blocking_rule_stats,
         "blocking_rule_greedy": q_blocking_rule_greedy,
@@ -4977,7 +4993,11 @@ def _address_level_oracle_sql() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
-    from mismo_spark.graph import hits_oracle_sql, pagerank_oracle_sql
+    from mismo_spark.graph import (
+        hits_oracle_sql,
+        label_propagation_oracle_sql,
+        pagerank_oracle_sql,
+    )
 
     citation_edges = """SELECT doc_id AS src,
                       (doc_id * 17 + 7) % (SELECT count(*) FROM documents) AS dst
@@ -7181,6 +7201,9 @@ def oracle_sql() -> dict[str, str]:
         # iterations unrolled as nested CTE levels (DuckDB forbids
         # aggregates in a recursive CTE's recursive term); ranks are
         # integer micro-units on both sides (floor(x*1e6+0.5))
+        "label_propagation": label_propagation_oracle_sql(
+            citation_edges, n_iter=4
+        ),
         "pagerank": pagerank_oracle_sql(
             citation_edges, n_iter=6, damping=0.85, round_digits=6
         ),

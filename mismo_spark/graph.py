@@ -629,6 +629,117 @@ def local_clustering(
     )
 
 
+def label_propagation(
+    edges: DataFrame,
+    *,
+    n_iter: int = 5,
+    src_column: str = "src",
+    dst_column: str = "dst",
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Synchronous label propagation (Raghavan, Albert & Kumara 2007)
+    over the UNDIRECTED view of ``edges`` → (node, label) after
+    ``n_iter`` sweeps: every node simultaneously adopts the label
+    carried by the plurality of its neighbors (ties → smallest label;
+    isolated updates keep the old label), labels initialized to the
+    node id.
+
+    ER reading: connected components answer "what does transitive
+    closure weld together"; label propagation answers "what are the
+    DENSE cores inside a weld".  When a support-0 bridge
+    (:func:`edge_support`) joins two real entities into one component,
+    LPA converges to a different label on each side of the bridge —
+    the split suggestion for `cluster.decremental.remove_links`,
+    without choosing a score threshold.
+
+    Determinism: the synchronous sweep + total tie order (count DESC,
+    label ASC) makes every iteration a pure function of the previous
+    labeling — reproducible across partitionings and engines (the
+    oracle replays it exactly; all arithmetic is integer).  Plan per
+    sweep: labels ⋈ the persisted neighbor relation (shuffle keyed by
+    node) → one (node, label) count groupBy → one argmax min(struct)
+    groupBy; lineage cut per sweep like :func:`pagerank` (durable
+    parquet under ``checkpoint_dir``, else localCheckpoint)."""
+    und = (
+        edges.select(
+            F.least(src_column, dst_column).alias("u"),
+            F.greatest(src_column, dst_column).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .dropDuplicates(["u", "v"])
+    )
+    nbrs = und.select(F.col("u").alias("node"), F.col("v").alias("nbr")).unionByName(
+        und.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
+    ).persist()
+    labels = nbrs.select("node").distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for i in range(n_iter):
+        nbr_lbl = nbrs.join(
+            labels.select(
+                F.col("node").alias("nbr"), F.col("label").alias("nlbl")
+            ),
+            "nbr",
+        )
+        counts = nbr_lbl.groupBy("node", "nlbl").agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        labels = _graph_chk(
+            counts.groupBy("node").agg(
+                F.min(F.struct((-F.col("cnt")).alias("negcnt"), F.col("nlbl"))).alias(
+                    "__pick"
+                )
+            ).select("node", F.col("__pick.nlbl").alias("label")),
+            checkpoint_dir,
+            f"lpa_round_{i}",
+        )
+    labels.count()
+    nbrs.unpersist()
+    return labels
+
+
+def label_propagation_oracle_sql(
+    edges_sql: str, *, n_iter: int = 5
+) -> str:
+    """ANSI-SQL replay of :func:`label_propagation`, sweeps unrolled as
+    MATERIALIZED CTE levels (same rationale as
+    :func:`pagerank_oracle_sql`).  Integer-only arithmetic — no
+    quantization needed."""
+    parts = [
+        f"WITH e AS MATERIALIZED ({edges_sql}),",
+        """und AS MATERIALIZED (
+          SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+          FROM e WHERE src <> dst
+        ),
+        nbrs AS MATERIALIZED (
+          SELECT u AS node, v AS nbr FROM und
+          UNION ALL
+          SELECT v AS node, u AS nbr FROM und
+        ),
+        l0 AS MATERIALIZED (
+          SELECT DISTINCT node, node AS label FROM nbrs
+        )""",
+    ]
+    prev = "l0"
+    for i in range(1, n_iter + 1):
+        parts.append(
+            f""", l{i} AS MATERIALIZED (
+          SELECT node, nlbl AS label FROM (
+            SELECT n.node, p.label AS nlbl, COUNT(*) AS cnt,
+                   row_number() OVER (
+                     PARTITION BY n.node
+                     ORDER BY COUNT(*) DESC, p.label ASC
+                   ) AS rn
+            FROM nbrs n JOIN {prev} p ON n.nbr = p.node
+            GROUP BY n.node, p.label
+          ) WHERE rn = 1
+        )"""
+        )
+        prev = f"l{i}"
+    parts.append(f"\nSELECT node, label FROM {prev}")
+    return "\n".join(parts)
+
+
 def reciprocity(
     edges: DataFrame,
     *,

@@ -550,3 +550,79 @@ class TestLocalClustering:
         }
         assert got[3] is None  # degree 3 > cap
         assert got[1] == 1.0  # its triangle wedge has apexes 1,2 intact
+
+
+class TestLabelPropagation:
+    """Two triangles {1,2,3} and {5,6,7} joined by bridge 3-5: LPA
+    converges to label 1 on the left core and 5 on the right core —
+    the split suggestion CC (one component) cannot give."""
+
+    EDGES = [(1, 2), (2, 3), (1, 3), (3, 5), (5, 6), (6, 7), (5, 7)]
+
+    def test_cores_get_distinct_labels(self, spark):
+        from mismo_spark.graph import label_propagation
+
+        df = spark.createDataFrame(self.EDGES, "src long, dst long")
+        got = {
+            r.node: r.label
+            for r in label_propagation(df, n_iter=5).collect()
+        }
+        assert got[1] == got[2] == got[3]
+        assert got[5] == got[6] == got[7]
+        assert got[1] != got[5]
+
+    def test_sync_sweep_deterministic(self, spark):
+        from mismo_spark.graph import label_propagation
+
+        df = spark.createDataFrame(self.EDGES, "src long, dst long")
+        a = sorted(
+            (r.node, r.label)
+            for r in label_propagation(df, n_iter=3).collect()
+        )
+        b = sorted(
+            (r.node, r.label)
+            for r in label_propagation(
+                df.repartition(7), n_iter=3
+            ).collect()
+        )
+        assert a == b
+
+    def test_matches_python_reference(self, spark):
+        from mismo_spark.graph import label_propagation
+
+        edges = self.EDGES + [(10, 11)]
+        nbrs = {}
+        for u, v in edges:
+            nbrs.setdefault(u, set()).add(v)
+            nbrs.setdefault(v, set()).add(u)
+        lbl = {n: n for n in nbrs}
+        for _ in range(4):
+            new = {}
+            for n, ns in nbrs.items():
+                cnt = {}
+                for m in ns:
+                    cnt[lbl[m]] = cnt.get(lbl[m], 0) + 1
+                new[n] = min(cnt, key=lambda c: (-cnt[c], c))
+            lbl = new
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {
+            r.node: r.label
+            for r in label_propagation(df, n_iter=4).collect()
+        }
+        assert got == lbl
+
+    def test_checkpoint_dir_resume_identical(self, spark, tmp_path):
+        from mismo_spark.graph import label_propagation
+
+        df = spark.createDataFrame(self.EDGES, "src long, dst long")
+        a = sorted(
+            (r.node, r.label)
+            for r in label_propagation(
+                df, n_iter=3, checkpoint_dir=str(tmp_path / "lpa")
+            ).collect()
+        )
+        b = sorted(
+            (r.node, r.label)
+            for r in label_propagation(df, n_iter=3).collect()
+        )
+        assert a == b
