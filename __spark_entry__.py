@@ -1568,6 +1568,34 @@ def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tversky(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tversky index family (mismo_spark/sets/compare.py) over the same
+    blocked pairs as q_containment: Dice (α=β=0.5) plus an asymmetric
+    prototype-weighted variant (α=0.8, β=0.2)."""
+    from mismo_spark.linker.key import KeyLinker
+    from mismo_spark.sets.compare import dice, tversky
+    from mismo_spark.text.features import tokenize
+    from mismo_spark.types.linkage import Linkage
+
+    docs = _docs(spark, sf_dir).select(
+        "record_id",
+        "lang",
+        "source",
+        F.array_distinct(tokenize(F.lower(F.col("text")))).alias("tokens"),
+    )
+    lk = KeyLinker(["lang", "source"], task="dedupe")(docs)
+    pairs = Linkage(docs, docs, lk.links).links_with_both()
+    return pairs.select(
+        "record_id_l",
+        "record_id_r",
+        _micro(dice(F.col("tokens_l"), F.col("tokens_r")), "dice_micro"),
+        _micro(
+            tversky(F.col("tokens_l"), F.col("tokens_r"), alpha=0.8, beta=0.2),
+            "tversky_82_micro",
+        ),
+    )
+
+
 def _docs_with_footer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents with a synthesized per-source boilerplate footer line
     (the raw corpus is single-line), so corpus line dedup has real
@@ -4460,6 +4488,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "monge_elkan": q_monge_elkan,
         "soft_tfidf": q_soft_tfidf,
         "containment": q_containment,
+        "tversky": q_tversky,
         "bloom_prefilter": q_bloom_prefilter,
         "line_langs": q_line_langs,
         "best_match_filter": q_best_match_filter,
@@ -5912,6 +5941,25 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN longest ON base.component = longest.component
             LEFT JOIN first_s ON base.component = first_s.component
             LEFT JOIN m ON base.component = m.component
+        """,
+        "tversky": f"""
+            WITH d AS (
+              SELECT doc_id, lang, source, {_TOKENS} AS tokens FROM documents
+            ),
+            pairs AS (
+              SELECT a.doc_id AS record_id_l, b.doc_id AS record_id_r,
+                     len(list_intersect(a.tokens, b.tokens))::DOUBLE AS i,
+                     len(a.tokens)::DOUBLE AS na, len(b.tokens)::DOUBLE AS nb
+              FROM d a JOIN d b
+                ON a.lang = b.lang AND a.source = b.source
+               AND a.doc_id < b.doc_id
+            )
+            SELECT record_id_l, record_id_r,
+                   {_micro_sql("CASE WHEN (i + 0.5*(na-i) + 0.5*(nb-i)) = 0 THEN 0.0 ELSE i / (i + 0.5*(na-i) + 0.5*(nb-i)) END")}
+                     AS dice_micro,
+                   {_micro_sql("CASE WHEN (i + 0.8*(na-i) + 0.2*(nb-i)) = 0 THEN 0.0 ELSE i / (i + 0.8*(na-i) + 0.2*(nb-i)) END")}
+                     AS tversky_82_micro
+            FROM pairs
         """,
         "containment": f"""
             WITH d AS (

@@ -55,3 +55,30 @@ def overlap_coefficient(a: Column, b: Column) -> Column:
     return F.when(a.isNull() | b.isNull(), F.lit(None).cast("double")).otherwise(
         F.when(mn == 0, F.lit(0.0)).otherwise(inter.cast("double") / mn)
     )
+
+
+def tversky(a: Column, b: Column, *, alpha: float = 0.5, beta: float = 0.5) -> Column:
+    """Tversky index (Tversky 1977) over DISTINCT elements:
+
+        |a∩b| / (|a∩b| + α·|a−b| + β·|b−a|)
+
+    The parametric family containing the others: α=β=1 → Jaccard,
+    α=β=0.5 → Dice, α=1,β=0 → containment(a in b).  Asymmetric weights
+    encode which side is the "prototype" — e.g. α<β scores a short
+    query against a long document leniently.  0.0 when both differences
+    and the intersection are empty; NULL if either side is NULL.  Pure
+    column algebra (two hash-set builds per pair, same cost class as
+    :func:`jaccard`)."""
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    na = F.size(F.array_distinct(a)).cast("double")
+    nb = F.size(F.array_distinct(b)).cast("double")
+    denom = inter + alpha * (na - inter) + beta * (nb - inter)
+    return F.when(a.isNull() | b.isNull(), F.lit(None).cast("double")).otherwise(
+        F.when(denom == 0, F.lit(0.0)).otherwise(inter / denom)
+    )
+
+
+def dice(a: Column, b: Column) -> Column:
+    """Sørensen–Dice coefficient: 2·|a∩b| / (|a|+|b|) over DISTINCT
+    elements — :func:`tversky` at α=β=0.5, named for discoverability."""
+    return tversky(a, b, alpha=0.5, beta=0.5)
