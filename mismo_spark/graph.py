@@ -44,6 +44,11 @@ __all__ = [
     "hits",
     "hits_oracle_sql",
     "reciprocity",
+    "link_prediction",
+    "edge_support",
+    "local_clustering",
+    "label_propagation",
+    "label_propagation_oracle_sql",
 ]
 
 # captures the href VALUE for double-quoted, single-quoted and unquoted
@@ -394,6 +399,42 @@ def pagerank(
     return ranks
 
 
+def _wedge_base(
+    edges: DataFrame, src_column: str, dst_column: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Shared prelude of the wedge-join family: persisted (und, nbrs,
+    deg) relations.  Catalyst gets no cross-branch subplan reuse for
+    the 5-6 consumers each wedge function has (observed: 52 parquet
+    re-scans in link_prediction's unpersisted plan), so the three
+    relations are persisted; callers materialize their result with
+    :func:`_finish_wedge` which unpersists them."""
+    und = (
+        edges.select(
+            F.least(src_column, dst_column).alias("u"),
+            F.greatest(src_column, dst_column).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .dropDuplicates(["u", "v"])
+        .persist()
+    )
+    nbrs = und.select(
+        F.col("u").alias("node"), F.col("v").alias("nbr")
+    ).unionByName(und.select(F.col("v").alias("node"), F.col("u").alias("nbr")))
+    deg = nbrs.groupBy("node").agg(F.count(F.lit(1)).alias("degree")).persist()
+    return und, nbrs, deg
+
+
+def _finish_wedge(out: DataFrame, und: DataFrame, deg: DataFrame) -> DataFrame:
+    """Materialize ``out`` (lineage cut via localCheckpoint) and release
+    the cached wedge relations — a long-lived session must not
+    accumulate cached edge lists (the oracle harness runs 140+ queries
+    in one SparkSession)."""
+    out = out.localCheckpoint()
+    und.unpersist()
+    deg.unpersist()
+    return out
+
+
 def link_prediction(
     edges: DataFrame,
     *,
@@ -426,18 +467,7 @@ def link_prediction(
     disable (only sane on small graphs).  Existing edges are removed
     with one left-anti join; jaccard = common / (deg_a + deg_b −
     common) uses the UNCAPPED true degrees."""
-    und = (
-        edges.select(
-            F.least(src_column, dst_column).alias("u"),
-            F.greatest(src_column, dst_column).alias("v"),
-        )
-        .filter(F.col("u") != F.col("v"))
-        .dropDuplicates(["u", "v"])
-    )
-    nbrs = und.select(F.col("u").alias("node"), F.col("v").alias("nbr")).unionByName(
-        und.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
-    )
-    deg = nbrs.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
+    und, nbrs, deg = _wedge_base(edges, src_column, dst_column)
     # a degree-1 node can't be a shared neighbor (needs ≥ 2 neighbors
     # to form a wedge), and dropping it keeps 1/ln(degree) well-defined
     wedge_src = nbrs.join(deg, "node").filter(F.col("degree") >= 2)
@@ -472,7 +502,7 @@ def link_prediction(
     )
     da = deg.select(F.col("node").alias("node_a"), F.col("degree").alias("deg_a"))
     db = deg.select(F.col("node").alias("node_b"), F.col("degree").alias("deg_b"))
-    return (
+    out = (
         pairs.join(da, "node_a")
         .join(db, "node_b")
         .select(
@@ -488,6 +518,7 @@ def link_prediction(
             ).alias("jaccard"),
         )
     )
+    return _finish_wedge(out, und, deg)
 
 
 def edge_support(
@@ -517,18 +548,7 @@ def edge_support(
     capped hub's triangles through it are undercounted; at web scale
     those are navigation hubs, not entity evidence) — then an equi-join
     of wedge counts back onto the edge list instead of an anti-join."""
-    und = (
-        edges.select(
-            F.least(src_column, dst_column).alias("u"),
-            F.greatest(src_column, dst_column).alias("v"),
-        )
-        .filter(F.col("u") != F.col("v"))
-        .dropDuplicates(["u", "v"])
-    )
-    nbrs = und.select(F.col("u").alias("node"), F.col("v").alias("nbr")).unionByName(
-        und.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
-    )
-    deg = nbrs.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
+    und, nbrs, deg = _wedge_base(edges, src_column, dst_column)
     wedge_src = nbrs.join(deg, "node").filter(F.col("degree") >= 2)
     if max_degree is not None:
         wedge_src = wedge_src.filter(F.col("degree") <= max_degree)
@@ -540,7 +560,7 @@ def edge_support(
         .groupBy("node_a", "node_b")
         .agg(F.count(F.lit(1)).alias("support"))
     )
-    return (
+    out = (
         und.select(F.col("u").alias("node_a"), F.col("v").alias("node_b"))
         .join(wedge_counts, ["node_a", "node_b"], "left")
         .select(
@@ -549,6 +569,7 @@ def edge_support(
             F.coalesce("support", F.lit(0)).cast("long").alias("support"),
         )
     )
+    return _finish_wedge(out, und, deg)
 
 
 def local_clustering(
@@ -572,18 +593,7 @@ def local_clustering(
     mega-hub apexes from the wedge join (their clustering ≈ 0 at web
     scale anyway); excluded nodes report NULL clustering rather than a
     fake 0."""
-    und = (
-        edges.select(
-            F.least(src_column, dst_column).alias("u"),
-            F.greatest(src_column, dst_column).alias("v"),
-        )
-        .filter(F.col("u") != F.col("v"))
-        .dropDuplicates(["u", "v"])
-    )
-    nbrs = und.select(F.col("u").alias("node"), F.col("v").alias("nbr")).unionByName(
-        und.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
-    )
-    deg = nbrs.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
+    und, nbrs, deg = _wedge_base(edges, src_column, dst_column)
     wedge_src = nbrs.join(deg, "node").filter(F.col("degree") >= 2)
     capped = F.lit(False)
     if max_degree is not None:
@@ -611,7 +621,7 @@ def local_clustering(
         .groupBy(F.col("__apex").alias("node"))
         .agg(F.count(F.lit(1)).alias("triangles"))
     )
-    return (
+    out = (
         deg.join(apex, "node", "left")
         .select(
             "node",
@@ -627,6 +637,7 @@ def local_clustering(
             .alias("clustering"),
         )
     )
+    return _finish_wedge(out, und, deg)
 
 
 def label_propagation(
