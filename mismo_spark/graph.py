@@ -666,11 +666,16 @@ def label_propagation(
     Determinism: the synchronous sweep + total tie order (count DESC,
     label ASC) makes every iteration a pure function of the previous
     labeling — reproducible across partitionings and engines (the
-    oracle replays it exactly; all arithmetic is integer).  Plan per
-    sweep: labels ⋈ the persisted neighbor relation (shuffle keyed by
-    node) → one (node, label) count groupBy → one argmax min(struct)
-    groupBy; lineage cut per sweep like :func:`pagerank` (durable
-    parquet under ``checkpoint_dir``, else localCheckpoint)."""
+    oracle replays it exactly; all arithmetic is integer).  Each node's
+    OWN current label joins the vote with weight 1: Raghavan et al.
+    avoid the 2-cycle oscillation of synchronous sweeps (a pendant
+    pair swaps labels forever) with asynchronous updates, which are
+    non-deterministic — the self-vote keeps the sweep synchronous AND
+    convergent for those structures.  Plan per sweep: labels ⋈ the
+    persisted neighbor+self relation (shuffle keyed by node) → one
+    (node, label) count groupBy → one argmax min(struct) groupBy;
+    lineage cut per sweep like :func:`pagerank` (durable parquet under
+    ``checkpoint_dir``, else localCheckpoint)."""
     und = (
         edges.select(
             F.least(src_column, dst_column).alias("u"),
@@ -681,10 +686,13 @@ def label_propagation(
     )
     nbrs = und.select(F.col("u").alias("node"), F.col("v").alias("nbr")).unionByName(
         und.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
-    ).persist()
-    labels = nbrs.select("node").distinct().select(
-        "node", F.col("node").alias("label")
     )
+    nodes = nbrs.select("node").distinct()
+    # self-vote row per node (see docstring: damps 2-cycle oscillation)
+    nbrs = nbrs.unionByName(
+        nodes.select("node", F.col("node").alias("nbr"))
+    ).persist()
+    labels = nodes.select("node", F.col("node").alias("label"))
     for i in range(n_iter):
         nbr_lbl = nbrs.join(
             labels.select(
@@ -726,6 +734,10 @@ def label_propagation_oracle_sql(
           SELECT u AS node, v AS nbr FROM und
           UNION ALL
           SELECT v AS node, u AS nbr FROM und
+          UNION ALL
+          SELECT DISTINCT n AS node, n AS nbr FROM (
+            SELECT u AS n FROM und UNION ALL SELECT v AS n FROM und
+          )
         ),
         l0 AS MATERIALIZED (
           SELECT DISTINCT node, node AS label FROM nbrs

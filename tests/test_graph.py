@@ -600,7 +600,7 @@ class TestLabelPropagation:
             new = {}
             for n, ns in nbrs.items():
                 cnt = {}
-                for m in ns:
+                for m in list(ns) + [n]:  # self-vote, as in the engine
                     cnt[lbl[m]] = cnt.get(lbl[m], 0) + 1
                 new[n] = min(cnt, key=lambda c: (-cnt[c], c))
             lbl = new

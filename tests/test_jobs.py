@@ -808,3 +808,68 @@ def test_link_graph_job_reciprocity_mode(spark, tmp_path):
         for r in spark.read.parquet(out).collect()
     }
     assert got == {"u1": (1, 1, 1.0), "u2": (2, 1, 0.5)}
+
+
+def test_cluster_qa_job_repairs_welded_cluster(spark, tmp_path, capsys):
+    """cluster_qa job: two triangles welded by one support-0 bridge ->
+    bridge flagged (support 0, LPA split), removed, component count
+    goes 1 -> 2; repaired assignment == from-scratch CC without it."""
+    import json as _json
+
+    from jobs.cluster_qa import main as qa_main
+    from mismo_spark.cluster.cc import connected_components
+
+    links = [
+        (1, 2), (2, 3), (1, 3),
+        (5, 6), (6, 7), (5, 7),
+        (3, 5),  # the weld
+        (10, 11),  # untouched component
+    ]
+    ldf = spark.createDataFrame(
+        links, "record_id_l long, record_id_r long"
+    )
+    in_path = str(tmp_path / "links.parquet")
+    out = str(tmp_path / "qa")
+    ldf.write.parquet(in_path)
+
+    qa_main(["--links", in_path, "--output", out])
+    summary = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["bridges_removed"] == 1
+    assert summary["components_before"] == 2
+    assert summary["components_after"] == 3
+
+    bridges = spark.read.parquet(f"{out}/bridges.parquet").collect()
+    assert [(b.record_id_l, b.record_id_r) for b in bridges] == [(3, 5)]
+    assert bridges[0].support == 0 and bridges[0].lpa_split
+
+    repaired = {
+        (r.record_id, r.component)
+        for r in spark.read.parquet(f"{out}/assignment.parquet").collect()
+    }
+    scratch = {
+        (r.record_id, r.component)
+        for r in connected_components(
+            ldf.filter(
+                ~((F.col("record_id_l") == 3) & (F.col("record_id_r") == 5))
+            )
+        ).collect()
+    }
+    assert repaired == scratch
+
+
+def test_cluster_qa_job_dry_run_keeps_assignment(spark, tmp_path, capsys):
+    import json as _json
+
+    from jobs.cluster_qa import main as qa_main
+
+    ldf = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 5), (5, 6), (6, 7), (5, 7)],
+        "record_id_l long, record_id_r long",
+    )
+    in_path = str(tmp_path / "links2.parquet")
+    out = str(tmp_path / "qa2")
+    ldf.write.parquet(in_path)
+    qa_main(["--links", in_path, "--output", out, "--dry-run"])
+    summary = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["bridges_removed"] == 0
+    assert summary["components_before"] == summary["components_after"] == 1
