@@ -2295,6 +2295,36 @@ def q_best_match_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_one_to_one_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy 1:1 assignment over JW-scored candidate pairs
+    (linker/assignment.py — locally-dominant-edge rounds, bit-identical
+    to the sequential greedy scan; enforces both sides jointly, unlike
+    Linkage.best_match_* / unambiguous_only, mismo/linkage/
+    _linkage.py:248-301).  Scores are quantized to integer micro-units
+    BEFORE matching so the greedy order — not just the output — is
+    identical in both engines; the DuckDB oracle replays the same
+    dominant-edge rounds as a recursive CTE."""
+    from mismo_spark.linker.assignment import one_to_one_links
+    from mismo_spark.linker.key import KeyLinker
+    from mismo_spark.text.similarity import jaro_winkler_similarity
+    from mismo_spark.types.linkage import Linkage
+
+    docs = _docs(spark, sf_dir).select(
+        "record_id", "lang", "source", F.substring("text", 1, 30).alias("prefix")
+    )
+    lk = KeyLinker(["lang", "source"], task="dedupe")(docs)
+    pairs = Linkage(docs, docs, lk.links).links_with_both()
+    scored = pairs.select(
+        "record_id_l",
+        "record_id_r",
+        _micro(
+            jaro_winkler_similarity(F.col("prefix_l"), F.col("prefix_r")),
+            "jw_micro",
+        ),
+    )
+    return one_to_one_links(scored, "jw_micro")
+
+
 def q_strings_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """text.strings: strip_accents (translate-table fold, codegen) +
     norm_whitespace over accent-injected, space-padded names."""
@@ -4472,6 +4502,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget": q_token_budget,
         "gopher_rules": q_gopher_rules,
         "quantize_embeddings": q_quantize_embeddings,
+        "one_to_one_match": q_one_to_one_match,
         "c4_clean": q_c4_clean,
         "redact_pii": q_redact_pii,
         "stratified_sample": q_stratified_sample,
@@ -6367,6 +6398,42 @@ def oracle_sql() -> dict[str, str]:
                      x -> CAST(round(x / (maxabs / 127.0)) AS INT)), ',')
               END AS q
             FROM v
+        """,
+        "one_to_one_match": f"""
+            WITH RECURSIVE d AS (
+              SELECT doc_id, lang, source, substring(text, 1, 30) AS prefix
+              FROM documents
+            ),
+            scored AS (
+              SELECT a.doc_id AS l, b.doc_id AS r,
+                     {_micro_sql('jaro_winkler_similarity(a.prefix, b.prefix)')} AS s
+              FROM d a JOIN d b ON a.lang = b.lang AND a.source = b.source
+                                AND a.doc_id < b.doc_id
+            ),
+            -- locally-dominant-edge rounds == sequential greedy matching
+            -- under (s DESC, l, r); mirrors linker/assignment.py exactly
+            work(status, l, r, s) AS (
+              SELECT 'rem', l, r, s FROM scored WHERE s IS NOT NULL
+              UNION ALL
+              SELECT new_status, l, r, s FROM (
+                SELECT l, r, s,
+                       CASE WHEN dom = 1 THEN 'dom'
+                            WHEN max(dom) OVER (PARTITION BY l) = 0
+                             AND max(dom) OVER (PARTITION BY r) = 0 THEN 'rem'
+                            ELSE NULL END AS new_status
+                FROM (
+                  SELECT l, r, s,
+                         CASE WHEN row_number() OVER (
+                                PARTITION BY l ORDER BY s DESC, l, r) = 1
+                               AND row_number() OVER (
+                                PARTITION BY r ORDER BY s DESC, l, r) = 1
+                              THEN 1 ELSE 0 END AS dom
+                  FROM work WHERE status = 'rem'
+                )
+              ) WHERE new_status IS NOT NULL
+            )
+            SELECT l AS record_id_l, r AS record_id_r, s AS jw_micro
+            FROM work WHERE status = 'dom'
         """,
         "best_match_filter": f"""
             WITH pairs AS ({pair_block}),

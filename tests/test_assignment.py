@@ -1,0 +1,133 @@
+"""one_to_one_links / mutual_best_links — greedy 1:1 assignment.
+
+The ground truth is the sequential greedy scan in
+(score DESC, id_l ASC, id_r ASC) order, implemented in ~10 lines of
+Python below; the distributed locally-dominant-edge rounds must match
+it bit-for-bit on every input, including adversarial descending chains
+and all-tied score blocks.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from mismo_spark.linker.assignment import mutual_best_links, one_to_one_links
+
+SCHEMA = "record_id_l long, record_id_r long, score double"
+
+
+def greedy_py(rows):
+    """Sequential greedy matching under the module's total order."""
+    used_l, used_r, out = set(), set(), []
+    for l, r, s in sorted(rows, key=lambda t: (-t[2], t[0], t[1])):
+        if l not in used_l and r not in used_r:
+            used_l.add(l)
+            used_r.add(r)
+            out.append((l, r, s))
+    return sorted(out)
+
+
+def run(spark, rows, **kw):
+    df = spark.createDataFrame(rows, SCHEMA)
+    got = one_to_one_links(df, "score", **kw)
+    return sorted(tuple(r) for r in got.collect())
+
+
+def test_simple_chain(spark):
+    # descending path a-b-c-d: greedy takes (1,10) then (3,12)
+    rows = [(1, 10, 5.0), (1, 11, 4.0), (2, 11, 3.0), (2, 12, 2.0), (3, 12, 1.0)]
+    assert run(spark, rows) == [(1, 10, 5.0), (2, 11, 3.0), (3, 12, 1.0)]
+    assert run(spark, rows) == greedy_py(rows)
+
+
+def test_all_tied_scores_break_on_ids(spark):
+    rows = [(l, r, 1.0) for l in range(1, 5) for r in range(10, 14)]
+    # ties resolve by (id_l, id_r): the diagonal in id order
+    assert run(spark, rows) == [(1, 10, 1.0), (2, 11, 1.0), (3, 12, 1.0), (4, 13, 1.0)]
+    assert run(spark, rows) == greedy_py(rows)
+
+
+def test_long_descending_chain_needs_many_rounds(spark):
+    # alternating path (l and r shared by consecutive edges) with
+    # strictly descending scores forces ~k/2 dominant-edge rounds
+    rows = [((k + 1) // 2, 100 + k // 2, float(50 - k)) for k in range(20)]
+    assert run(spark, rows) == greedy_py(rows)
+
+
+def test_randomized_equivalence(spark):
+    rng = random.Random(7)
+    seen = set()
+    rows = []
+    for _ in range(300):
+        pair = (rng.randrange(40), 100 + rng.randrange(40))
+        if pair in seen:
+            continue
+        seen.add(pair)
+        rows.append((*pair, round(rng.random() * 10, 3)))
+    assert run(spark, rows) == greedy_py(rows)
+
+
+def test_output_is_one_to_one(spark):
+    rng = random.Random(11)
+    rows = list(
+        {
+            (rng.randrange(25), 100 + rng.randrange(25)): None
+            for _ in range(200)
+        }
+    )
+    rows = [(l, r, float((l * 7 + r) % 13)) for l, r in rows]
+    got = run(spark, rows)
+    assert len({l for l, _, _ in got}) == len(got)
+    assert len({r for _, r, _ in got}) == len(got)
+    # maximality: no remaining pair has both endpoints free
+    used_l = {l for l, _, _ in got}
+    used_r = {r for _, r, _ in got}
+    assert not [t for t in rows if t[0] not in used_l and t[1] not in used_r]
+
+
+def test_null_scores_rejected_and_empty_input(spark):
+    rows = [(1, 10, None), (1, 11, 2.0)]
+    assert run(spark, rows) == [(1, 11, 2.0)]
+    assert run(spark, []) == []
+
+
+def test_extra_columns_preserved(spark):
+    df = spark.createDataFrame(
+        [(1, 10, 5.0, "rule_a"), (1, 11, 4.0, "rule_b")],
+        SCHEMA + ", rule string",
+    )
+    got = one_to_one_links(df, "score")
+    assert got.columns == ["record_id_l", "record_id_r", "score", "rule"]
+    assert [tuple(r) for r in got.collect()] == [(1, 10, 5.0, "rule_a")]
+
+
+def test_checkpoint_dir_resume_identical(spark, tmp_path):
+    rows = [((k + 1) // 2, 100 + k // 2, float(50 - k)) for k in range(12)]
+    a = run(spark, rows)
+    b = run(spark, rows, checkpoint_dir=str(tmp_path / "chk"))
+    assert a == b == greedy_py(rows)
+
+
+def test_max_rounds_raises(spark):
+    rows = [((k + 1) // 2, 100 + k // 2, float(50 - k)) for k in range(20)]
+    with pytest.raises(RuntimeError, match="converge"):
+        run(spark, rows, max_rounds=2)
+
+
+def test_mutual_best_is_round_one_subset(spark):
+    rows = [(1, 10, 5.0), (1, 11, 4.0), (2, 11, 3.0), (2, 12, 2.0), (3, 12, 1.0)]
+    df = spark.createDataFrame(rows, SCHEMA)
+    got = sorted(tuple(r) for r in mutual_best_links(df, "score").collect())
+    # only (1,10) is rank-1 on both sides in round 1
+    assert got == [(1, 10, 5.0)]
+    full = run(spark, rows)
+    assert set(got) <= set(full)
+
+
+def test_missing_score_col_raises(spark):
+    df = spark.createDataFrame([(1, 10, 1.0)], SCHEMA)
+    with pytest.raises(ValueError, match="no column"):
+        one_to_one_links(df, "odds")
