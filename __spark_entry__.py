@@ -2325,6 +2325,35 @@ def q_one_to_one_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return one_to_one_links(scored, "jw_micro")
 
 
+def q_canopy_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canopy clustering (McCallum/Nigam/Ungar 2000; linker/canopy.py)
+    over token-Jaccard edges from source-blocked pairs: centers are the
+    id-order greedy MIS of the tight (>=0.6) graph via local-minima
+    rounds, membership is the loose (>=0.3) join.  Jaccard is an exact
+    int/int division so the 0.3/0.6 threshold crossings agree between
+    engines bit-for-bit; the DuckDB oracle replays the MIS rounds as a
+    recursive CTE over the symmetrized tight graph with self-loops."""
+    from mismo_spark.linker.canopy import canopy_assign
+    from mismo_spark.linker.key import KeyLinker
+    from mismo_spark.sets.compare import jaccard
+    from mismo_spark.text.features import tokenize
+    from mismo_spark.types.linkage import Linkage
+
+    docs = _docs(spark, sf_dir).select(
+        "record_id",
+        "source",
+        F.array_distinct(tokenize(F.lower(F.col("text")))).alias("tokens"),
+    )
+    lk = KeyLinker(["source"], task="dedupe")(docs)
+    pairs = Linkage(docs, docs, lk.links).links_with_both()
+    edges = pairs.select(
+        "record_id_l",
+        "record_id_r",
+        jaccard(F.col("tokens_l"), F.col("tokens_r")).alias("sim"),
+    ).filter(F.col("sim") >= 0.3)
+    return canopy_assign(edges, docs, sim_col="sim", tight=0.6, loose=0.3)
+
+
 def q_strings_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """text.strings: strip_accents (translate-table fold, codegen) +
     norm_whitespace over accent-injected, space-padded names."""
@@ -4503,6 +4532,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_rules": q_gopher_rules,
         "quantize_embeddings": q_quantize_embeddings,
         "one_to_one_match": q_one_to_one_match,
+        "canopy_assign": q_canopy_assign,
         "c4_clean": q_c4_clean,
         "redact_pii": q_redact_pii,
         "stratified_sample": q_stratified_sample,
@@ -6434,6 +6464,65 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT l AS record_id_l, r AS record_id_r, s AS jw_micro
             FROM work WHERE status = 'dom'
+        """,
+        "canopy_assign": f"""
+            WITH RECURSIVE d AS MATERIALIZED (
+              SELECT doc_id, source, {_TOKENS} AS tokens FROM documents
+            ),
+            sims AS MATERIALIZED (
+              SELECT a.doc_id AS l, b.doc_id AS r,
+                     CASE WHEN len(list_intersect(a.tokens, b.tokens)) = 0
+                          THEN 0.0
+                          ELSE len(list_intersect(a.tokens, b.tokens))::DOUBLE
+                               / len(list_distinct(
+                                     list_concat(a.tokens, b.tokens)))
+                     END AS s
+              FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
+            ),
+            loose_e AS MATERIALIZED (SELECT l, r FROM sims WHERE s >= 0.3),
+            tight_sym AS MATERIALIZED (
+              SELECT l AS u, r AS v FROM sims WHERE s >= 0.6
+              UNION ALL SELECT r, l FROM sims WHERE s >= 0.6
+              UNION ALL SELECT doc_id, doc_id FROM d  -- self-loops: isolated
+            ),
+            -- local-minima rounds == id-order greedy MIS of the tight
+            -- graph; mirrors linker/canopy.py:canopy_centers exactly
+            work(status, u, v) AS (
+              SELECT 'e', u, v FROM tight_sym
+              UNION ALL
+              SELECT new_status, u, v FROM (
+                SELECT u, v,
+                       CASE WHEN u = v AND ctr_u = 1 THEN 'c'
+                            WHEN ctr_u = 0 AND cov_u = 0
+                             AND ctr_v = 0 AND cov_v = 0 THEN 'e'
+                            ELSE NULL END AS new_status
+                FROM (
+                  SELECT u, v, ctr_u, ctr_v,
+                         max(CASE WHEN ctr_v = 1 AND u <> v THEN 1 ELSE 0 END)
+                           OVER (PARTITION BY u) AS cov_u,
+                         max(CASE WHEN ctr_u = 1 AND u <> v THEN 1 ELSE 0 END)
+                           OVER (PARTITION BY v) AS cov_v
+                  FROM (
+                    SELECT u, v,
+                           1 - max(CASE WHEN v < u THEN 1 ELSE 0 END)
+                                 OVER (PARTITION BY u) AS ctr_u,
+                           1 - max(CASE WHEN u < v THEN 1 ELSE 0 END)
+                                 OVER (PARTITION BY v) AS ctr_v
+                    FROM work WHERE status = 'e'
+                  )
+                )
+              ) WHERE new_status IS NOT NULL
+            ),
+            centers AS (SELECT u AS c FROM work WHERE status = 'c')
+            SELECT record_id, canopy FROM (
+              SELECT r AS record_id, l AS canopy FROM loose_e
+              WHERE l IN (SELECT c FROM centers)
+              UNION
+              SELECT l AS record_id, r AS canopy FROM loose_e
+              WHERE r IN (SELECT c FROM centers)
+              UNION
+              SELECT c AS record_id, c AS canopy FROM centers
+            )
         """,
         "best_match_filter": f"""
             WITH pairs AS ({pair_block}),
