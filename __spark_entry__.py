@@ -2354,6 +2354,20 @@ def q_canopy_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return canopy_assign(edges, docs, sim_col="sim", tight=0.6, loose=0.3)
 
 
+def q_core_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition via the h-index fixpoint (Lu et al., PNAS
+    2016; mismo_spark/graph.py:core_numbers) over the citation graph —
+    the node-level dense-kernel rank for cluster QA (core-1 pendants
+    are the single-link attachments edge_support flags edge-by-edge).
+    Integer-only arithmetic; the oracle replays the same fixpoint as
+    ONE recursive CTE, robust to any round count."""
+    from mismo_spark.graph import core_numbers
+
+    edges, _ = _citation_edges(spark, sf_dir)
+    return core_numbers(edges)
+
+
+
 def q_strings_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """text.strings: strip_accents (translate-table fold, codegen) +
     norm_whitespace over accent-injected, space-padded names."""
@@ -4533,6 +4547,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantize_embeddings": q_quantize_embeddings,
         "one_to_one_match": q_one_to_one_match,
         "canopy_assign": q_canopy_assign,
+        "core_numbers": q_core_numbers,
         "c4_clean": q_c4_clean,
         "redact_pii": q_redact_pii,
         "stratified_sample": q_stratified_sample,
@@ -5084,6 +5099,7 @@ def _address_level_oracle_sql() -> str:
 
 def oracle_sql() -> dict[str, str]:
     from mismo_spark.graph import (
+        core_numbers_oracle_sql,
         hits_oracle_sql,
         label_propagation_oracle_sql,
         pagerank_oracle_sql,
@@ -7408,6 +7424,7 @@ def oracle_sql() -> dict[str, str]:
         "label_propagation": label_propagation_oracle_sql(
             citation_edges, n_iter=4
         ),
+        "core_numbers": core_numbers_oracle_sql(citation_edges),
         "pagerank": pagerank_oracle_sql(
             citation_edges, n_iter=6, damping=0.85, round_digits=6
         ),

@@ -30,7 +30,7 @@ recursive CTE terms), built by :func:`pagerank_oracle_sql`.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
@@ -47,6 +47,8 @@ __all__ = [
     "link_prediction",
     "edge_support",
     "local_clustering",
+    "core_numbers",
+    "core_numbers_oracle_sql",
     "label_propagation",
     "label_propagation_oracle_sql",
 ]
@@ -638,6 +640,131 @@ def local_clustering(
         )
     )
     return _finish_wedge(out, und, deg)
+
+
+def core_numbers(
+    edges: DataFrame,
+    *,
+    src_column: str = "src",
+    dst_column: str = "dst",
+    max_rounds: int = 200,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """k-core decomposition → (node, core) over the undirected view of
+    ``edges``: ``core`` is the largest k such that the node survives
+    repeatedly deleting all nodes of degree < k (Seidman 1983).
+
+    Computed as the h-index fixpoint (Lü et al., PNAS 2016): start
+    every node at its degree, then repeatedly set
+    ``c(u) = H({c(v) : v ~ u})`` — the largest h with ≥ h neighbours
+    whose value is ≥ h.  The sequence is monotonically non-increasing
+    and converges exactly to the coreness, so convergence is detected
+    with a cheap (count, bit_xor-hash) fingerprint — no peel ordering,
+    no global priority queue, fully deterministic.
+
+    ER reading: inside a welded component, the high-core kernel is the
+    densely cross-confirmed entity; core-1 pendants hanging off it are
+    the records attached by a single link — the review queue that
+    :func:`edge_support` flags edge-by-edge, ranked here node-by-node.
+    ``core`` is also the degeneracy bound used to cap wedge fan-out.
+    The k-core subgraph is just ``filter(core >= k)`` joined back on
+    the edge endpoints.  Nodes with no (non-self) edge don't appear —
+    union your records table with core 0 if singletons matter.
+
+    Plan per round: one hash join (neighbour values keyed by node) +
+    one ``row_number`` window + one groupBy-max, all keyed on node id;
+    the neighbour relation is persisted once and reused every round;
+    lineage cut per round like :func:`pagerank`."""
+    und = (
+        edges.select(
+            F.least(src_column, dst_column).alias("u"),
+            F.greatest(src_column, dst_column).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .dropDuplicates(["u", "v"])
+    )
+    sym = und.unionByName(
+        und.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).persist()
+    c = sym.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).alias("core")
+    )
+
+    def _fp(df: DataFrame) -> int:
+        row = df.select(
+            F.xxhash64("node", "core").alias("__h")
+        ).agg(F.expr("bit_xor(__h)").alias("h")).collect()[0]
+        return row["h"] if row["h"] is not None else 0
+
+    prev = None
+    for rnd in range(max_rounds):
+        nb = sym.join(
+            c.select(F.col("node").alias("v"), F.col("core").alias("c_v")), "v"
+        )
+        w = Window.partitionBy("u").orderBy(F.col("c_v").desc(), F.col("v").asc())
+        c = _graph_chk(
+            nb.withColumn("__rn", F.row_number().over(w))
+            .groupBy(F.col("u").alias("node"))
+            .agg(F.max(F.least(F.col("c_v"), F.col("__rn"))).alias("core")),
+            checkpoint_dir,
+            f"core_round_{rnd}",
+        )
+        cur = _fp(c)
+        if cur == prev:
+            sym.unpersist()
+            return c
+        prev = cur
+
+    sym.unpersist()
+    raise RuntimeError(f"core_numbers did not converge in {max_rounds} rounds")
+
+
+def core_numbers_oracle_sql(edges_sql: str) -> str:
+    """ANSI-SQL replay of :func:`core_numbers` as ONE recursive CTE —
+    robust to any round count (unlike the unrolled pagerank/LPA
+    oracles, which fix iterations).  Edge rows carry BOTH endpoint
+    values ``(c_u, c_v)`` so each h-index sweep is pure window algebra
+    over a single scan of the working table (a recursive CTE may be
+    referenced only once per step); iteration stops when a whole-table
+    window sees no change.  Integer-only arithmetic."""
+    return f"""
+        WITH RECURSIVE e AS MATERIALIZED ({edges_sql}),
+        und AS MATERIALIZED (
+          SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+          FROM e WHERE src <> dst
+        ),
+        sym AS MATERIALIZED (
+          SELECT u, v FROM und UNION ALL SELECT v AS u, u AS v FROM und
+        ),
+        deg AS MATERIALIZED (
+          SELECT u, count(*) AS d FROM sym GROUP BY u
+        ),
+        work(rnd, u, v, c_u, c_v) AS (
+          SELECT 0, s.u, s.v, du.d, dv.d
+          FROM sym s JOIN deg du ON s.u = du.u JOIN deg dv ON s.v = dv.u
+          UNION ALL
+          SELECT rnd + 1, u, v, h_u, h_v FROM (
+            SELECT rnd, u, v, h_u, h_v,
+                   max(CASE WHEN h_u <> c_u OR h_v <> c_v THEN 1 ELSE 0 END)
+                     OVER () AS any_change
+            FROM (
+              SELECT rnd, u, v, c_u, c_v,
+                     max(least(c_v, rn_u)) OVER (PARTITION BY u) AS h_u,
+                     max(least(c_u, rn_v)) OVER (PARTITION BY v) AS h_v
+              FROM (
+                SELECT rnd, u, v, c_u, c_v,
+                       row_number() OVER (
+                         PARTITION BY u ORDER BY c_v DESC, v) AS rn_u,
+                       row_number() OVER (
+                         PARTITION BY v ORDER BY c_u DESC, u) AS rn_v
+                FROM work
+              )
+            )
+          ) WHERE any_change = 1
+        )
+        SELECT DISTINCT u AS node, c_u AS core
+        FROM work WHERE rnd = (SELECT max(rnd) FROM work)
+    """
 
 
 def label_propagation(

@@ -154,3 +154,22 @@ def canopy_assign(
     )
     own = centers.select("record_id", F.col("record_id").alias("canopy"))
     return members.unionByName(own).distinct()
+
+
+def canopy_pairs(assignments: DataFrame) -> DataFrame:
+    """→ links(record_id_l < record_id_r): records sharing ≥1 canopy —
+    the candidate pairs the expensive comparer actually runs on.
+
+    One self-equi-join keyed on ``canopy`` + distinct (overlapping
+    canopies produce the same pair from several centers).  At scale a
+    hot canopy behaves like a hot KeyLinker key: the canopy id is the
+    join key, so the same ``max_pairs``-style pre-flight applies —
+    count per-canopy sizes first if the tight threshold is loose."""
+    a = assignments.select(F.col("record_id").alias(ID_L), "canopy")
+    b = assignments.select(F.col("record_id").alias(ID_R), "canopy")
+    return (
+        a.join(b, "canopy")
+        .filter(F.col(ID_L) < F.col(ID_R))
+        .select(ID_L, ID_R)
+        .distinct()
+    )

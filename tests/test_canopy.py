@@ -126,6 +126,32 @@ def test_checkpoint_dir_resume_identical(spark, tmp_path):
     assert a == b
 
 
+def test_canopy_pairs_shared_membership(spark):
+    from mismo_spark.linker.canopy import canopy_pairs
+
+    ids = [1, 2, 3, 4]
+    edges = [(1, 2, 0.85), (2, 3, 0.85), (3, 4, 0.95), (1, 4, 0.5)]
+    e = spark.createDataFrame(edges, EDGE_SCHEMA)
+    r = spark.createDataFrame([(i,) for i in ids], REC_SCHEMA)
+    assign = canopy_assign(e, r, sim_col="sim", tight=0.8, loose=0.4)
+    got = sorted(tuple(x) for x in canopy_pairs(assign).collect())
+    # expected: all pairs co-resident in some canopy of assign_py
+    a = assign_py(ids, edges, 0.8, 0.4)
+    cans = {}
+    for rec, can in a:
+        cans.setdefault(can, set()).add(rec)
+    want = sorted(
+        {
+            (min(x, y), max(x, y))
+            for members in cans.values()
+            for x in members
+            for y in members
+            if x != y
+        }
+    )
+    assert got == want
+
+
 def test_bad_thresholds_raise(spark):
     e = spark.createDataFrame([(1, 2, 0.9)], EDGE_SCHEMA)
     r = spark.createDataFrame([(1,), (2,)], REC_SCHEMA)

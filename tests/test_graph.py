@@ -626,3 +626,91 @@ class TestLabelPropagation:
             for r in label_propagation(df, n_iter=3).collect()
         )
         assert a == b
+
+
+class TestCoreNumbers:
+    """k-core via the h-index fixpoint vs a classic peel reference."""
+
+    @staticmethod
+    def peel_py(edges):
+        """Batch peeling: repeatedly delete ALL nodes of degree < k."""
+        nbrs = {}
+        for u, v in edges:
+            if u == v:
+                continue
+            nbrs.setdefault(u, set()).add(v)
+            nbrs.setdefault(v, set()).add(u)
+        core, alive = {}, dict(nbrs)
+        k = 1
+        while alive:
+            doomed = [n for n, ns in alive.items() if len(ns) < k]
+            if not doomed:
+                k += 1
+                continue
+            for n in doomed:
+                core[n] = k - 1
+                for m in alive[n]:
+                    if m in alive:
+                        alive[m].discard(n)
+                del alive[n]
+        return core
+
+    def run(self, spark, edges, **kw):
+        from mismo_spark.graph import core_numbers
+
+        df = spark.createDataFrame(edges, "src long, dst long")
+        return {r.node: r.core for r in core_numbers(df, **kw).collect()}
+
+    def test_triangle_plus_pendant(self, spark):
+        # triangle {1,2,3} is the 2-core; pendant 4 has coreness 1
+        edges = [(1, 2), (2, 3), (1, 3), (3, 4)]
+        got = self.run(spark, edges)
+        assert got == {1: 2, 2: 2, 3: 2, 4: 1}
+        assert got == self.peel_py(edges)
+
+    def test_clique_with_tail(self, spark):
+        # K4 (coreness 3) with a 3-node path hanging off (coreness 1)
+        k4 = [(a, b) for a in range(1, 5) for b in range(1, 5) if a < b]
+        edges = k4 + [(4, 10), (10, 11), (11, 12)]
+        got = self.run(spark, edges)
+        assert got == self.peel_py(edges)
+        assert got[1] == 3 and got[10] == 1
+
+    def test_randomized_equivalence(self, spark):
+        import random
+
+        rng = random.Random(17)
+        edges = sorted(
+            {
+                (min(a, b), max(a, b))
+                for a, b in (
+                    (rng.randrange(30), rng.randrange(30)) for _ in range(150)
+                )
+                if a != b
+            }
+        )
+        assert self.run(spark, edges) == self.peel_py(edges)
+
+    def test_duplicate_and_reversed_edges_ignored(self, spark):
+        edges = [(1, 2), (2, 1), (1, 2), (2, 3), (1, 3)]
+        assert self.run(spark, edges) == {1: 2, 2: 2, 3: 2}
+
+    def test_checkpoint_dir_resume_identical(self, spark, tmp_path):
+        edges = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)]
+        a = self.run(spark, edges)
+        b = self.run(spark, edges, checkpoint_dir=str(tmp_path / "core"))
+        assert a == b
+
+    def test_oracle_sql_matches(self, spark):
+        import duckdb
+
+        from mismo_spark.graph import core_numbers_oracle_sql
+
+        edges = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (5, 6), (4, 6)]
+        got = self.run(spark, edges)
+        vals = ", ".join(f"({u}, {v})" for u, v in edges)
+        sql = core_numbers_oracle_sql(
+            f"SELECT * FROM (VALUES {vals}) t(src, dst)"
+        )
+        want = dict(duckdb.connect().execute(sql).fetchall())
+        assert got == want
