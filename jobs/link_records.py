@@ -4,7 +4,7 @@ record-linkage task, vs jobs/dedupe_webpages.py's self-dedupe).
     spark-submit --py-files mismo_spark.zip jobs/link_records.py \\
         --left new_crawl.parquet --right corpus.parquet \\
         --output links.parquet [--weights-json w.json]
-        [--best-match-only] [--threshold-odds 10]
+        [--best-match-only | --one-to-one] [--threshold-odds 10]
 
 Flow: prepare records on both sides (same derivation as the dedupe
 pipeline — byte-identical text extraction per url) → blocking with
@@ -36,6 +36,10 @@ def main(argv: list[str] | None = None) -> dict:
     ap.add_argument("--em-max-pairs", type=int, default=200_000)
     ap.add_argument("--best-match-only", action="store_true",
                     help="keep only each left record's max-odds link")
+    ap.add_argument("--one-to-one", action="store_true",
+                    help="enforce a 1:1 matching: greedy maximum-weight "
+                    "assignment by descending odds (linker/assignment.py); "
+                    "mutually exclusive with --best-match-only")
     ap.add_argument("--seed", type=int, default=42)
     args = ap.parse_args(argv)
 
@@ -106,6 +110,12 @@ def main(argv: list[str] | None = None) -> dict:
         "record_id_l", "record_id_r", "odds"
     )
     matches = scored.filter(F.col("odds") >= args.threshold_odds)
+    if args.one_to_one and args.best_match_only:
+        ap.error("--one-to-one and --best-match-only are mutually exclusive")
+    if args.one_to_one:
+        from mismo_spark.linker.assignment import one_to_one_links
+
+        matches = one_to_one_links(matches, "odds")
     if args.best_match_only:
         from pyspark.sql import Window
 

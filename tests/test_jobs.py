@@ -270,6 +270,26 @@ def test_link_records_job(spark, tmp_path):
     ).count()
     assert self_hits >= 50
 
+    # same corpus through --one-to-one: the greedy assignment must be
+    # strictly 1:1 on BOTH sides and keep the recrawl self-matches
+    out2 = str(tmp_path / "links_121.parquet")
+    res2 = link_main([
+        "--left", left_p,
+        "--right", right_p,
+        "--output", out2,
+        "--weights-json", wpath,
+        "--one-to-one",
+    ])
+    assert res2["links"] > 0
+    links2 = spark.read.parquet(out2)
+    n = links2.count()
+    assert links2.select("record_id_l").distinct().count() == n
+    assert links2.select("record_id_r").distinct().count() == n
+    self_hits2 = links2.filter(
+        F.col("record_id_l") == F.concat(F.col("record_id_r"), F.lit("?recrawl=1"))
+    ).count()
+    assert self_hits2 >= 50
+
 
 def test_prep_training_data_gopher(spark, tmp_path):
     src = str(tmp_path / "docs.parquet")
