@@ -2367,6 +2367,33 @@ def q_core_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return core_numbers(edges)
 
 
+def q_pivot_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KwikCluster pivot correlation clustering (Ailon et al. 2008,
+    mismo_spark/cluster/pivot.py) with id-order pivots over the tight
+    (>=0.6) token-Jaccard graph: id-order greedy MIS pivots + each
+    record joining its smallest adjacent pivot.  The deterministic
+    counterweight to connected_components' transitive welding."""
+    from mismo_spark.cluster.pivot import pivot_clustering
+    from mismo_spark.linker.key import KeyLinker
+    from mismo_spark.sets.compare import jaccard
+    from mismo_spark.text.features import tokenize
+    from mismo_spark.types.linkage import Linkage
+
+    docs = _docs(spark, sf_dir).select(
+        "record_id",
+        "source",
+        F.array_distinct(tokenize(F.lower(F.col("text")))).alias("tokens"),
+    )
+    lk = KeyLinker(["source"], task="dedupe")(docs)
+    pairs = Linkage(docs, docs, lk.links).links_with_both()
+    edges = pairs.select(
+        "record_id_l",
+        "record_id_r",
+        jaccard(F.col("tokens_l"), F.col("tokens_r")).alias("sim"),
+    ).filter(F.col("sim") >= 0.6)
+    return pivot_clustering(edges, docs, sim_col="sim", threshold=0.6)
+
+
 
 def q_strings_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """text.strings: strip_accents (translate-table fold, codegen) +
@@ -4548,6 +4575,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "one_to_one_match": q_one_to_one_match,
         "canopy_assign": q_canopy_assign,
         "core_numbers": q_core_numbers,
+        "pivot_clustering": q_pivot_clustering,
         "c4_clean": q_c4_clean,
         "redact_pii": q_redact_pii,
         "stratified_sample": q_stratified_sample,
@@ -4649,6 +4677,64 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 
 _TOKENS = "list_distinct(string_split_regex(lower(trim(text)), '\\s+'))"
+
+
+def _mis_work_cte() -> str:
+    """Shared recursive-CTE prefix: token-Jaccard sims over
+    source-blocked documents, the symmetrized tight (>=0.6) graph with
+    self-loops, and the local-minima `work` rounds computing the
+    id-order greedy MIS (mirrors linker/canopy.py:canopy_centers).
+    Used by the canopy_assign and pivot_clustering oracles."""
+    return f"""
+            WITH RECURSIVE d AS MATERIALIZED (
+              SELECT doc_id, source, {_TOKENS} AS tokens FROM documents
+            ),
+            sims AS MATERIALIZED (
+              SELECT a.doc_id AS l, b.doc_id AS r,
+                     CASE WHEN len(list_intersect(a.tokens, b.tokens)) = 0
+                          THEN 0.0
+                          ELSE len(list_intersect(a.tokens, b.tokens))::DOUBLE
+                               / len(list_distinct(
+                                     list_concat(a.tokens, b.tokens)))
+                     END AS s
+              FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
+            ),
+            loose_e AS MATERIALIZED (SELECT l, r FROM sims WHERE s >= 0.3),
+            tight_sym AS MATERIALIZED (
+              SELECT l AS u, r AS v FROM sims WHERE s >= 0.6
+              UNION ALL SELECT r, l FROM sims WHERE s >= 0.6
+              UNION ALL SELECT doc_id, doc_id FROM d  -- self-loops: isolated
+            ),
+            -- local-minima rounds == id-order greedy MIS of the tight
+            -- graph; mirrors linker/canopy.py:canopy_centers exactly
+            work(status, u, v) AS (
+              SELECT 'e', u, v FROM tight_sym
+              UNION ALL
+              SELECT new_status, u, v FROM (
+                SELECT u, v,
+                       CASE WHEN u = v AND ctr_u = 1 THEN 'c'
+                            WHEN ctr_u = 0 AND cov_u = 0
+                             AND ctr_v = 0 AND cov_v = 0 THEN 'e'
+                            ELSE NULL END AS new_status
+                FROM (
+                  SELECT u, v, ctr_u, ctr_v,
+                         max(CASE WHEN ctr_v = 1 AND u <> v THEN 1 ELSE 0 END)
+                           OVER (PARTITION BY u) AS cov_u,
+                         max(CASE WHEN ctr_u = 1 AND u <> v THEN 1 ELSE 0 END)
+                           OVER (PARTITION BY v) AS cov_v
+                  FROM (
+                    SELECT u, v,
+                           1 - max(CASE WHEN v < u THEN 1 ELSE 0 END)
+                                 OVER (PARTITION BY u) AS ctr_u,
+                           1 - max(CASE WHEN u < v THEN 1 ELSE 0 END)
+                                 OVER (PARTITION BY v) AS ctr_v
+                    FROM work WHERE status = 'e'
+                  )
+                )
+              ) WHERE new_status IS NOT NULL
+            ),
+            centers AS (SELECT u AS c FROM work WHERE status = 'c')"""
+
 
 
 _META_BLOCK_CTES = """docs2 AS (
@@ -6482,54 +6568,7 @@ def oracle_sql() -> dict[str, str]:
             FROM work WHERE status = 'dom'
         """,
         "canopy_assign": f"""
-            WITH RECURSIVE d AS MATERIALIZED (
-              SELECT doc_id, source, {_TOKENS} AS tokens FROM documents
-            ),
-            sims AS MATERIALIZED (
-              SELECT a.doc_id AS l, b.doc_id AS r,
-                     CASE WHEN len(list_intersect(a.tokens, b.tokens)) = 0
-                          THEN 0.0
-                          ELSE len(list_intersect(a.tokens, b.tokens))::DOUBLE
-                               / len(list_distinct(
-                                     list_concat(a.tokens, b.tokens)))
-                     END AS s
-              FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
-            ),
-            loose_e AS MATERIALIZED (SELECT l, r FROM sims WHERE s >= 0.3),
-            tight_sym AS MATERIALIZED (
-              SELECT l AS u, r AS v FROM sims WHERE s >= 0.6
-              UNION ALL SELECT r, l FROM sims WHERE s >= 0.6
-              UNION ALL SELECT doc_id, doc_id FROM d  -- self-loops: isolated
-            ),
-            -- local-minima rounds == id-order greedy MIS of the tight
-            -- graph; mirrors linker/canopy.py:canopy_centers exactly
-            work(status, u, v) AS (
-              SELECT 'e', u, v FROM tight_sym
-              UNION ALL
-              SELECT new_status, u, v FROM (
-                SELECT u, v,
-                       CASE WHEN u = v AND ctr_u = 1 THEN 'c'
-                            WHEN ctr_u = 0 AND cov_u = 0
-                             AND ctr_v = 0 AND cov_v = 0 THEN 'e'
-                            ELSE NULL END AS new_status
-                FROM (
-                  SELECT u, v, ctr_u, ctr_v,
-                         max(CASE WHEN ctr_v = 1 AND u <> v THEN 1 ELSE 0 END)
-                           OVER (PARTITION BY u) AS cov_u,
-                         max(CASE WHEN ctr_u = 1 AND u <> v THEN 1 ELSE 0 END)
-                           OVER (PARTITION BY v) AS cov_v
-                  FROM (
-                    SELECT u, v,
-                           1 - max(CASE WHEN v < u THEN 1 ELSE 0 END)
-                                 OVER (PARTITION BY u) AS ctr_u,
-                           1 - max(CASE WHEN u < v THEN 1 ELSE 0 END)
-                                 OVER (PARTITION BY v) AS ctr_v
-                    FROM work WHERE status = 'e'
-                  )
-                )
-              ) WHERE new_status IS NOT NULL
-            ),
-            centers AS (SELECT u AS c FROM work WHERE status = 'c')
+            {_mis_work_cte()}
             SELECT record_id, canopy FROM (
               SELECT r AS record_id, l AS canopy FROM loose_e
               WHERE l IN (SELECT c FROM centers)
@@ -6539,6 +6578,18 @@ def oracle_sql() -> dict[str, str]:
               UNION
               SELECT c AS record_id, c AS canopy FROM centers
             )
+        """,
+        "pivot_clustering": f"""
+            {_mis_work_cte()},
+            member AS (
+              SELECT v AS record_id, min(u) AS cluster
+              FROM tight_sym WHERE u IN (SELECT c FROM centers)
+              GROUP BY v
+            )
+            SELECT record_id, cluster FROM member
+            WHERE record_id NOT IN (SELECT c FROM centers)
+            UNION ALL
+            SELECT c AS record_id, c AS cluster FROM centers
         """,
         "best_match_filter": f"""
             WITH pairs AS ({pair_block}),
