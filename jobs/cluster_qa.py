@@ -20,9 +20,11 @@ The pipeline (one pass, every shuffle keyed by node/component):
      unsupported.  With ``--odds-column``, only unsupported links whose
      score is also below ``--max-bridge-odds`` are flagged — structure
      AND score both doubting the link.
-  3. ``label_propagation`` — dense-core labels; a flagged bridge whose
-     endpoints ALSO disagree on their LPA community label is a
-     confirmed split suggestion (three independent signals).
+  3. ``label_propagation`` (or, with ``--splitter pivot``, KwikCluster
+     pivot correlation clustering) — community labels; a flagged
+     bridge whose endpoints ALSO disagree on their community label is
+     a confirmed split suggestion (three independent signals).  The
+     report column is named ``lpa_split`` under either splitter.
   4. ``decremental_components`` removes the confirmed bridges and
      re-clusters ONLY the touched components (splits included) —
      byte-identical to a from-scratch CC over the surviving links.
@@ -51,6 +53,13 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--max-bridge-odds", type=float, default=10.0)
     ap.add_argument("--lpa-iter", type=int, default=5)
     ap.add_argument(
+        "--splitter", choices=("lpa", "pivot"), default="lpa",
+        help="community signal confirming a flagged bridge: synchronous "
+        "label propagation (default) or KwikCluster pivot correlation "
+        "clustering (cluster/pivot.py — diameter-<=2 clusters, absent "
+        "edges count against merging)",
+    )
+    ap.add_argument(
         "--max-degree", type=int, default=1000,
         help="hub cap for the edge_support wedge join",
     )
@@ -66,6 +75,7 @@ def main(argv: list[str] | None = None) -> None:
 
     from mismo_spark.cluster.cc import connected_components
     from mismo_spark.cluster.decremental import decremental_components
+    from mismo_spark.cluster.pivot import pivot_clustering
     from mismo_spark.graph import edge_support, label_propagation
 
     spark = SparkSession.builder.appName("cluster_qa").getOrCreate()
@@ -89,17 +99,31 @@ def main(argv: list[str] | None = None) -> None:
         max_degree=args.max_degree,
     ).withColumnsRenamed({"node_a": "record_id_l", "node_b": "record_id_r"})
 
-    lpa = label_propagation(
-        canon,
-        n_iter=args.lpa_iter,
-        src_column="record_id_l",
-        dst_column="record_id_r",
-        checkpoint_dir=args.checkpoint_dir,
-    )
-    la = lpa.select(
+    if args.splitter == "lpa":
+        comm = label_propagation(
+            canon,
+            n_iter=args.lpa_iter,
+            src_column="record_id_l",
+            dst_column="record_id_r",
+            checkpoint_dir=args.checkpoint_dir,
+        )
+    else:
+        recs = (
+            canon.select(F.col("record_id_l").alias("record_id"))
+            .unionByName(canon.select(F.col("record_id_r").alias("record_id")))
+            .distinct()
+        )
+        comm = pivot_clustering(
+            canon.withColumn("__sim", F.lit(1.0)),
+            recs,
+            sim_col="__sim",
+            threshold=1.0,
+            checkpoint_dir=args.checkpoint_dir,
+        ).select(F.col("record_id").alias("node"), F.col("cluster").alias("label"))
+    la = comm.select(
         F.col("node").alias("record_id_l"), F.col("label").alias("__ll")
     )
-    lb = lpa.select(
+    lb = comm.select(
         F.col("node").alias("record_id_r"), F.col("label").alias("__lr")
     )
 

@@ -877,6 +877,36 @@ def test_cluster_qa_job_repairs_welded_cluster(spark, tmp_path, capsys):
     assert repaired == scratch
 
 
+def test_cluster_qa_job_pivot_splitter(spark, tmp_path, capsys):
+    """Same welded two-triangle graph through --splitter pivot: the
+    KwikCluster labels disagree across the bridge too, so the repair
+    is identical to the LPA path."""
+    import json as _json
+
+    from jobs.cluster_qa import main as qa_main
+
+    links = [
+        (1, 2), (2, 3), (1, 3),
+        (5, 6), (6, 7), (5, 7),
+        (3, 5),
+        (10, 11),
+    ]
+    ldf = spark.createDataFrame(
+        links, "record_id_l long, record_id_r long"
+    )
+    in_path = str(tmp_path / "links_pivot.parquet")
+    out = str(tmp_path / "qa_pivot")
+    ldf.write.parquet(in_path)
+
+    qa_main(["--links", in_path, "--output", out, "--splitter", "pivot"])
+    summary = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["bridges_removed"] == 1
+    assert summary["components_before"] == 2
+    assert summary["components_after"] == 3
+    bridges = spark.read.parquet(f"{out}/bridges.parquet").collect()
+    assert [(b.record_id_l, b.record_id_r) for b in bridges] == [(3, 5)]
+
+
 def test_cluster_qa_job_dry_run_keeps_assignment(spark, tmp_path, capsys):
     import json as _json
 
