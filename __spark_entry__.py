@@ -2394,6 +2394,40 @@ def q_pivot_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pivot_clustering(edges, docs, sim_col="sim", threshold=0.6)
 
 
+def q_clk_dice_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy-preserving linkage (Schnell et al. 2009, lib/pprl.py):
+    CLK Bloom position-set encodings of (c_name, c_mktsegment) per
+    customer, nation-blocked pairs scored with the Dice coefficient,
+    kept at >= 0.85.  Dice is an exact int/int expression so the
+    threshold crossing is engine-identical; positions use the repo's
+    cross-engine md5-slice hash family (dedupe/bloom.py:34)."""
+    from mismo_spark.lib.pprl import clk_positions, dice_positions
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    enc = cust.select(
+        "c_custkey",
+        "c_nationkey",
+        clk_positions(F.col("c_name"), F.col("c_mktsegment")).alias("pos"),
+    )
+    a = enc.select(
+        F.col("c_custkey").alias("custkey_l"),
+        "c_nationkey",
+        F.col("pos").alias("pos_l"),
+    )
+    b = enc.select(
+        F.col("c_custkey").alias("custkey_r"),
+        "c_nationkey",
+        F.col("pos").alias("pos_r"),
+    )
+    pairs = a.join(b, "c_nationkey").filter(
+        F.col("custkey_l") < F.col("custkey_r")
+    )
+    dice = dice_positions(F.col("pos_l"), F.col("pos_r"))
+    return pairs.filter(dice >= 0.85).select(
+        "custkey_l", "custkey_r", _micro(dice, "dice_micro")
+    )
+
+
 
 def q_strings_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """text.strings: strip_accents (translate-table fold, codegen) +
@@ -4576,6 +4610,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canopy_assign": q_canopy_assign,
         "core_numbers": q_core_numbers,
         "pivot_clustering": q_pivot_clustering,
+        "clk_dice_pairs": q_clk_dice_pairs,
         "c4_clean": q_c4_clean,
         "redact_pii": q_redact_pii,
         "stratified_sample": q_stratified_sample,
@@ -6590,6 +6625,32 @@ def oracle_sql() -> dict[str, str]:
             WHERE record_id NOT IN (SELECT c FROM centers)
             UNION ALL
             SELECT c AS record_id, c AS cluster FROM centers
+        """,
+        "clk_dice_pairs": f"""
+            WITH e AS (
+              SELECT c_custkey, c_nationkey,
+                list_sort(list_distinct(flatten(list_transform(
+                  list_distinct(list_concat(
+                    list_transform(range(1, length('_' || lower(trim(c_name)) || '_')), i -> substring('_' || lower(trim(c_name)) || '_', i, 2)),
+                    list_transform(range(1, length('_' || lower(trim(c_mktsegment)) || '_')), i -> substring('_' || lower(trim(c_mktsegment)) || '_', i, 2))
+                  )),
+                  g -> [(('0x' || substr(md5(g || ':42:0'), 1, 8))::BIGINT
+                          % 1024),
+                        (('0x' || substr(md5(g || ':42:1'), 1, 8))::BIGINT
+                          % 1024)]
+                )))) AS pos
+              FROM customer
+            ),
+            p AS (
+              SELECT a.c_custkey AS custkey_l, b.c_custkey AS custkey_r,
+                     2.0 * len(list_intersect(a.pos, b.pos))
+                       / (len(a.pos) + len(b.pos)) AS dice
+              FROM e a JOIN e b ON a.c_nationkey = b.c_nationkey
+                                AND a.c_custkey < b.c_custkey
+            )
+            SELECT custkey_l, custkey_r,
+                   {_micro_sql('dice')} AS dice_micro
+            FROM p WHERE dice >= 0.85
         """,
         "best_match_filter": f"""
             WITH pairs AS ({pair_block}),
