@@ -111,6 +111,11 @@ def one_to_one_links(
     matched: DataFrame | None = None
 
     for rnd in range(max_rounds):
+        # window order matters for the shuffle count: rn_l (hash by l),
+        # then BOTH r-partitioned windows back to back (rn_r's exchange
+        # satisfies __r_dom's partitioning requirement — no re-shuffle),
+        # then the final l-partitioned window: 3 exchanges per round,
+        # not the 4 the naive l/r/l/r interleaving costs
         flagged = (
             rem.withColumn(_RN_L, F.row_number().over(w_l))
             .withColumn(_RN_R, F.row_number().over(w_r))
@@ -120,8 +125,8 @@ def one_to_one_links(
             )
             # an edge survives to the next round iff NEITHER of its
             # records gained a dominant (= matched) edge this round
-            .withColumn("__l_dom", F.max(_DOM).over(dom_l))
             .withColumn("__r_dom", F.max(_DOM).over(dom_r))
+            .withColumn("__l_dom", F.max(_DOM).over(dom_l))
             .filter((F.col(_DOM) == 1) | ((F.col("__l_dom") == 0) & (F.col("__r_dom") == 0)))
         )
         flagged = _chk(
