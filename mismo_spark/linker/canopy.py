@@ -81,18 +81,18 @@ def canopy_centers(
 
     for rnd in range(max_rounds):
         # a record is a center iff no smaller-id ACTIVE tight-neighbour
+        # (no .distinct() on the probe sides: anti/semi joins ignore
+        # duplicate keys, and the dedup shuffle would be pure overhead)
         blocked = te.filter(F.col(_V) < F.col(_U)).select(F.col(_U).alias("record_id"))
-        round_centers = act.join(blocked.distinct(), "record_id", "left_anti")
+        round_centers = act.join(blocked, "record_id", "left_anti")
         round_centers = _chk(round_centers, checkpoint_dir, f"canopy_centers_{rnd}")
         centers = (
             round_centers if centers is None else centers.unionByName(round_centers)
         )
         # centers leave the pool; so do their tight-neighbours (covered)
-        covered = (
-            te.join(round_centers.withColumnRenamed("record_id", _U), _U)
-            .select(F.col(_V).alias("record_id"))
-            .distinct()
-        )
+        covered = te.join(
+            round_centers.withColumnRenamed("record_id", _U), _U, "left_semi"
+        ).select(F.col(_V).alias("record_id"))
         act = (
             act.join(round_centers, "record_id", "left_anti")
             .join(covered, "record_id", "left_anti")
