@@ -55,15 +55,18 @@ def pivot_clustering(
     pivots).  Plan: the MIS rounds of ``canopy_centers`` (see there
     for the per-round shape), then one semi-join + groupBy-min keyed
     on record id for the membership."""
+    # sim edges feed both the pivot rounds and the membership join —
+    # persist across the two, released after the eager checkpoint
+    ed = edges.persist()
     pivots = canopy_centers(
-        edges,
+        ed,
         records,
         sim_col=sim_col,
         tight=threshold,
         max_rounds=max_rounds,
         checkpoint_dir=checkpoint_dir,
     )
-    pe = _sym(edges, sim_col, threshold)
+    pe = _sym(ed, sim_col, threshold)
     # non-pivot records: smallest adjacent pivot = the pivot whose
     # sequential turn would have removed them first
     member = (
@@ -73,4 +76,6 @@ def pivot_clustering(
         .join(pivots, "record_id", "left_anti")  # pivots keep their own id
     )
     own = pivots.select("record_id", F.col("record_id").alias("cluster"))
-    return member.unionByName(own)
+    out = member.unionByName(own).localCheckpoint(eager=True)
+    ed.unpersist()
+    return out

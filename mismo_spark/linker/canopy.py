@@ -75,7 +75,12 @@ def canopy_centers(
 
     Records with no tight edge at all become their own centers (the
     sequential loop always drains the pool)."""
-    te = _sym(edges, sim_col, tight)
+    # one lineage cut up front: round 0 touches the symmetric tight
+    # graph several times (blocked, covered, both shrinks) and the sim
+    # edges are often an expensive derivation (token Jaccard over
+    # candidate pairs) — materialize once instead of re-evaluating per
+    # action
+    te = _chk(_sym(edges, sim_col, tight), checkpoint_dir, "canopy_edges_init")
     act = records.select("record_id").distinct()
     centers: DataFrame | None = None
 
@@ -138,22 +143,28 @@ def canopy_assign(
             f"loose similarity bound ({loose}) must be <= tight ({tight}); "
             "tight is the remove-from-pool radius, loose the membership radius"
         )
+    # the sim edges are evaluated by BOTH the center rounds and the
+    # loose membership join — persist across the two, released after
+    # the eager checkpoint of the result
+    ed = edges.persist()
     centers = canopy_centers(
-        edges,
+        ed,
         records,
         sim_col=sim_col,
         tight=tight,
         max_rounds=max_rounds,
         checkpoint_dir=checkpoint_dir,
     )
-    le = _sym(edges, sim_col, loose)
+    le = _sym(ed, sim_col, loose)
     members = (
         le.join(
             centers.withColumnRenamed("record_id", _U), _U, "left_semi"
         ).select(F.col(_V).alias("record_id"), F.col(_U).alias("canopy"))
     )
     own = centers.select("record_id", F.col("record_id").alias("canopy"))
-    return members.unionByName(own).distinct()
+    out = members.unionByName(own).distinct().localCheckpoint(eager=True)
+    ed.unpersist()
+    return out
 
 
 def canopy_pairs(assignments: DataFrame) -> DataFrame:
