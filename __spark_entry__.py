@@ -2428,6 +2428,34 @@ def q_clk_dice_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_center_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CENTER clustering (Hassanzadeh & Miller 2009,
+    mismo_spark/cluster/center.py) over JW-scored candidate pairs:
+    strongest pairs seed star clusters, members join by score order.
+    Integer micro-unit scores keep the scan order engine-identical;
+    the DuckDB oracle replays the decidable-edge rounds as one
+    recursive CTE."""
+    from mismo_spark.cluster.center import center_clustering
+    from mismo_spark.linker.key import KeyLinker
+    from mismo_spark.text.similarity import jaro_winkler_similarity
+    from mismo_spark.types.linkage import Linkage
+
+    docs = _docs(spark, sf_dir).select(
+        "record_id", "lang", "source", F.substring("text", 1, 30).alias("prefix")
+    )
+    lk = KeyLinker(["lang", "source"], task="dedupe")(docs)
+    pairs = Linkage(docs, docs, lk.links).links_with_both()
+    scored = pairs.select(
+        "record_id_l",
+        "record_id_r",
+        _micro(
+            jaro_winkler_similarity(F.col("prefix_l"), F.col("prefix_r")),
+            "jw_micro",
+        ),
+    )
+    return center_clustering(scored, docs, score_col="jw_micro")
+
+
 
 def q_strings_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """text.strings: strip_accents (translate-table fold, codegen) +
@@ -4611,6 +4639,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "core_numbers": q_core_numbers,
         "pivot_clustering": q_pivot_clustering,
         "clk_dice_pairs": q_clk_dice_pairs,
+        "center_clustering": q_center_clustering,
         "c4_clean": q_c4_clean,
         "redact_pii": q_redact_pii,
         "stratified_sample": q_stratified_sample,
@@ -6651,6 +6680,83 @@ def oracle_sql() -> dict[str, str]:
             SELECT custkey_l, custkey_r,
                    {_micro_sql('dice')} AS dice_micro
             FROM p WHERE dice >= 0.85
+        """,
+        "center_clustering": f"""
+            WITH RECURSIVE d AS MATERIALIZED (
+              SELECT doc_id, lang, source, substring(text, 1, 30) AS prefix
+              FROM documents
+            ),
+            scored AS MATERIALIZED (
+              SELECT a.doc_id AS k1, b.doc_id AS k2,
+                     {_micro_sql('jaro_winkler_similarity(a.prefix, b.prefix)')} AS s
+              FROM d a JOIN d b ON a.lang = b.lang AND a.source = b.source
+                                AND a.doc_id < b.doc_id
+            ),
+            -- decidable-edge rounds == the sequential CENTER scan in
+            -- (s DESC, k1, k2) order; mirrors cluster/center.py exactly
+            work(status, node, other, s, k1, k2,
+                 st_n, ctr_n, st_o, ctr_o) AS (
+              SELECT 'e', k1, k2, s, k1, k2,
+                     0, NULL::BIGINT, 0, NULL::BIGINT
+              FROM scored WHERE s IS NOT NULL
+              UNION ALL
+              SELECT 'e', k2, k1, s, k1, k2,
+                     0, NULL::BIGINT, 0, NULL::BIGINT
+              FROM scored WHERE s IS NOT NULL
+              UNION ALL
+              SELECT new_status, node, other, s, k1, k2,
+                     CASE WHEN new_status = 'a' THEN NULL
+                          WHEN node_upd IS NOT NULL
+                          THEN CAST(node_upd // 1099511627776 AS INT)
+                          ELSE st_n END,
+                     CASE WHEN new_status = 'a' THEN upd % 1099511627776 - 1
+                          WHEN node_upd IS NOT NULL THEN node_upd % 1099511627776 - 1
+                          ELSE ctr_n END,
+                     CASE WHEN other_upd > 0
+                          THEN CAST(other_upd // 1099511627776 AS INT) ELSE st_o END,
+                     CASE WHEN other_upd > 0
+                          THEN other_upd % 1099511627776 - 1 ELSE ctr_o END
+              FROM (
+                SELECT *,
+                       CASE WHEN rn = 1 AND upd IS NOT NULL THEN 'a'
+                            WHEN decid = 0 THEN 'e'
+                            ELSE NULL END AS new_status,
+                       sum(coalesce(node_upd, 0))
+                         OVER (PARTITION BY k1, k2)
+                         - coalesce(node_upd, 0) AS other_upd
+                FROM (
+                  SELECT *, max(upd) OVER (PARTITION BY node) AS node_upd
+                  FROM (
+                    SELECT *,
+                           CASE WHEN rn = 1 AND decid = 1 AND st_n = 0 THEN
+                             CASE WHEN st_o = 0 THEN
+                                    CASE WHEN node < other
+                                         THEN 1 * 1099511627776::BIGINT + node + 1
+                                         ELSE 2 * 1099511627776::BIGINT + other + 1 END
+                                  WHEN st_o = 1
+                                  THEN 2 * 1099511627776::BIGINT + other + 1
+                                  ELSE NULL END
+                           END AS upd
+                    FROM (
+                      SELECT *,
+                             min(CASE WHEN st_n <> 0 OR rn = 1
+                                      THEN 1 ELSE 0 END)
+                               OVER (PARTITION BY k1, k2) AS decid
+                      FROM (
+                        SELECT *, row_number() OVER (
+                          PARTITION BY node ORDER BY s DESC, k1, k2) AS rn
+                        FROM work WHERE status = 'e'
+                      )
+                    )
+                  )
+                )
+              ) WHERE new_status IS NOT NULL
+            ),
+            assigned AS (SELECT node AS record_id, ctr_n AS cluster
+                         FROM work WHERE status = 'a')
+            SELECT d.doc_id AS record_id,
+                   coalesce(a.cluster, d.doc_id) AS cluster
+            FROM d LEFT JOIN assigned a ON d.doc_id = a.record_id
         """,
         "best_match_filter": f"""
             WITH pairs AS ({pair_block}),
