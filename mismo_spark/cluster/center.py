@@ -70,7 +70,18 @@ def center_clustering(
     deciding edge (isolated, or every edge arrived member-to-member)
     are their own singleton clusters, per the paper.  ``threshold``
     optionally drops links below a score floor first.  Record ids must
-    be integral (the round encoding packs them into a long)."""
+    be NON-NEGATIVE integers below 2^40 (the round encoding packs
+    ``state * 2^40 + id + 1`` into a long); factorize other id types
+    first (cluster/cc.py does the same for its fast path)."""
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    integral = (ByteType, ShortType, IntegerType, LongType)
+    for df, col in ((links, ID_L), (links, ID_R), (records, "record_id")):
+        if not isinstance(df.schema[col].dataType, integral):
+            raise TypeError(
+                f"center_clustering needs integral record ids; {col} is "
+                f"{df.schema[col].dataType.simpleString()} — factorize first"
+            )
     e = links.filter(F.col(score_col).isNotNull())
     if threshold is not None:
         e = e.filter(F.col(score_col) >= threshold)

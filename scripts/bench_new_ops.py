@@ -38,7 +38,9 @@ def main() -> None:
         "one_to_one_match",
         "canopy_assign",
         "pivot_clustering",
+        "center_clustering",
         "core_numbers",
+        "clk_dice_pairs",
     ):
         t0 = time.monotonic()
         n = queries[name](spark, sf_dir).count()
