@@ -2456,6 +2456,32 @@ def q_center_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     return center_clustering(scored, docs, score_col="jw_micro")
 
 
+def q_mutual_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mutual_best_links (linker/assignment.py): reciprocal-best-hit
+    filter — keep pairs that are the top-ranked link of BOTH their
+    records under (score DESC, id_l, id_r); round 1 of the greedy 1:1
+    assignment, useful as a cheap high-precision filter on its own."""
+    from mismo_spark.linker.assignment import mutual_best_links
+    from mismo_spark.linker.key import KeyLinker
+    from mismo_spark.text.similarity import jaro_winkler_similarity
+    from mismo_spark.types.linkage import Linkage
+
+    docs = _docs(spark, sf_dir).select(
+        "record_id", "lang", "source", F.substring("text", 1, 30).alias("prefix")
+    )
+    lk = KeyLinker(["lang", "source"], task="dedupe")(docs)
+    pairs = Linkage(docs, docs, lk.links).links_with_both()
+    scored = pairs.select(
+        "record_id_l",
+        "record_id_r",
+        _micro(
+            jaro_winkler_similarity(F.col("prefix_l"), F.col("prefix_r")),
+            "jw_micro",
+        ),
+    ).filter(F.col("jw_micro").isNotNull())
+    return mutual_best_links(scored, "jw_micro")
+
+
 
 def q_strings_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """text.strings: strip_accents (translate-table fold, codegen) +
@@ -4640,6 +4666,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_clustering": q_pivot_clustering,
         "clk_dice_pairs": q_clk_dice_pairs,
         "center_clustering": q_center_clustering,
+        "mutual_best": q_mutual_best,
         "c4_clean": q_c4_clean,
         "redact_pii": q_redact_pii,
         "stratified_sample": q_stratified_sample,
@@ -6630,6 +6657,28 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT l AS record_id_l, r AS record_id_r, s AS jw_micro
             FROM work WHERE status = 'dom'
+        """,
+        "mutual_best": f"""
+            WITH d AS (
+              SELECT doc_id, lang, source, substring(text, 1, 30) AS prefix
+              FROM documents
+            ),
+            scored AS (
+              SELECT a.doc_id AS l, b.doc_id AS r,
+                     {_micro_sql('jaro_winkler_similarity(a.prefix, b.prefix)')} AS s
+              FROM d a JOIN d b ON a.lang = b.lang AND a.source = b.source
+                                AND a.doc_id < b.doc_id
+            ),
+            ranked AS (
+              SELECT *,
+                     row_number() OVER (
+                       PARTITION BY l ORDER BY s DESC, l, r) AS rl,
+                     row_number() OVER (
+                       PARTITION BY r ORDER BY s DESC, l, r) AS rr
+              FROM scored WHERE s IS NOT NULL
+            )
+            SELECT l AS record_id_l, r AS record_id_r, s AS jw_micro
+            FROM ranked WHERE rl = 1 AND rr = 1
         """,
         "canopy_assign": f"""
             {_mis_work_cte()}
