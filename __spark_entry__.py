@@ -2482,6 +2482,19 @@ def q_mutual_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mutual_best_links(scored, "jw_micro")
 
 
+def q_band_linker(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BandLinker (linker/band.py): numeric band blocking |Δn_chars|<=3
+    within source — the bucket+adjacent-offset equi-join strategy
+    (never an inequality join on Spark), generic sibling of
+    TimeWindowLinker; the oracle states the SEMANTICS as the plain
+    inequality join DuckDB executes natively (IEJoin)."""
+    from mismo_spark.linker.band import BandLinker
+
+    docs = _docs(spark, sf_dir)
+    lk = BandLinker("n_chars", band=3, keys=["source"], task="dedupe")(docs)
+    return lk.links
+
+
 
 def q_strings_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """text.strings: strip_accents (translate-table fold, codegen) +
@@ -4667,6 +4680,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clk_dice_pairs": q_clk_dice_pairs,
         "center_clustering": q_center_clustering,
         "mutual_best": q_mutual_best,
+        "band_linker": q_band_linker,
         "c4_clean": q_c4_clean,
         "redact_pii": q_redact_pii,
         "stratified_sample": q_stratified_sample,
@@ -6679,6 +6693,13 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT l AS record_id_l, r AS record_id_r, s AS jw_micro
             FROM ranked WHERE rl = 1 AND rr = 1
+        """,
+        "band_linker": """
+            SELECT least(a.doc_id, b.doc_id) AS record_id_l,
+                   greatest(a.doc_id, b.doc_id) AS record_id_r
+            FROM documents a JOIN documents b
+              ON a.source = b.source AND a.doc_id < b.doc_id
+             AND abs(a.n_chars - b.n_chars) <= 3
         """,
         "canopy_assign": f"""
             {_mis_work_cte()}

@@ -55,6 +55,9 @@ class TimeWindowLinker:
             raise ValueError("window must be > 0 seconds")
         self.timestamp = timestamp
         self.window_us = int(round(window * 1_000_000))
+        # generic band width used by the join machinery; BandLinker
+        # (linker/band.py) reuses __call__ with a raw numeric band
+        self._band = self.window_us
         self.keys = list(keys)
         self.task = task
         self.name = name
@@ -73,7 +76,7 @@ class TimeWindowLinker:
             subset=["__t"] + [f"__k{i}" for i in range(len(self.keys))]
         )
         return out.withColumn(
-            "__b", F.floor(F.col("__t") / F.lit(self.window_us))
+            "__b", F.floor(F.col("__t") / F.lit(self._band))
         )
 
     def __call__(
@@ -106,7 +109,7 @@ class TimeWindowLinker:
                 probe.join(build, self._and(cond))
                 .filter(
                     F.abs(F.col("__tl") - F.col("__tr"))
-                    <= F.lit(self.window_us)
+                    <= F.lit(self._band)
                 )
                 .filter(
                     (F.col("__tl") < F.col("__tr"))
@@ -145,7 +148,7 @@ class TimeWindowLinker:
         pairs = (
             probe.join(build, self._and(cond))
             .filter(
-                F.abs(F.col("__tl") - F.col("__tr")) <= F.lit(self.window_us)
+                F.abs(F.col("__tl") - F.col("__tr")) <= F.lit(self._band)
             )
             .select(ID_L, ID_R)
         )
