@@ -2303,7 +2303,11 @@ def q_one_to_one_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     _linkage.py:248-301).  Scores are quantized to integer micro-units
     BEFORE matching so the greedy order — not just the output — is
     identical in both engines; the DuckDB oracle replays the same
-    dominant-edge rounds as a recursive CTE."""
+    dominant-edge rounds as a recursive CTE.  Dedupe input (one shared
+    id space) so ``dedupe=True``: edges are symmetrized into the node
+    view and ranked per NODE across both orientations — a record
+    matched as ``record_id_r`` of one pair cannot also match as
+    ``record_id_l`` of another (the r4 ADVICE fix)."""
     from mismo_spark.linker.assignment import one_to_one_links
     from mismo_spark.linker.key import KeyLinker
     from mismo_spark.text.similarity import jaro_winkler_similarity
@@ -2322,7 +2326,7 @@ def q_one_to_one_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             "jw_micro",
         ),
     )
-    return one_to_one_links(scored, "jw_micro")
+    return one_to_one_links(scored, "jw_micro", dedupe=True)
 
 
 def q_canopy_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2460,7 +2464,9 @@ def q_mutual_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mutual_best_links (linker/assignment.py): reciprocal-best-hit
     filter — keep pairs that are the top-ranked link of BOTH their
     records under (score DESC, id_l, id_r); round 1 of the greedy 1:1
-    assignment, useful as a cheap high-precision filter on its own."""
+    assignment, useful as a cheap high-precision filter on its own.
+    Dedupe input so ``dedupe=True``: rank per NODE over both edge
+    orientations, not per side (the r4 ADVICE fix)."""
     from mismo_spark.linker.assignment import mutual_best_links
     from mismo_spark.linker.key import KeyLinker
     from mismo_spark.text.similarity import jaro_winkler_similarity
@@ -2479,7 +2485,7 @@ def q_mutual_best(spark: SparkSession, sf_dir: str) -> DataFrame:
             "jw_micro",
         ),
     ).filter(F.col("jw_micro").isNotNull())
-    return mutual_best_links(scored, "jw_micro")
+    return mutual_best_links(scored, "jw_micro", dedupe=True)
 
 
 def q_band_linker(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6648,26 +6654,44 @@ def oracle_sql() -> dict[str, str]:
                                 AND a.doc_id < b.doc_id
             ),
             -- locally-dominant-edge rounds == sequential greedy matching
-            -- under (s DESC, l, r); mirrors linker/assignment.py exactly
+            -- under (s DESC, l, r) with ONE shared used-record set:
+            -- dedupe semantics, so each edge is symmetrized via unnest
+            -- into (node, edge) rows and ranked per NODE over both
+            -- orientations; mirrors linker/assignment.py:_round_dedupe
             work(status, l, r, s) AS (
-              SELECT 'rem', l, r, s FROM scored WHERE s IS NOT NULL
+              SELECT 'rem', l, r, s FROM (
+                SELECT l, r, s, row_number() OVER (
+                         PARTITION BY l, r ORDER BY s DESC, l, r) AS prn
+                FROM scored WHERE s IS NOT NULL AND l <> r
+              ) WHERE prn = 1
               UNION ALL
               SELECT new_status, l, r, s FROM (
-                SELECT l, r, s,
+                SELECT l, r, s, node, dom,
                        CASE WHEN dom = 1 THEN 'dom'
-                            WHEN max(dom) OVER (PARTITION BY l) = 0
-                             AND max(dom) OVER (PARTITION BY r) = 0 THEN 'rem'
+                            WHEN any_used = 0 THEN 'rem'
                             ELSE NULL END AS new_status
                 FROM (
-                  SELECT l, r, s,
-                         CASE WHEN row_number() OVER (
-                                PARTITION BY l ORDER BY s DESC, l, r) = 1
-                               AND row_number() OVER (
-                                PARTITION BY r ORDER BY s DESC, l, r) = 1
-                              THEN 1 ELSE 0 END AS dom
-                  FROM work WHERE status = 'rem'
+                  SELECT l, r, s, node, dom,
+                         max(node_used) OVER (PARTITION BY l, r) AS any_used
+                  FROM (
+                    SELECT l, r, s, node, dom,
+                           max(dom) OVER (PARTITION BY node) AS node_used
+                    FROM (
+                      SELECT l, r, s, node,
+                             CASE WHEN max(rn) OVER (PARTITION BY l, r) = 1
+                                  THEN 1 ELSE 0 END AS dom
+                      FROM (
+                        SELECT w.l, w.r, w.s, u.node,
+                               row_number() OVER (
+                                 PARTITION BY u.node
+                                 ORDER BY w.s DESC, w.l, w.r) AS rn
+                        FROM work w, unnest([w.l, w.r]) AS u(node)
+                        WHERE w.status = 'rem'
+                      )
+                    )
+                  )
                 )
-              ) WHERE new_status IS NOT NULL
+              ) WHERE new_status IS NOT NULL AND node = l
             )
             SELECT l AS record_id_l, r AS record_id_r, s AS jw_micro
             FROM work WHERE status = 'dom'
@@ -6683,16 +6707,21 @@ def oracle_sql() -> dict[str, str]:
               FROM d a JOIN d b ON a.lang = b.lang AND a.source = b.source
                                 AND a.doc_id < b.doc_id
             ),
+            -- dedupe semantics: rank per NODE over both orientations
+            -- (mirrors linker/assignment.py:mutual_best_links dedupe path)
+            nodes AS (
+              SELECT l AS node, l, r, s FROM scored WHERE s IS NOT NULL AND l <> r
+              UNION ALL
+              SELECT r AS node, l, r, s FROM scored WHERE s IS NOT NULL AND l <> r
+            ),
             ranked AS (
-              SELECT *,
+              SELECT node, l, r, s,
                      row_number() OVER (
-                       PARTITION BY l ORDER BY s DESC, l, r) AS rl,
-                     row_number() OVER (
-                       PARTITION BY r ORDER BY s DESC, l, r) AS rr
-              FROM scored WHERE s IS NOT NULL
+                       PARTITION BY node ORDER BY s DESC, l, r) AS rn
+              FROM nodes
             )
             SELECT l AS record_id_l, r AS record_id_r, s AS jw_micro
-            FROM ranked WHERE rl = 1 AND rr = 1
+            FROM ranked GROUP BY l, r, s HAVING max(rn) = 1
         """,
         "band_linker": """
             SELECT least(a.doc_id, b.doc_id) AS record_id_l,
@@ -7764,7 +7793,8 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY a.node
             )
             SELECT d.node::BIGINT AS node, d.degree::BIGINT AS degree,
-                   COALESCE(t.triangles, 0)::BIGINT AS triangles,
+                   (CASE WHEN d.degree > 1000 THEN NULL
+                         ELSE COALESCE(t.triangles, 0) END)::BIGINT AS triangles,
                    {_micro_sql("CASE WHEN d.degree > 1000 THEN NULL WHEN d.degree < 2 THEN 0.0 ELSE 2.0 * COALESCE(t.triangles, 0) / (d.degree * (d.degree - 1)) END")}
                      AS clustering_micro
             FROM deg d LEFT JOIN tri t ON d.node = t.node

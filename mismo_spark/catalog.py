@@ -54,9 +54,17 @@ def iceberg_available(spark: SparkSession) -> bool:
     )
 
 
+_FILE_EXTENSIONS = (".parquet", ".orc", ".csv", ".json", ".avro", ".txt", ".tsv")
+
+
 def is_table_identifier(target: str) -> bool:
-    """``catalog.db.table`` style (dots, no path separators)."""
-    return "/" not in target and "\\" not in target and "." in target
+    """``catalog.db.table`` style: dots, no path separators, and NOT a
+    bare filename — ``links.parquet`` is a file target, not a table
+    (r4 ADVICE fix: known data-file extensions route to the path
+    writer even without a directory separator)."""
+    if "/" in target or "\\" in target or "." not in target:
+        return False
+    return not target.lower().endswith(_FILE_EXTENSIONS)
 
 
 def write_table(

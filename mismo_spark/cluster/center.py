@@ -82,6 +82,22 @@ def center_clustering(
                 f"center_clustering needs integral record ids; {col} is "
                 f"{df.schema[col].dataType.simpleString()} — factorize first"
             )
+    # pre-flight the documented id range: the round encoding packs
+    # state * 2^40 + id + 1 into a long, so a negative or >= 2^40 id
+    # would silently corrupt state/center decoding — fail loudly
+    # instead (one tiny min/max aggregate per input, r4 ADVICE fix)
+    lim = 1 << 40
+    lo, hi = links.select(
+        F.least(F.min(ID_L), F.min(ID_R)), F.greatest(F.max(ID_L), F.max(ID_R))
+    ).first()
+    rlo, rhi = records.select(F.min("record_id"), F.max("record_id")).first()
+    for bound_lo, bound_hi, src in ((lo, hi, "links"), (rlo, rhi, "records")):
+        if bound_lo is not None and (bound_lo < 0 or bound_hi >= lim):
+            raise ValueError(
+                f"center_clustering record ids in {src} must satisfy "
+                f"0 <= id < 2^40 (packing invariant); got range "
+                f"[{bound_lo}, {bound_hi}] — factorize first"
+            )
     e = links.filter(F.col(score_col).isNotNull())
     if threshold is not None:
         e = e.filter(F.col(score_col) >= threshold)

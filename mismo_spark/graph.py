@@ -628,7 +628,12 @@ def local_clustering(
         .select(
             "node",
             "degree",
-            F.coalesce("triangles", F.lit(0)).cast("long").alias("triangles"),
+            # a capped hub's triangles were never counted — report NULL
+            # like its clustering, not a fake 0 (r4 ADVICE fix); 0 is
+            # reserved for genuinely triangle-free uncapped nodes
+            F.when(capped, F.lit(None).cast("long"))
+            .otherwise(F.coalesce("triangles", F.lit(0)).cast("long"))
+            .alias("triangles"),
             F.when(capped, F.lit(None).cast("double"))
             .when(F.col("degree") < 2, F.lit(0.0))
             .otherwise(

@@ -17,7 +17,8 @@ from pyspark.sql import functions as F
 
 from mismo_spark.text.strings import strip_accents
 
-# tiny deterministic sample of the nickname pair data
+# in-code fallback used only if lib/data/nicknames.csv (the bundled
+# 362-pair dataset, the default source) cannot be read
 # (mismo/lib/name/_nicknames.py ships a large CSV; same join semantics)
 _NICKNAME_PAIRS = [
     ("WILLIAM", "BILL"),

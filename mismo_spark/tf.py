@@ -141,10 +141,15 @@ class TermFrequencyModel:
     def __init__(self, df: DataFrame, columns: list[str] | None = None) -> None:
         self.columns = list(columns or df.columns)
         self._df = df
+        # build once: each ColumnStats lazily persists ONE stats
+        # DataFrame per column; constructing fresh ones per access
+        # would re-run the aggregation and leak cached relations
+        # (r4 ADVICE fix — memoized, released via unpersist())
+        self._column_stats = {c: ColumnStats(self._df, c) for c in self.columns}
 
     @property
     def column_stats(self) -> dict[str, ColumnStats]:
-        return {c: ColumnStats(self._df, c) for c in self.columns}
+        return self._column_stats
 
     def add_term_frequencies(
         self, table: DataFrame, *, default: float | str = "1/N"
@@ -152,6 +157,11 @@ class TermFrequencyModel:
         for c, cs in self.column_stats.items():
             table = cs.add_frequencies(table, column=c, default=default)
         return table
+
+    def unpersist(self) -> None:
+        """Release every per-column cached stats DataFrame."""
+        for cs in self._column_stats.values():
+            cs.unpersist()
 
 
 class RareLookupFilterer:

@@ -131,3 +131,78 @@ def test_missing_score_col_raises(spark):
     df = spark.createDataFrame([(1, 10, 1.0)], SCHEMA)
     with pytest.raises(ValueError, match="no column"):
         one_to_one_links(df, "odds")
+
+
+# --- dedupe (shared id space) regime ---------------------------------------
+
+
+def greedy_py_dedupe(rows):
+    """Sequential greedy with ONE shared used-record set: a record
+    matched in either orientation is removed (the general-graph rule)."""
+    used, out = set(), []
+    for l, r, s in sorted(rows, key=lambda t: (-t[2], t[0], t[1])):
+        if l != r and l not in used and r not in used:
+            used.add(l)
+            used.add(r)
+            out.append((l, r, s))
+    return sorted(out)
+
+
+def test_dedupe_shared_id_not_matched_twice(spark):
+    # the r4 ADVICE counterexample: record 2 appears as r of (1,2) and
+    # l of (2,3); side-partitioned windows would accept both — the
+    # node-symmetric rounds must accept only (1,2), like sequential
+    # greedy with a shared used set
+    rows = [(1, 2, 0.9), (2, 3, 0.8), (1, 3, 0.7)]
+    got = run(spark, rows, dedupe=True)
+    assert got == [(1, 2, 0.9)] == greedy_py_dedupe(rows)
+    # auto-detection: ids overlap across sides -> same result unflagged
+    assert run(spark, rows) == got
+
+
+def test_dedupe_randomized_equivalence(spark):
+    rng = random.Random(3)
+    seen = set()
+    rows = []
+    for _ in range(400):
+        a, b = rng.randrange(60), rng.randrange(60)
+        if a == b:
+            continue
+        pair = (min(a, b), max(a, b))
+        if pair in seen:
+            continue
+        seen.add(pair)
+        rows.append((*pair, round(rng.random() * 10, 3)))
+    got = run(spark, rows, dedupe=True)
+    assert got == greedy_py_dedupe(rows)
+    # 1:1 across BOTH orientations: every record id appears at most once
+    ids = [i for l, r, _ in got for i in (l, r)]
+    assert len(ids) == len(set(ids))
+
+
+def test_dedupe_tied_scores_and_chain(spark):
+    rows = [(k, k + 1, float(50 - k)) for k in range(15)]  # path graph
+    assert run(spark, rows, dedupe=True) == greedy_py_dedupe(rows)
+    tied = [(l, r, 1.0) for l in range(6) for r in range(6) if l < r]
+    assert run(spark, tied, dedupe=True) == greedy_py_dedupe(tied)
+
+
+def test_dedupe_self_and_duplicate_pairs_dropped(spark):
+    rows = [(5, 5, 9.0), (1, 2, 3.0), (1, 2, 1.0)]
+    assert run(spark, rows, dedupe=True) == [(1, 2, 3.0)]
+
+
+def test_mutual_best_dedupe(spark):
+    rows = [(1, 2, 0.9), (2, 3, 0.8), (1, 3, 0.7)]
+    df = spark.createDataFrame(rows, SCHEMA)
+    got = sorted(tuple(r) for r in mutual_best_links(df, "score", dedupe=True).collect())
+    # (2,3) is rank-2 at node 2 (behind (1,2)) -> only (1,2) is mutual
+    assert got == [(1, 2, 0.9)]
+    # auto-detect agrees
+    auto = sorted(tuple(r) for r in mutual_best_links(df, "score").collect())
+    assert auto == got
+
+
+def test_bipartite_explicit_flag_matches_default(spark):
+    rows = [(1, 10, 5.0), (1, 11, 4.0), (2, 11, 3.0), (2, 12, 2.0), (3, 12, 1.0)]
+    assert run(spark, rows, dedupe=False) == run(spark, rows) == greedy_py(rows)

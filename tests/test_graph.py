@@ -545,11 +545,11 @@ class TestLocalClustering:
             [(1, 2), (2, 3), (1, 3), (3, 4)], "src long, dst long"
         )
         got = {
-            r.node: r.clustering
+            r.node: (r.triangles, r.clustering)
             for r in local_clustering(df, max_degree=2).collect()
         }
-        assert got[3] is None  # degree 3 > cap
-        assert got[1] == 1.0  # its triangle wedge has apexes 1,2 intact
+        assert got[3] == (None, None)  # degree 3 > cap: uncounted, not 0
+        assert got[1] == (1, 1.0)  # its triangle wedge has apexes 1,2 intact
 
 
 class TestLabelPropagation:
