@@ -4608,6 +4608,54 @@ def q_link_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# deterministic near-dup twin of each document: overwrite ~one phash
+# grid cell of characters with '~' in the middle of the text — integer
+# char arithmetic (div) so Spark and DuckDB build byte-identical twins
+_PHASH_TWIN_EXPR = (
+    "concat(substr(text, 1, (length(text) div 2) - 1), "
+    "repeat('~', (length(text) + 71) div 72), "
+    "substr(text, (length(text) div 2) + (length(text) + 71) div 72))"
+)
+
+
+def q_phash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """phash64 (multimodal/__init__.py): 64-bit grid-dHash per binary
+    payload — the codec-free perceptual hash (72-cell byte-grid means,
+    integer cross-multiplied dHash comparisons, mapInPandas numpy
+    kernel).  Payload here is the utf-8 bytes of ``text`` standing in
+    for an opaque media column; docs under 72 bytes hash NULL and are
+    excluded.  The oracle recomputes every hash from hex(encode(text))
+    in pure SQL, so a green row pins the whole kernel bit-for-bit."""
+    from mismo_spark.multimodal import phash64
+
+    docs = _docs(spark, sf_dir).select(
+        "record_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    return phash64(docs).filter(F.col("ph").isNotNull()).select("record_id", "ph")
+
+
+def q_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """phash_near_duplicates (multimodal/__init__.py): Hamming-banded
+    perceptual-hash near-dup — grid-dHash signatures + the SimHash
+    family's block-permutation blocking (dedupe.hamming_banded_pairs,
+    complete at max_hamming by pigeonhole).  Each document gets a
+    deterministic near-dup twin (one grid cell of chars overwritten,
+    id + 1,000,000); the operator must recover the planted twins within
+    3 bits — at sf0.01 that is 483 of 500 pairs, zero false pairs —
+    while the oracle brute-forces all hashes in SQL."""
+    from mismo_spark.multimodal import phash_near_duplicates
+
+    docs = _docs(spark, sf_dir).select("record_id", "text")
+    twins = docs.select(
+        (F.col("record_id") + F.lit(1000000)).alias("record_id"),
+        F.expr(_PHASH_TWIN_EXPR).alias("text"),
+    )
+    both = docs.unionByName(twins).select(
+        "record_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    return phash_near_duplicates(both, max_hamming=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver-checked query registry.
 
@@ -4674,7 +4722,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entropy_eval": q_entropy_eval,
         "rand_mi": q_rand_mi,
         "diff_stats": q_diff_stats,
-        # -- 2. re-checks: changed this round / flagship canaries ----------
+        # -- 2. new this round (perceptual-hash multimodal family) ---------
+        "phash_docs": q_phash_docs,
+        "phash_pairs": q_phash_pairs,
+        # -- 2b. re-check: capped-hub semantics changed this round ---------
         "local_clustering": q_local_clustering,
         "fs_score": q_fs_score,
         "connected_components": q_connected_components,
@@ -4787,6 +4838,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 
 _TOKENS = "list_distinct(string_split_regex(lower(trim(text)), '\\s+'))"
+
+
+def _phash_cte(src: str) -> str:
+    """Shared phash oracle prefix over ``src`` (doc_id, text): recompute
+    the 64-bit grid-dHash of every row in pure SQL — hex-decoded utf-8
+    bytes, 72 floor-partitioned chunk sums (first 4608 bytes), integer
+    cross-multiplied dHash comparisons, HUGEINT two's-complement bit
+    packing.  Mirrors multimodal/__init__.py:_phash_batch bit for bit;
+    rows under 72 bytes are excluded (NULL hash on the Spark side)."""
+    return f"""
+            WITH src AS MATERIALIZED ({src}),
+            d AS MATERIALIZED (
+              SELECT doc_id, hex(encode(text)) AS hx,
+                     octet_length(encode(text)) AS len
+              FROM src
+            ),
+            m AS MATERIALIZED (
+              SELECT doc_id, hx, least(len, 4608)::BIGINT AS m
+              FROM d WHERE len >= 72
+            ),
+            bytes AS (
+              SELECT doc_id,
+                     CAST(('0x' || substr(hx, (2*t.i + 1)::INT, 2)) AS BIGINT)
+                       AS bv,
+                     (t.i * 72) // m.m AS cell
+              FROM m, unnest(generate_series(0, m.m - 1)) AS t(i)
+            ),
+            cells AS MATERIALIZED (
+              SELECT doc_id, cell, sum(bv) AS s, count(*) AS n
+              FROM bytes GROUP BY doc_id, cell
+            ),
+            bits AS (
+              SELECT a.doc_id, (a.cell // 9) * 8 + (a.cell % 9) AS b
+              FROM cells a JOIN cells r
+                ON a.doc_id = r.doc_id AND r.cell = a.cell + 1
+              WHERE a.cell % 9 <= 7 AND r.s * a.n > a.s * r.n
+            ),
+            ph AS MATERIALIZED (
+              SELECT m.doc_id,
+                     CAST(CASE WHEN coalesce(t.s, 0) >= 9223372036854775808::HUGEINT
+                               THEN t.s - 18446744073709551616::HUGEINT
+                               ELSE coalesce(t.s, 0) END AS BIGINT) AS ph
+              FROM m LEFT JOIN (
+                SELECT doc_id, sum(1::HUGEINT << b::INT) AS s
+                FROM bits GROUP BY doc_id
+              ) t ON m.doc_id = t.doc_id
+            )"""
+
+
+# SQL twin of _PHASH_TWIN_EXPR (DuckDB `//` == Spark `div` on ints)
+_PHASH_TWIN_SQL = (
+    "substr(text, 1, (length(text)//2) - 1)"
+    " || repeat('~', (length(text)+71)//72)"
+    " || substr(text, (length(text)//2) + (length(text)+71)//72)"
+)
 
 
 def _mis_work_cte() -> str:
@@ -5317,6 +5423,21 @@ def oracle_sql() -> dict[str, str]:
           ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
     """
     sql = {
+        "phash_docs": f"""
+            {_phash_cte("SELECT doc_id, text FROM documents")}
+            SELECT doc_id AS record_id, ph FROM ph
+        """,
+        "phash_pairs": f"""
+            {_phash_cte(
+                "SELECT doc_id, text FROM documents "
+                "UNION ALL "
+                "SELECT doc_id + 1000000, " + _PHASH_TWIN_SQL + " FROM documents"
+            )}
+            SELECT a.doc_id AS record_id_l, b.doc_id AS record_id_r,
+                   bit_count(xor(a.ph, b.ph))::BIGINT AS hamming
+            FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.ph, b.ph)) <= 3
+        """,
         "key_counts": """
             SELECT lang, source, count(*)::BIGINT AS n
             FROM documents

@@ -316,8 +316,52 @@ def simhash_near_duplicates(
     it would silently miss pairs whose differing bits land in every
     block, making the result NOT "all pairs within max_hamming" as the
     API promises."""
+    recs = simhash_signatures(
+        df, text_column, id_column=id_column, n_bits=n_bits, seed=seed, hasher=hasher
+    )
+    return hamming_banded_pairs(
+        recs,
+        hash_column="sh",
+        id_column="record_id",
+        max_hamming=max_hamming,
+        n_blocks=n_blocks,
+        n_bits=n_bits,
+    )
+
+
+def hamming_banded_pairs(
+    recs: DataFrame,
+    *,
+    hash_column: str,
+    id_column: str = "record_id",
+    max_hamming: int = 3,
+    n_blocks: int | None = None,
+    n_bits: int = 64,
+) -> DataFrame:
+    """→ (record_id_l, record_id_r, hamming): ALL pairs of ``recs``
+    whose int64 ``hash_column`` values differ in ≤ ``max_hamming`` bits,
+    via the block-permutation trick — the shared blocking core of
+    :func:`simhash_near_duplicates` and the perceptual-hash near-dup
+    family (``multimodal.phash_near_duplicates``).
+
+    Splits the ``n_bits`` hash into ``n_blocks`` bit-blocks; any pair
+    within ``max_hamming ≤ n_blocks − 1`` bits shares at least one exact
+    block (pigeonhole) → one equi-join per block, union, exact hamming
+    filter.  No cross join anywhere; each join shuffles only
+    (id, hash, block-key) rows.  ``n_blocks`` defaults to the smallest
+    divisor of ``n_bits`` that is ≥ ``max_hamming + 1`` — the smallest
+    even-width block count with the completeness guarantee; a smaller
+    explicit value raises rather than silently missing pairs."""
     if n_blocks is None:
-        n_blocks = max_hamming + 1
+        n_blocks = next(
+            (d for d in range(max_hamming + 1, n_bits + 1) if n_bits % d == 0),
+            None,
+        )
+        if n_blocks is None:
+            raise ValueError(
+                f"max_hamming={max_hamming} >= n_bits={n_bits}: every pair "
+                "would qualify; this needs no blocking"
+            )
     if max_hamming > n_blocks - 1:
         raise ValueError(
             f"max_hamming={max_hamming} needs n_blocks >= {max_hamming + 1} "
@@ -327,24 +371,27 @@ def simhash_near_duplicates(
         )
     if n_bits % n_blocks != 0:
         raise ValueError(f"n_bits={n_bits} not divisible by n_blocks={n_blocks}")
-    recs = simhash_signatures(
-        df, text_column, id_column=id_column, n_bits=n_bits, seed=seed, hasher=hasher
-    )
     width = n_bits // n_blocks
     parts = []
     for blk in range(n_blocks):
-        key = F.shiftrightunsigned(F.col("sh"), blk * width).bitwiseAND(
+        key = F.shiftrightunsigned(F.col(hash_column), blk * width).bitwiseAND(
             F.lit((1 << width) - 1)
         )
-        keyed = recs.select("record_id", F.col("sh"), key.alias("__blk"))
+        keyed = recs.select(
+            F.col(id_column).alias("record_id"),
+            F.col(hash_column).alias("__h"),
+            key.alias("__blk"),
+        )
         l = keyed.select(
-            F.col("record_id").alias(ID_L), F.col("sh").alias("sh_l"), "__blk"
+            F.col("record_id").alias(ID_L), F.col("__h").alias("__h_l"), "__blk"
         )
         r = keyed.select(
-            F.col("record_id").alias(ID_R), F.col("sh").alias("sh_r"), "__blk"
+            F.col("record_id").alias(ID_R), F.col("__h").alias("__h_r"), "__blk"
         )
         parts.append(
-            l.join(r, "__blk").filter(F.col(ID_L) < F.col(ID_R)).select(ID_L, ID_R, "sh_l", "sh_r")
+            l.join(r, "__blk")
+            .filter(F.col(ID_L) < F.col(ID_R))
+            .select(ID_L, ID_R, "__h_l", "__h_r")
         )
     from functools import reduce
 
@@ -352,7 +399,7 @@ def simhash_near_duplicates(
     return cands.select(
         ID_L,
         ID_R,
-        hamming64(F.col("sh_l"), F.col("sh_r")).cast("long").alias("hamming"),
+        hamming64(F.col("__h_l"), F.col("__h_r")).cast("long").alias("hamming"),
     ).filter(F.col("hamming") <= max_hamming)
 
 
