@@ -24,6 +24,42 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType, LongType
 
+# Optional C++ kernel fast path: rapidfuzz implements the exact same
+# scorers (Jaro, Jaro-Winkler with the standard 0.7 boost threshold and
+# p=0.1, OSA Damerau-Levenshtein), ~10-100× faster than the vendored
+# pure-Python kernels.  It is NOT in this sandbox (the vendored kernels
+# are the tested source of truth here); in production installing it is
+# a drop-in kernel swap with zero architectural change — same
+# _apply_unique dedup, same Arrow batching, same null semantics.
+# tests/test_similarity_kernels.py pins vendored == rapidfuzz to 1e-9
+# whenever the package is present.
+try:
+    from rapidfuzz.distance import OSA as _rf_osa
+    from rapidfuzz.distance import Jaro as _rf_jaro
+    from rapidfuzz.distance import JaroWinkler as _rf_jw
+
+    try:  # element-wise batch API (rapidfuzz >= 3.x)
+        from rapidfuzz.process import cpdist as _rf_cpdist
+    except ImportError:  # pragma: no cover
+        _rf_cpdist = None
+    HAVE_RAPIDFUZZ = True
+except ImportError:  # pragma: no cover - sandbox default
+    _rf_osa = _rf_jaro = _rf_jw = _rf_cpdist = None
+    HAVE_RAPIDFUZZ = False
+
+
+def _rf_pairwise(scorer, a_strs: np.ndarray, b_strs: np.ndarray) -> np.ndarray:
+    """Element-wise rapidfuzz scoring of two equal-length string arrays."""
+    if _rf_cpdist is not None:
+        return np.asarray(
+            _rf_cpdist(a_strs, b_strs, scorer=scorer), dtype=np.float64
+        )
+    return np.fromiter(
+        (scorer(x, y) for x, y in zip(a_strs, b_strs)),
+        dtype=np.float64,
+        count=len(a_strs),
+    )
+
 
 def levenshtein_ratio(a: Column, b: Column) -> Column:
     """(maxlen − lev)/maxlen ∈ [0,1]; ""vs"" → NaN
@@ -158,6 +194,8 @@ def _apply_unique(a: pd.Series, b: pd.Series, batch_fn) -> pd.Series:
 
 
 def _jaro_batch(a_strs: np.ndarray, b_strs: np.ndarray) -> np.ndarray:
+    if HAVE_RAPIDFUZZ:
+        return _rf_pairwise(_rf_jaro.similarity, a_strs, b_strs)
     return np.fromiter(
         (_jaro(x, y) for x, y in zip(a_strs, b_strs)),
         dtype=np.float64,
@@ -166,6 +204,8 @@ def _jaro_batch(a_strs: np.ndarray, b_strs: np.ndarray) -> np.ndarray:
 
 
 def _jw_batch(a_strs: np.ndarray, b_strs: np.ndarray) -> np.ndarray:
+    if HAVE_RAPIDFUZZ:
+        return _rf_pairwise(_rf_jw.similarity, a_strs, b_strs)
     return np.fromiter(
         (_jaro_winkler(x, y) for x, y in zip(a_strs, b_strs)),
         dtype=np.float64,
@@ -184,6 +224,8 @@ def _jw_udf(a: pd.Series, b: pd.Series) -> pd.Series:
 
 
 def _dl_batch(a_strs: np.ndarray, b_strs: np.ndarray) -> np.ndarray:
+    if HAVE_RAPIDFUZZ:
+        return _rf_pairwise(_rf_osa.distance, a_strs, b_strs)
     return np.fromiter(
         (float(_damerau_levenshtein(x, y)) for x, y in zip(a_strs, b_strs)),
         dtype=np.float64,
