@@ -407,12 +407,52 @@ def main() -> None:
     timer.run("edit_distance", run_edjoin)
     extras["edit_distance_pairs"] = state["n_edjoin"]
 
-    total = round(sum(timings.values()), 3)
+    # the headline value stays the eleven-stage flagship pipeline total
+    # (comparable round-over-round); the structural-operator stages
+    # below are timed and recorded alongside but summed separately
+    flagship_total = round(sum(timings.values()), 3)
+
+    # ---- q11-q16: structural operators (driver-query plans) --------------
+    # Each runs the exact oracle-checked query from __spark_entry__ at
+    # SF_DIR, so these timings describe the shipped plans.  AQE on for
+    # the group: they all iterate with geometrically shrinking
+    # relations (dominant-edge rounds, MIS rounds, star rounds), where
+    # runtime coalescing prevents late rounds from scheduling dozens of
+    # near-empty tasks — the same rationale as run_cc.
+    import __spark_entry__ as entry_mod
+
+    struct_queries = entry_mod.queries()
+
+    def run_struct(stage: str, key: str, udf: bool = False) -> None:
+        def fn():
+            spark.conf.set("spark.sql.adaptive.enabled", "true")
+            try:
+                state[f"n_{stage}"] = struct_queries[key](spark, SF_DIR).count()
+            finally:
+                spark.conf.set("spark.sql.adaptive.enabled", "false")
+
+        timer.run(stage, fn, udf=udf)
+        extras[f"{stage}_rows"] = state[f"n_{stage}"]
+
+    # JW-scored candidate inputs → Arrow-UDF weather bracketing
+    run_struct("one_to_one", "one_to_one_match", udf=True)
+    run_struct("center", "center_clustering", udf=True)
+    # token-Jaccard / HOF inputs stay JVM-side
+    run_struct("canopy", "canopy_assign")
+    run_struct("pivot", "pivot_clustering")
+    run_struct("clk", "clk_dice_pairs")
+    run_struct("pagerank", "pagerank")
+
+    struct_stages = ("one_to_one", "center", "canopy", "pivot", "clk", "pagerank")
+    extras["struct_total_sec"] = round(
+        sum(timings[s] for s in struct_stages), 3
+    )
+
     print(
         json.dumps(
             {
                 "metric": "dedupe_pipeline_total",
-                "value": total,
+                "value": flagship_total,
                 "unit": "sec",
                 "queries": timings,
                 "sf": SF_DIR,

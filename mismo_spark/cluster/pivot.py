@@ -58,24 +58,27 @@ def pivot_clustering(
     # sim edges feed both the pivot rounds and the membership join —
     # persist across the two, released after the eager checkpoint
     ed = edges.persist()
-    pivots = canopy_centers(
-        ed,
-        records,
-        sim_col=sim_col,
-        tight=threshold,
-        max_rounds=max_rounds,
-        checkpoint_dir=checkpoint_dir,
-    )
-    pe = _sym(ed, sim_col, threshold)
-    # non-pivot records: smallest adjacent pivot = the pivot whose
-    # sequential turn would have removed them first
-    member = (
-        pe.join(pivots.withColumnRenamed("record_id", "u"), "u", "left_semi")
-        .groupBy(F.col("v").alias("record_id"))
-        .agg(F.min("u").alias("cluster"))
-        .join(pivots, "record_id", "left_anti")  # pivots keep their own id
-    )
-    own = pivots.select("record_id", F.col("record_id").alias("cluster"))
-    out = member.unionByName(own).localCheckpoint(eager=True)
-    ed.unpersist()
-    return out
+    try:
+        pivots = canopy_centers(
+            ed,
+            records,
+            sim_col=sim_col,
+            tight=threshold,
+            max_rounds=max_rounds,
+            checkpoint_dir=checkpoint_dir,
+        )
+        pe = _sym(ed, sim_col, threshold)
+        # non-pivot records: smallest adjacent pivot = the pivot whose
+        # sequential turn would have removed them first
+        member = (
+            pe.join(pivots.withColumnRenamed("record_id", "u"), "u", "left_semi")
+            .groupBy(F.col("v").alias("record_id"))
+            .agg(F.min("u").alias("cluster"))
+            .join(pivots, "record_id", "left_anti")  # pivots keep their own id
+        )
+        own = pivots.select("record_id", F.col("record_id").alias("cluster"))
+        return member.unionByName(own).localCheckpoint(eager=True)
+    finally:
+        # symmetric release even on failure — long-lived sessions (the
+        # oracle harness, notebook users) must not accumulate caches
+        ed.unpersist()

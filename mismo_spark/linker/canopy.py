@@ -147,24 +147,27 @@ def canopy_assign(
     # loose membership join — persist across the two, released after
     # the eager checkpoint of the result
     ed = edges.persist()
-    centers = canopy_centers(
-        ed,
-        records,
-        sim_col=sim_col,
-        tight=tight,
-        max_rounds=max_rounds,
-        checkpoint_dir=checkpoint_dir,
-    )
-    le = _sym(ed, sim_col, loose)
-    members = (
-        le.join(
-            centers.withColumnRenamed("record_id", _U), _U, "left_semi"
-        ).select(F.col(_V).alias("record_id"), F.col(_U).alias("canopy"))
-    )
-    own = centers.select("record_id", F.col("record_id").alias("canopy"))
-    out = members.unionByName(own).distinct().localCheckpoint(eager=True)
-    ed.unpersist()
-    return out
+    try:
+        centers = canopy_centers(
+            ed,
+            records,
+            sim_col=sim_col,
+            tight=tight,
+            max_rounds=max_rounds,
+            checkpoint_dir=checkpoint_dir,
+        )
+        le = _sym(ed, sim_col, loose)
+        members = (
+            le.join(
+                centers.withColumnRenamed("record_id", _U), _U, "left_semi"
+            ).select(F.col(_V).alias("record_id"), F.col(_U).alias("canopy"))
+        )
+        own = centers.select("record_id", F.col("record_id").alias("canopy"))
+        return members.unionByName(own).distinct().localCheckpoint(eager=True)
+    finally:
+        # symmetric release even on failure — long-lived sessions (the
+        # oracle harness, notebook users) must not accumulate caches
+        ed.unpersist()
 
 
 def canopy_pairs(assignments: DataFrame) -> DataFrame:

@@ -157,3 +157,15 @@ def test_bad_thresholds_raise(spark):
     r = spark.createDataFrame([(1,), (2,)], REC_SCHEMA)
     with pytest.raises(ValueError, match="loose"):
         canopy_assign(e, r, sim_col="sim", tight=0.5, loose=0.9)
+
+
+def test_no_cached_relations_leak(spark):
+    """canopy_assign persists its sim edges across the center rounds
+    and the membership join; the DataFrame cache must be RELEASED on
+    exit (checked via the SQL CacheManager, which tracks df.persist()
+    but not the per-round localCheckpoint RDDs that linger until GC)
+    so long-lived sessions (oracle harness, notebooks) stay flat."""
+    spark.catalog.clearCache()
+    edges = [(1, 2, 0.9), (2, 3, 0.7), (4, 5, 0.8)]
+    run(spark, [1, 2, 3, 4, 5], edges, tight=0.8, loose=0.5)
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()

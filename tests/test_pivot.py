@@ -79,3 +79,20 @@ def test_checkpoint_dir_resume_identical(spark, tmp_path):
     a = run(spark, ids, edges, threshold=0.8)
     b = run(spark, ids, edges, threshold=0.8, checkpoint_dir=str(tmp_path / "p"))
     assert a == b == kwik_py(ids, edges, 0.8)
+
+
+def test_no_cached_relations_leak(spark):
+    """pivot_clustering persists its sim edges across the MIS rounds
+    and the membership join; the DataFrame cache must be RELEASED on
+    exit (SQL CacheManager check — localCheckpoint RDDs linger until
+    GC by design and are excluded)."""
+    from mismo_spark.cluster.pivot import pivot_clustering
+
+    spark.catalog.clearCache()
+    e = spark.createDataFrame(
+        [(1, 2, 0.9), (2, 3, 0.7), (4, 5, 0.8)],
+        "record_id_l long, record_id_r long, sim double",
+    )
+    r = spark.createDataFrame([(i,) for i in range(1, 6)], "record_id long")
+    pivot_clustering(e, r, sim_col="sim", threshold=0.6).collect()
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
