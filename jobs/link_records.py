@@ -115,7 +115,10 @@ def main(argv: list[str] | None = None) -> dict:
     if args.one_to_one:
         from mismo_spark.linker.assignment import one_to_one_links
 
-        matches = one_to_one_links(matches, "odds")
+        # explicit bipartite semantics: left and right are DIFFERENT
+        # datasets, so a numeric id collision across them must not
+        # trigger the shared-id-space (dedupe) auto-detection
+        matches = one_to_one_links(matches, "odds", dedupe=False)
     if args.best_match_only:
         from pyspark.sql import Window
 

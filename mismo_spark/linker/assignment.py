@@ -28,6 +28,10 @@ Two input regimes with different correct implementations:
 
 ``dedupe=None`` (default) auto-detects the regime with a one-off
 semi-join probe of the two id sets; pass ``True``/``False`` to skip it.
+CAUTION: two-table linkages whose id spaces can collide numerically
+(left id 5 is a different record than right id 5) must pass
+``dedupe=False`` explicitly — the overlap probe cannot distinguish a
+coincidental collision from true self-linkage.
 
 The distributed form uses the *locally dominant edge* equivalence
 (Hoepman 2004, "Simple distributed weighted matchings"; also the basis
