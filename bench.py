@@ -398,8 +398,9 @@ def main() -> None:
             F.substring(F.col("text"), 1, 24).alias("name"),
         )
         # q="auto": the 24-char lowercase-prose field has ~10³ distinct
-        # 2-grams for ~85k records — measured diversity drives q to 3,
-        # collapsing prefix buckets (~190M candidates at q=2 → ~5M)
+        # 2-grams for ~85k records — the sampled candidate-volume check
+        # drives q to 5 (the uniform type-count model alone stopped at
+        # 4, whose Zipf-hot prefix buckets ran ~2× the wall)
         state["n_edjoin"] = edit_distance_pairs(
             names, "name", max_distance=1, q="auto"
         ).count()

@@ -55,6 +55,10 @@ PAD_CHAR = "\x01"
 # candidates stay ~linear in the table, not quadratic)
 _AUTO_Q_PAIR_BUDGET_PER_ROW = 32
 _AUTO_Q_MAX = 5
+# sample size for the measured candidate-volume check (see choose_q):
+# large enough that hot prefix buckets are represented, small enough
+# that the sampled Σ(b choose 2) stays trivial to aggregate
+_AUTO_Q_SAMPLE_ROWS = 20_000
 
 
 def _padded_grams(c, *, q: int, pad_char: str = PAD_CHAR):
@@ -82,6 +86,20 @@ def choose_q(strings: DataFrame, *, max_distance: int, pad_char: str = PAD_CHAR)
     repetitive strings to the exact length-bucket fallback, so q is
     additionally capped at ⌈avg_len/2⌉ to keep that path rare.
 
+    The uniform model alone is NOT sufficient: natural-language gram
+    frequencies are Zipfian, so a q that passes the type-count budget
+    can still put most prefix mass into a few hot buckets (measured on
+    a 24-char prose field: the model accepted q=4, whose join ran ~2×
+    the wall of q=5 at 85k rows and ~1.7× at 340k — superlinear with
+    n).  So the model verdict is VERIFIED against the data: for each
+    passing q, the actual prefix-bucket pair volume Σ(bᵢ choose 2) is
+    measured on a deterministic ~20k-row sample (replaying the same
+    df-ranked prefix selection, then a pure groupBy count — no join)
+    and scaled by 1/f²; a q whose measured volume exceeds the budget
+    is rejected and the search continues upward.  Measure, don't
+    guess: the sample passes cost a few small shuffles once, a wrong
+    q costs a quadratic join every run.
+
     ``strings``: one nullable string column (any name)."""
     d = int(max_distance)
     col = strings[strings.columns[0]]
@@ -106,14 +124,57 @@ def choose_q(strings: DataFrame, *, max_distance: int, pad_char: str = PAD_CHAR)
     )
     alphabet = max(2.0, float(types2) ** 0.5)
     q_cap = max(2, min(_AUTO_Q_MAX, int(-(-avg_len // 2))))
-    for q in range(2, q_cap + 1):
-        # 0.95: discount the estimate so HLL error errs toward LARGER
-        # q (one diversity step too many is cheap; one too few is
-        # quadratic candidates)
-        types_q = 0.95 * (float(types2) if q == 2 else alphabet**q)
-        if types_q >= n * (q * d + 1) ** 2 / _AUTO_Q_PAIR_BUDGET_PER_ROW:
-            return q
-    return q_cap
+    budget = n * (1 + d) * _AUTO_Q_PAIR_BUDGET_PER_ROW
+    frac = min(1.0, _AUTO_Q_SAMPLE_ROWS / n)
+    # persist: the sample is scanned once per verified q, and its
+    # upstream may be an expensive live plan — evaluate it exactly once
+    sample = strings.where(col.isNotNull()).sample(frac, seed=7).persist()
+    try:
+        for q in range(2, q_cap + 1):
+            # 0.95: discount the estimate so HLL error errs toward
+            # LARGER q (one diversity step too many is cheap; one too
+            # few is quadratic candidates)
+            types_q = 0.95 * (float(types2) if q == 2 else alphabet**q)
+            if types_q < n * (q * d + 1) ** 2 / _AUTO_Q_PAIR_BUDGET_PER_ROW:
+                continue  # uniform model already rejects — skip the sample
+            est = _sampled_prefix_pairs(sample, q=q, d=d, pad_char=pad_char) / (
+                frac * frac
+            )
+            if est <= budget:
+                return q
+        return q_cap
+    finally:
+        sample.unpersist()
+
+
+def _sampled_prefix_pairs(sample: DataFrame, *, q: int, d: int, pad_char: str) -> float:
+    """Measured prefix-bucket pair volume of ``sample`` at gram size
+    ``q``: replay the operator's own df-ranked prefix selection on the
+    sample, then Σ over buckets of (b choose 2) via one groupBy — the
+    exact candidate count the long-path join would emit for the
+    sample (before the length filter), with no join executed."""
+    col = sample[sample.columns[0]]
+    prefix_len = q * d + 1
+    recs = sample.select(_padded_grams(col, q=q, pad_char=pad_char).alias("__grams"))
+    recs = recs.where(F.size("__grams") >= prefix_len).withColumn(
+        "__rid", F.monotonically_increasing_id()
+    )
+    toks = explode_computed(recs, ["__rid"], F.col("__grams"), "gram")
+    freq = toks.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    pref = (
+        toks.join(freq, "gram")
+        .groupBy("__rid")
+        .agg(F.array_sort(F.collect_list(F.struct("df", "gram"))).alias("gs"))
+        .select(F.explode(F.slice("gs", 1, prefix_len)).alias("g"))
+        .select(F.col("g.gram").alias("gram"))
+    )
+    row = (
+        pref.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("b"))
+        .agg(F.sum(F.col("b") * (F.col("b") - 1) / 2).alias("pairs"))
+        .first()
+    )
+    return float(row["pairs"] or 0.0)
 
 
 def edit_distance_pairs(

@@ -48,20 +48,25 @@ from bench_scaling import _calibrate
 
 
 def salted_docs(docs, n_copies: int):
-    """Union ``n_copies`` id-shifted copies of the documents table,
-    texts salted with a per-copy per-doc token after EVERY word: no
-    2-shingle survives, so no copy is a near-duplicate of any other —
-    input grows ×k while near-dup output stays per-copy."""
+    """Union ``n_copies`` id-shifted copies of the documents table with
+    a BIJECTIVE per-copy token renaming (every word prefixed with the
+    copy tag).  Within a copy, every token-level similarity (shingle
+    Jaccard, minhash, TF) is preserved EXACTLY — the copy's near-dup
+    structure equals the original's — while across copies no token is
+    shared, so duplication cannot fabricate cross-copy near-dups.
+    (A first attempt salted by APPENDING a shared token after every
+    word; that collapses 2-shingles into word-set markers and made
+    unrelated docs near-dups — renaming is the correct construction.)"""
     parts = []
     for k in range(n_copies):
-        salt = F.concat(F.lit(f" zz{k}s"), (F.col("doc_id") % 97).cast("string"))
+        tag = F.lit(f"c{k}")
         parts.append(
             docs.select(
                 (F.col("doc_id") + k * 10_000_000).alias("doc_id"),
                 F.array_join(
                     F.transform(
                         F.split(F.col("text"), " "),
-                        lambda w: F.concat(w, salt),
+                        lambda w: F.concat(tag, w),
                     ),
                     " ",
                 ).alias("text"),
@@ -75,19 +80,32 @@ def salted_docs(docs, n_copies: int):
 
 
 def perturbed_embeddings(emb, n_copies: int):
-    """Union ``n_copies`` id-shifted copies with a small deterministic
-    per-copy vector perturbation (breaks exact cross-copy ties)."""
+    """Union ``n_copies`` id-shifted copies, each with a per-copy
+    dimension ROTATION — a bijective isometry, so every within-copy
+    cosine/norm is preserved exactly (each copy's ANN/semdedup
+    structure equals the original's) while cross-copy cosines are
+    decorrelated.  (A tiny additive perturbation is NOT enough: copies
+    of the same vector stay at cosine ≈ 1 and semdedup would spend its
+    time deduplicating the copies against each other.)"""
     parts = []
     for k in range(n_copies):
-        parts.append(
-            emb.select(
-                (F.col("vec_id") + k * 10_000_000).alias("vec_id"),
-                F.transform(
-                    F.col("embedding"),
-                    lambda x, i: x + (((F.col("vec_id") * 31 + i + k) % 7) - 3)
-                    * F.lit(1e-3),
+        if k == 0:
+            e = emb.select("*")
+        else:
+            dim = len(emb.select("embedding").first()["embedding"])
+            r = (k * 7 + 3) % dim
+            e = emb.select(
+                "vec_id",
+                F.concat(
+                    F.slice(F.col("embedding"), r + 1, dim - r),
+                    F.slice(F.col("embedding"), 1, r),
                 ).alias("embedding"),
                 *[c for c in emb.columns if c not in ("vec_id", "embedding")],
+            )
+        parts.append(
+            e.select(
+                (F.col("vec_id") + k * 10_000_000).alias("vec_id"),
+                *[c for c in e.columns if c != "vec_id"],
             )
         )
     out = parts[0]
@@ -96,8 +114,17 @@ def perturbed_embeddings(emb, n_copies: int):
     return out
 
 
-def run_stages(spark, pages, docs, emb, timings: dict, extras: dict, tag: str):
-    """The eleven bench.py stage bodies, parameterized by input."""
+def run_stages(
+    spark, pages, docs, emb, timings: dict, extras: dict, tag: str,
+    n_centroids: int = 8,
+):
+    """The eleven bench.py stage bodies, parameterized by input.
+
+    ``n_centroids`` must scale with the embeddings count (k ∝ n): with
+    a FIXED centroid count, SemDeDup's within-cell pairwise stage is
+    quadratic by definition (4× rows per cell → 16× pairs) — the scale
+    deployment grows k with the corpus precisely to keep expected cell
+    size constant, and this harness models that."""
     from mismo_spark.ann import cosine_topk
     from mismo_spark.ann.semdedup import seed_centroids, semdedup
     from mismo_spark.cluster.cc import connected_components
@@ -122,18 +149,33 @@ def run_stages(spark, pages, docs, emb, timings: dict, extras: dict, tag: str):
     extras[f"emb_{tag}"] = emb.count()
 
     n_cores = int(spark.sparkContext.master.split("[")[1].rstrip("]"))
+    # same nominal-per-core floor and retry discipline as bench.py: a
+    # stage bracketed by an off-nominal calibration is re-run once,
+    # keeping the discarded timing in the artifact
+    floor = 0.7 * 18.0 * n_cores
 
     def timed(name, fn):
-        pre = _calibrate(n_cores)
-        t0 = time.time()
-        fn()
-        dt = time.time() - t0
-        timings[f"{name}_{tag}"] = round(dt, 3)
-        extras[f"cal_{name}_{tag}_mups"] = pre[f"cal_{n_cores}core_mups"]
+        for attempt in range(2):
+            pre = _calibrate(n_cores)[f"cal_{n_cores}core_mups"]
+            t0 = time.time()
+            fn()
+            dt = time.time() - t0
+            post = _calibrate(n_cores)[f"cal_{n_cores}core_mups"]
+            extras[f"cal_{name}_{tag}_pre_mups"] = pre
+            extras[f"cal_{name}_{tag}_post_mups"] = post
+            if min(pre, post) >= floor or attempt == 1:
+                timings[f"{name}_{tag}"] = round(dt, 3)
+                return
+            extras[f"{name}_{tag}_discarded_sec"] = round(dt, 3)
 
     state = {}
 
     def run_block():
+        # unpersist a previous attempt's cache FIRST: a weather retry
+        # would otherwise hit the CacheManager (same logical plan) and
+        # time a cache read instead of the stage
+        if "links" in state:
+            state["links"].unpersist()
         links = pipe.blocker()(records, records).links.persist()
         state["n_candidates"] = links.count()
         state["links"] = links
@@ -142,6 +184,8 @@ def run_stages(spark, pages, docs, emb, timings: dict, extras: dict, tag: str):
     extras[f"candidates_{tag}"] = state["n_candidates"]
 
     def run_compare():
+        if "compared" in state:
+            state["compared"].unpersist()
         narrow = records.select(
             "record_id", "path", "prefix", "text_fp", "tok_hashes", "shingle_hashes"
         )
@@ -160,6 +204,8 @@ def run_stages(spark, pages, docs, emb, timings: dict, extras: dict, tag: str):
     timed("em_train", lambda: state.update(weights=pipe._train_weights(state["compared"])))
 
     def run_score():
+        if "scored" in state:
+            state["scored"].unpersist()
         scored = (
             state["weights"]
             .score_compared(state["compared"])
@@ -226,12 +272,14 @@ def run_stages(spark, pages, docs, emb, timings: dict, extras: dict, tag: str):
         allv = emb.select(
             "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
         )
-        cents = seed_centroids(allv, 8)
+        cents = seed_centroids(allv, n_centroids)
         state["n_sd"] = (
             semdedup(allv, cents, min_cosine=0.95).filter(F.col("keep")).count()
         )
 
     timed("semdedup", run_semdedup)
+    extras[f"semdedup_kept_{tag}"] = state["n_sd"]
+    extras[f"semdedup_centroids_{tag}"] = n_centroids
 
     timed(
         "dsir_select",
@@ -248,6 +296,9 @@ def run_stages(spark, pages, docs, emb, timings: dict, extras: dict, tag: str):
         state["n_ed"] = edit_distance_pairs(names, "name", max_distance=1, q="auto").count()
 
     timed("edit_distance", run_edjoin)
+    extras[f"edit_distance_pairs_{tag}"] = state["n_ed"]
+    extras[f"topk_rows_{tag}"] = state["n_topk"]
+    extras[f"components_{tag}"] = state["n_components"]
 
     for df in (records, state["links"], state["compared"], state["scored"]):
         df.unpersist()
@@ -324,8 +375,10 @@ def main() -> None:
                emb1.limit(500), {}, {}, "warmup")
     extras["warmup_sec"] = round(time.time() - t0, 3)
 
-    run_stages(spark, spark.read.parquet(p1), docs1, emb1, timings, extras, "1x")
-    run_stages(spark, spark.read.parquet(p4), docs4, emb4, timings, extras, "4x")
+    run_stages(spark, spark.read.parquet(p1), docs1, emb1, timings, extras, "1x",
+               n_centroids=8)
+    run_stages(spark, spark.read.parquet(p4), docs4, emb4, timings, extras, "4x",
+               n_centroids=8 * args.factor)
 
     stages_out = {}
     any_super = False
