@@ -1,6 +1,10 @@
 """Micro-benchmark the round-4 structural operators at sf0.1:
 one-to-one assignment, canopy clustering, KwikCluster pivots, k-core.
 
+Since round 5 these stages (minus core_numbers, plus pagerank) are
+timed inside bench.py itself with full calibration bracketing — this
+script remains as the standalone quick probe.
+
 Each runs the exact driver query from __spark_entry__ (so the numbers
 describe the oracle-checked plans) and reports wall seconds + output
 rows, with the same 32-core spin calibration bench.py uses bracketing
