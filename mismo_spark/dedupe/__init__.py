@@ -372,16 +372,21 @@ def hamming_banded_pairs(
     if n_bits % n_blocks != 0:
         raise ValueError(f"n_bits={n_bits} not divisible by n_blocks={n_blocks}")
     width = n_bits // n_blocks
+    # materialize the (id, hash) projection ONCE: each of the n_blocks
+    # equi-joins references both sides, so a lazy plan would re-execute
+    # the signature computation (and re-scan its input) 2·n_blocks
+    # times — for payload-derived hashes (phash) that is 2·n_blocks
+    # full decodes of the corpus.  The checkpointed relation is 16
+    # bytes/record; block keys are derived from it per branch.
+    sigs = recs.select(
+        F.col(id_column).alias("record_id"), F.col(hash_column).alias("__h")
+    ).localCheckpoint(eager=True)
     parts = []
     for blk in range(n_blocks):
-        key = F.shiftrightunsigned(F.col(hash_column), blk * width).bitwiseAND(
+        key = F.shiftrightunsigned(F.col("__h"), blk * width).bitwiseAND(
             F.lit((1 << width) - 1)
         )
-        keyed = recs.select(
-            F.col(id_column).alias("record_id"),
-            F.col(hash_column).alias("__h"),
-            key.alias("__blk"),
-        )
+        keyed = sigs.select("record_id", "__h", key.alias("__blk"))
         l = keyed.select(
             F.col("record_id").alias(ID_L), F.col("__h").alias("__h_l"), "__blk"
         )
