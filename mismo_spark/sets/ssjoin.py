@@ -92,6 +92,11 @@ def prefix_filter_pairs(
         F.col("n"),
         F.explode(F.slice("toks", F.lit(1), plen)).alias("s"),
     ).select("__id", "n", F.col("s.tok").alias("tok"))
+    # materialize once: the self-join below references pref on BOTH
+    # sides, and Spark does not reuse the aliased subtree — without
+    # this the full tokenize → global-df rank → prefix pipeline (two
+    # shuffles) executes twice
+    pref = pref.localCheckpoint(eager=True)
 
     l, r = pref.alias("l"), pref.alias("r")
     cand = (

@@ -252,6 +252,10 @@ def edit_distance_pairs(
         "__len",
         F.explode(F.slice("gs", 1, prefix_len)).alias("g"),
     ).select("__id", "__len", F.col("g.gram").alias("gram"))
+    # materialize once: the prefix self-join references pref on BOTH
+    # sides and Spark re-executes the aliased subtree — without this
+    # the gram explode → global-df rank pipeline runs twice
+    pref = pref.localCheckpoint(eager=True)
     l, r = pref.alias("l"), pref.alias("r")
     cand_long = (
         l.join(
