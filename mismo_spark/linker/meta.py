@@ -86,9 +86,13 @@ def candidate_graph(
       cbs / (|B(l)| + |B(r)| − cbs).
 
     → (record_id_l, record_id_r, cbs, js), l < r."""
+    # materialize once: the (record, block) relation feeds the pair
+    # self-join (twice), the per-record block counts, and — with
+    # purging — its own size filter; Spark re-executes the aliased
+    # union+distinct subtree per consumer otherwise
     blocks = block_collection(
         df, keys, id_column=id_column, max_block_size=max_block_size
-    )
+    ).localCheckpoint(eager=True)
     left = blocks.select(F.col(id_column).alias("record_id_l"), "block")
     right = blocks.select(F.col(id_column).alias("record_id_r"), "block")
     pairs = (
@@ -172,9 +176,12 @@ def meta_block(
     max_block_size: int | None = None,
 ) -> DataFrame:
     """Build the weighted blocking graph and prune it in one call."""
+    # materialize once: WEP consumes the graph twice (mean aggregate is
+    # an action, then the filter re-executes the plan) and CNP three
+    # times (two orientations + the semi-join probe)
     graph = candidate_graph(
         df, keys, id_column=id_column, max_block_size=max_block_size
-    )
+    ).localCheckpoint(eager=True)
     if scheme == "wep":
         return prune_wep(graph, weight=weight)
     if scheme == "cnp":
