@@ -187,6 +187,10 @@ def tfidf_cosine_pairs(
         .otherwise(F.lit(0.0))
         .alias("wn"),
     )
+    # materialize once: the cosine self-join references wn on BOTH
+    # sides, and the tokenize → tf/idf → norm pipeline (three shuffles)
+    # would otherwise execute twice
+    wn = wn.localCheckpoint(eager=True)
     l, r = wn.alias("l"), wn.alias("r")
     pairs = (
         l.join(
