@@ -300,8 +300,14 @@ def embedding_near_duplicates(
         keyed = keyed.withColumn("__bsz", F.count(F.lit(1)).over(w)).filter(
             F.col("__bsz") <= max_bucket_size
         )
-    # two projections of the SAME exploded plan → Spark reuses the
-    # bucket-partitioned exchange for both sides of the self-join
+    # materialize the (id, bucket) relation ONCE before the self-join:
+    # exchange reuse only fires when both sides shuffle (sort-merge
+    # regime); under a broadcast-hash plan the aliased subtree — the
+    # Arrow hyperplane UDF over every vector — would execute twice.
+    # The checkpointed rows are the 16-byte (id, bucket) pairs the
+    # docstring's shuffle bound describes, so this is cheap at any
+    # scale.
+    keyed = keyed.localCheckpoint(eager=True)
     left = keyed.select(F.col("__id").alias("id_l"), "__bucket")
     right = keyed.select(F.col("__id").alias("id_r"), "__bucket")
     cands = (

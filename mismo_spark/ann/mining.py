@@ -146,6 +146,10 @@ def contrastive_triplets(
         keyed = keyed.withColumn("__bsz", F.count(F.lit(1)).over(w)).filter(
             F.col("__bsz") <= max_bucket_size
         )
+    # materialize (id, bucket) once — same rationale as
+    # embedding_near_duplicates: under a broadcast-hash plan the
+    # aliased self-join would run the Arrow hyperplane UDF twice
+    keyed = keyed.localCheckpoint(eager=True)
     left = keyed.select(F.col("__id").alias("anchor_id"), "__bucket")
     right = keyed.select(F.col("__id").alias("cand_id"), "__bucket")
     cands = (
