@@ -129,7 +129,15 @@ def bucket_lm(
     grams = _exploded_buckets(
         docs, [], text_col=text_col, n_buckets=n_buckets, seed=seed, bigrams=bigrams
     )
-    counts = grams.groupBy("bucket").agg(F.count(F.lit(1)).alias("__n"))
+    # materialize once: counts feeds BOTH the totals aggregate and the
+    # seen-bucket join, and the subtree below it is the gram explode
+    # over the ENTIRE corpus — twice, for the raw-corpus LM, without
+    # this.  The checkpointed relation is ≤ n_buckets rows.
+    counts = (
+        grams.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .localCheckpoint(eager=True)
+    )
     totals = counts.agg(F.sum("__n").alias("__total"))
     denom = F.coalesce(F.col("__total"), F.lit(0)) + F.lit(a * n_buckets)
     seen = counts.crossJoin(F.broadcast(totals)).select(
