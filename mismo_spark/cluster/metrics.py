@@ -26,12 +26,18 @@ from mismo_spark.types.linkage import ID_L, ID_R
 
 
 def degree(links: DataFrame) -> DataFrame:
-    """Per-record distinct-neighbour count (mismo/cluster/_metrics.py:28-69)."""
+    """Per-record distinct-neighbour count (mismo/cluster/_metrics.py:28-69).
+
+    Symmetrized via explode, not a two-orientation union — a union
+    would reference (and re-execute) the links plan twice."""
     both = links.select(
-        F.col(ID_L).alias("record_id"), F.col(ID_R).alias("neighbour")
-    ).unionByName(
-        links.select(F.col(ID_R).alias("record_id"), F.col(ID_L).alias("neighbour"))
-    )
+        F.explode(
+            F.array(
+                F.struct(F.col(ID_L).alias("record_id"), F.col(ID_R).alias("neighbour")),
+                F.struct(F.col(ID_R).alias("record_id"), F.col(ID_L).alias("neighbour")),
+            )
+        ).alias("__e")
+    ).select("__e.record_id", "__e.neighbour")
     return (
         both.distinct()
         .groupBy("record_id")

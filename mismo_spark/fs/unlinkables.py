@@ -31,12 +31,14 @@ def best_scores(
 ) -> DataFrame:
     """→ (record_id, best): each record's maximum pair score; NULL for
     records that never appeared in a candidate pair."""
+    # explode, not a two-orientation union: a union references the
+    # scored-links plan twice and Spark re-executes it — behind this
+    # sits the whole scoring pipeline
     halves = scored_links.select(
-        F.col(f"{id_column}_l").alias(id_column), F.col(score).alias("__s")
-    ).unionByName(
-        scored_links.select(
-            F.col(f"{id_column}_r").alias(id_column), F.col(score).alias("__s")
-        )
+        F.col(score).alias("__s"),
+        F.explode(
+            F.array(F.col(f"{id_column}_l"), F.col(f"{id_column}_r"))
+        ).alias(id_column),
     )
     best = halves.groupBy(id_column).agg(F.max("__s").alias("best"))
     return records.select(id_column).join(best, id_column, "left")
