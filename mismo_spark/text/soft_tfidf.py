@@ -71,6 +71,10 @@ def tfidf_weights(
             * F.log(F.col("__n").cast("double") / F.col("__df")),
         )
     )
+    # materialize once: raw feeds BOTH the norm aggregate and the
+    # normalize join — the explode → tf → df pipeline would execute
+    # twice otherwise
+    raw = raw.localCheckpoint(eager=True)
     norm = raw.groupBy(id_col).agg(
         F.sqrt(F.sum(F.col("__raw") * F.col("__raw"))).alias("__norm")
     )
@@ -115,7 +119,14 @@ def soft_tfidf_pairs(
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
     from mismo_spark._util import should_broadcast
 
-    w = tfidf_weights(records, id_col=id_col, token_col=token_col)
+    # materialize the weights and the pair projection once each: w is
+    # consumed by both pair joins (and the broadcast-size probe), and
+    # pairs by the token join AND the final zero-fill join — behind
+    # the latter can sit a whole blocking pipeline
+    w = tfidf_weights(records, id_col=id_col, token_col=token_col).localCheckpoint(
+        eager=True
+    )
+    pairs = pairs.select(id_l, id_r).localCheckpoint(eager=True)
     if broadcast_weights is None:
         broadcast_weights = should_broadcast(w)
     if broadcast_weights:
