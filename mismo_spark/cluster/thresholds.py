@@ -55,11 +55,19 @@ def components_at_thresholds(
         max_iter=max_iter, algorithm=algorithm, checkpoint_dir=checkpoint_dir
     )
 
+    # materialize the narrow (l, r, odds) projection once: every
+    # threshold band filters it, and behind it can sit the whole
+    # scoring pipeline — re-executed per band otherwise
+    scored_links = scored_links.select(ID_L, ID_R, odds_col).localCheckpoint(
+        eager=True
+    )
+    cached = []
     assignment = connected_components(
         scored_links.where(F.col(odds_col) >= ts[0]).select(ID_L, ID_R),
         records,
         **kw,
     ).persist()
+    cached.append(assignment)
     out = assignment.select(
         F.lit(float(ts[0])).alias("threshold"), "record_id", "component"
     )
@@ -69,10 +77,16 @@ def components_at_thresholds(
             (F.col(odds_col) >= t) & (F.col(odds_col) < prev)
         ).select(ID_L, ID_R)
         assignment = incremental_components(assignment, band, **kw).persist()
+        cached.append(assignment)
         out = out.unionByName(
             assignment.select(
                 F.lit(float(t)).alias("threshold"), "record_id", "component"
             )
         )
         prev = t
+    # materialize the result, then release the per-step caches — a
+    # long-lived session must not accumulate k assignments per sweep
+    out = out.localCheckpoint(eager=True)
+    for df in cached:
+        df.unpersist()
     return out
