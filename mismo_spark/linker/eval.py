@@ -60,8 +60,11 @@ def blocking_metrics(
     n_naive = (
         n_left * (n_left - 1) // 2 if task == "dedupe" else n_left * n_right
     )
-    cand = _canon(links, task)
-    true = _canon(true_pairs, task)
+    # materialize the canonical pair sets once: each feeds a count AND
+    # the found-join, and behind `links` sits the scheme's whole
+    # blocking pipeline — re-executed per consumer otherwise
+    cand = _canon(links, task).localCheckpoint(eager=True)
+    true = _canon(true_pairs, task).localCheckpoint(eager=True)
     n_cand = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
     n_true = true.agg(F.count(F.lit(1)).alias("n_true"))
     n_found = cand.join(true, [ID_L, ID_R]).agg(
