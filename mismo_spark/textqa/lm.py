@@ -48,7 +48,13 @@ def unigram_lm(
     toks = explode_computed(
         docs, [], tokenize(F.lower(F.col(text_col))), "token"
     )
-    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("__n"))
+    # materialize once: counts feeds the totals aggregate AND the seen
+    # join — the corpus token explode would execute twice otherwise
+    counts = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .localCheckpoint(eager=True)
+    )
     totals = counts.agg(
         F.sum("__n").alias("__total"), F.count(F.lit(1)).alias("__vocab")
     )
@@ -131,8 +137,10 @@ def bigram_lm(docs: DataFrame, *, text_col: str = "text") -> DataFrame:
 
     Plan: ONE explode of adjacent token pairs (a higher-order zip, no
     second corpus pass), groupBy(w₁, w₂) with map-side combine, then a
-    broadcast-able join against the w₁ marginal (itself one groupBy of
-    the same pair table — Spark reuses the exchange)."""
+    join against the w₁ marginal — which is derived by RE-AGGREGATING
+    the (checkpointed) bigram counts, not by a second pass over the
+    pair table: count(w₁·) = Σ_w₂ count(w₁w₂), and the two groupBys
+    partition on different keys so exchange reuse could never fire."""
     toks = tokenize(F.lower(F.col(text_col)))
     # F.get is 0-based and NULL-safe out of range (no ANSI index traps)
     pairs_arr = F.filter(
@@ -151,10 +159,12 @@ def bigram_lm(docs: DataFrame, *, text_col: str = "text") -> DataFrame:
     pairs = explode_computed(docs, [], pairs_arr, "__p").select(
         "__p.token_l", "__p.token_r"
     )
-    c12 = pairs.groupBy("token_l", "token_r").agg(
-        F.count(F.lit(1)).alias("__n12")
+    c12 = (
+        pairs.groupBy("token_l", "token_r")
+        .agg(F.count(F.lit(1)).alias("__n12"))
+        .localCheckpoint(eager=True)
     )
-    c1 = pairs.groupBy("token_l").agg(F.count(F.lit(1)).alias("__n1"))
+    c1 = c12.groupBy("token_l").agg(F.sum("__n12").alias("__n1"))
     return c12.join(c1, "token_l").select(
         "token_l",
         "token_r",
