@@ -115,13 +115,26 @@ def contrastive_triplets(
         )
 
     # -- positives: best duplicate partner per anchor ---------------------
+    # explode, not a two-orientation union: a union references the
+    # dup_pairs plan twice and Spark re-executes it — behind it can sit
+    # a whole near-dup pipeline (its own bucket join + cosine UDF)
     sym = dup_pairs.select(
-        F.col("id_l").alias("anchor_id"), F.col("id_r").alias("partner_id")
-    ).unionByName(
-        dup_pairs.select(
-            F.col("id_r").alias("anchor_id"), F.col("id_l").alias("partner_id")
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("id_l").alias("anchor_id"),
+                    F.col("id_r").alias("partner_id"),
+                ),
+                F.struct(
+                    F.col("id_r").alias("anchor_id"),
+                    F.col("id_l").alias("partner_id"),
+                ),
+            )
+        ).alias("__e")
+    ).select("__e.anchor_id", "__e.partner_id")
+    # ...and materialize: sym feeds the positive scoring AND the
+    # negative anti-join, so the (id, id) rows are checkpointed once
+    sym = sym.localCheckpoint(eager=True)
     positives = _argmax_partner(
         _with_cosine(sym, "anchor_id", "partner_id"),
         "anchor_id",
