@@ -391,11 +391,18 @@ def edit_distance_link(
         )
     prefix_len = q * d + 1
 
-    # shared global order: document frequency over BOTH sides' grams
+    # shared global order: document frequency over BOTH sides' grams —
+    # materialized once (gram-type-sized), since each side's prefix
+    # ranking joins it and would otherwise re-run the two-sided
+    # explode + groupBy shuffle
     all_toks = explode_computed(lrec, [], F.col("__grams"), "gram").unionByName(
         explode_computed(rrec, [], F.col("__grams"), "gram")
     )
-    freq = all_toks.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    freq = (
+        all_toks.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .localCheckpoint(eager=True)
+    )
 
     def _prefix(recs):
         toks = explode_computed(recs, ["__id", "__len"], F.col("__grams"), "gram")
