@@ -52,20 +52,28 @@ def incremental_components(
     ``new_records`` (optional, column ``record_id``) adds singleton
     rows for genuinely new records that no new link mentions.
     """
-    ends = (
-        new_links.select(F.col(ID_L).alias("record_id"))
-        .unionByName(new_links.select(F.col(ID_R).alias("record_id")))
-        .distinct()
-    )
+    # materialize the batch-sized relations once — the whole point of
+    # the incremental fold is that everything except `assignments` is
+    # sized by the NEW batch, so checkpointing is cheap while
+    # re-executing the batch's upstream plan (often a scoring pipeline)
+    # per consumer is not.  `assignments` itself is corpus-sized and
+    # typically already a parquet checkpoint, so it stays lazy.
+    nl = new_links.select(ID_L, ID_R).localCheckpoint(eager=True)
+    ends = nl.select(
+        F.explode(F.array(F.col(ID_L), F.col(ID_R))).alias("record_id")
+    ).distinct()
     if new_records is not None:
         ends = ends.unionByName(new_records.select("record_id")).distinct()
+    ends = ends.localCheckpoint(eager=True)
 
     touched_comps = (
         assignments.join(ends, "record_id", "left_semi")
         .select("component")
         .distinct()
     )
-    touched = assignments.join(touched_comps, "component", "left_semi")
+    touched = assignments.join(
+        touched_comps, "component", "left_semi"
+    ).localCheckpoint(eager=True)
     untouched = assignments.join(touched_comps, "component", "left_anti")
 
     # a touched component re-enters as its star edges — connectivity
@@ -75,7 +83,7 @@ def incremental_components(
     )
     sub_nodes = touched.select("record_id").unionByName(ends).distinct()
     sub = connected_components(
-        new_links.select(ID_L, ID_R).unionByName(star_edges),
+        nl.unionByName(star_edges),
         sub_nodes,
         max_iter=max_iter,
         algorithm=algorithm,
