@@ -70,19 +70,33 @@ def maintain_components(
     """
     if added is None and removed is None and new_records is None:
         return assignments
+    # materialization policy (same as incremental_components): every
+    # relation sized by the CHANGE batch or the touched components is
+    # checkpointed at its first use, because multiple consumers would
+    # otherwise re-execute its upstream plan; the corpus-sized inputs
+    # (links, assignments — parquet checkpoints in production) stay
+    # lazy and are consumed a bounded number of times.
     edges = _pair_key(links.select(ID_L, ID_R))
 
     if removed is not None:
-        rm = (
+        rm_keys = (
             _pair_key(removed.select(ID_L, ID_R))
             .select("__a", "__b")
             .distinct()
-            # only edges actually present can split anything
-            .join(edges.select("__a", "__b").distinct(), ["__a", "__b"], "left_semi")
+            .localCheckpoint(eager=True)
         )
-        remaining = edges.join(rm, ["__a", "__b"], "left_anti")
-        rm_ends = rm.select(F.col("__a").alias("record_id")).unionByName(
-            rm.select(F.col("__b").alias("record_id"))
+        # only edges actually present can split anything; checkpointing
+        # the (small) intersection stops rm's three consumers from
+        # re-running the full-edge-set semi-join
+        rm = (
+            edges.select("__a", "__b")
+            .join(rm_keys, ["__a", "__b"], "left_semi")
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        remaining = edges.join(rm_keys, ["__a", "__b"], "left_anti")
+        rm_ends = rm.select(
+            F.explode(F.array(F.col("__a"), F.col("__b"))).alias("record_id")
         )
     else:
         remaining = edges
@@ -90,8 +104,8 @@ def maintain_components(
 
     add_ends = None
     if added is not None:
-        add_ends = added.select(F.col(ID_L).alias("record_id")).unionByName(
-            added.select(F.col(ID_R).alias("record_id"))
+        add_ends = added.select(
+            F.explode(F.array(F.col(ID_L), F.col(ID_R))).alias("record_id")
         )
 
     ends = [e for e in (rm_ends, add_ends) if e is not None]
@@ -100,14 +114,17 @@ def maintain_components(
     touched_ends = ends[0]
     for e in ends[1:]:
         touched_ends = touched_ends.unionByName(e)
-    touched_ends = touched_ends.distinct()
+    touched_ends = touched_ends.distinct().localCheckpoint(eager=True)
 
     touched_comps = (
         assignments.join(touched_ends, "record_id", "left_semi")
         .select("component")
         .distinct()
+        .localCheckpoint(eager=True)
     )
-    touched = assignments.join(touched_comps, "component", "left_semi")
+    touched = assignments.join(
+        touched_comps, "component", "left_semi"
+    ).localCheckpoint(eager=True)
     untouched = assignments.join(touched_comps, "component", "left_anti")
 
     # a surviving edge of a touched component has BOTH endpoints inside
