@@ -348,3 +348,49 @@ def write_sized_parquet(
     )
     sized.write.mode(mode).parquet(path)
     return n_parts
+
+
+class RoundPartitions:
+    """Scale-adaptive shuffle partitioning for iterative operators.
+
+    The per-round relations of the iterative operators (dominant-edge
+    matching, CENTER, MIS rounds, star CC) shrink geometrically, but
+    every window/join exchange inside a round schedules
+    ``spark.sql.shuffle.partitions`` tasks regardless — on late rounds
+    that is dozens of near-empty tasks per exchange, and the task/AQE
+    scheduling overhead dominates the round (guide §2.2/§2.5: size
+    partitions to the data; §2: derive partitioning from input size
+    rather than a constant).  This helper clamps
+    ``spark.sql.shuffle.partitions`` DOWN to ``ceil(n_rows /
+    rows_per_partition)`` — never above the ambient setting, so a
+    cluster-sized configuration is untouched while small/late rounds
+    stop paying for empty tasks.  Call :meth:`adapt` with the live row
+    count the loop already measures each round; ALWAYS pair with
+    :meth:`restore` in a ``finally``.
+
+    Caveat: ``spark.sql.shuffle.partitions`` is session-global — a
+    concurrent query planned while an operator loop is running sees
+    the clamped value.  These loops are sub-minute and driver-bound;
+    the trade is documented rather than worked around.
+    """
+
+    def __init__(self, spark, *, rows_per_partition: int = 32_000) -> None:
+        self.spark = spark
+        self.rows_per_partition = rows_per_partition
+        self.ambient = spark.conf.get("spark.sql.shuffle.partitions", "200")
+        self._active = False
+
+    def adapt(self, n_rows: int) -> int:
+        try:
+            ambient_n = int(self.ambient)
+        except (TypeError, ValueError):  # e.g. "auto" on some platforms
+            return -1
+        parts = max(1, min(ambient_n, -(-int(n_rows) // self.rows_per_partition)))
+        self.spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+        self._active = True
+        return parts
+
+    def restore(self) -> None:
+        if self._active:
+            self.spark.conf.set("spark.sql.shuffle.partitions", self.ambient)
+            self._active = False

@@ -245,13 +245,24 @@ def _cc_star(edges: DataFrame, max_iter: int, checkpoint_dir: str | None) -> Dat
     with a left-join + coalesce against records/mapping/nodes anyway,
     so emitting root rows here would cost an extra O(V) distinct +
     join for nothing."""
+    from mismo_spark._util import RoundPartitions
+
     cur = _chk(edges, checkpoint_dir, "star_0")
     prev_fp = _set_fingerprint(cur, [_U, _V])
-    for i in range(max_iter):
-        cur = _chk(_small_star(_large_star(cur)), checkpoint_dir, f"star_{i + 1}")
-        fp = _set_fingerprint(cur, [_U, _V])
-        if fp == prev_fp:
-            break
-        prev_fp = fp
+    # per-round exchanges over the (usually shrinking) edge relation:
+    # clamp shuffle width to the live edge count the fingerprint pass
+    # already measures (never above ambient — no-op at cluster scale)
+    rp = RoundPartitions(edges.sparkSession)
+    try:
+        rp.adapt(prev_fp[0])
+        for i in range(max_iter):
+            cur = _chk(_small_star(_large_star(cur)), checkpoint_dir, f"star_{i + 1}")
+            fp = _set_fingerprint(cur, [_U, _V])
+            if fp == prev_fp:
+                break
+            prev_fp = fp
+            rp.adapt(fp[0])
+    finally:
+        rp.restore()
     # fixed point: every edge is (child, root-min)
     return cur.groupBy(F.col(_U).alias("id")).agg(F.min(_V).alias("component"))

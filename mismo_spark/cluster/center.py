@@ -126,6 +126,40 @@ def center_clustering(
     w_edge = Window.partitionBy("k1", "k2")
     w_node = Window.partitionBy("node")
 
+    from mismo_spark._util import RoundPartitions
+
+    # per-round exchanges over the geometrically shrinking undecided
+    # relation: clamp shuffle width to the live row count (never above
+    # the ambient setting — no-op at cluster scale)
+    rp = RoundPartitions(links.sparkSession)
+    assigned: DataFrame | None = None
+    try:
+        assigned = _center_rounds(
+            rows, w_rank, w_edge, w_node, max_rounds, checkpoint_dir, rp
+        )
+    finally:
+        rp.restore()
+
+    out = records.select("record_id").distinct()
+    if assigned is not None:
+        out = out.join(assigned, "record_id", "left").select(
+            "record_id",
+            F.coalesce(F.col("cluster"), F.col("record_id")).alias("cluster"),
+        )
+    else:
+        out = out.select("record_id", F.col("record_id").alias("cluster"))
+    return out
+
+
+def _center_rounds(
+    rows: DataFrame,
+    w_rank,
+    w_edge,
+    w_node,
+    max_rounds: int,
+    checkpoint_dir: str | None,
+    rp,
+) -> DataFrame | None:
     assigned: DataFrame | None = None
     for rnd in range(max_rounds):
         st = rows.withColumn("__rn", F.row_number().over(w_rank))
@@ -197,18 +231,8 @@ def center_clustering(
         n_rem = remaining.count()
         rows = remaining
         if n_rem == 0:
-            break
-    else:
-        raise RuntimeError(
-            f"center_clustering did not converge in {max_rounds} rounds"
-        )
-
-    out = records.select("record_id").distinct()
-    if assigned is not None:
-        out = out.join(assigned, "record_id", "left").select(
-            "record_id",
-            F.coalesce(F.col("cluster"), F.col("record_id")).alias("cluster"),
-        )
-    else:
-        out = out.select("record_id", F.col("record_id").alias("cluster"))
-    return out
+            return assigned
+        rp.adapt(n_rem)
+    raise RuntimeError(
+        f"center_clustering did not converge in {max_rounds} rounds"
+    )

@@ -119,6 +119,84 @@ def clk_pack(positions: Column, *, n_bits: int = 1024) -> Column:
     )
 
 
+def clk_packed_words(
+    df,
+    keys: list[str],
+    cols: list[str],
+    *,
+    n_bits: int = 1024,
+    n_hashes: int = 2,
+    seed: int = 42,
+    out_prefix: str = "w",
+    n_col: str = "n",
+):
+    """Relational CLK encoder: ``df`` → one row per ``keys`` with the
+    packed Bloom words as FLAT long columns ``{out_prefix}0..{k-1}``
+    plus ``n_col`` = number of set bits (= ``size(clk_positions(...))``).
+
+    Same positions as :func:`clk_positions` + :func:`clk_pack` (same
+    gram construction, same md5 slice, asserted equal in
+    tests/test_pprl.py) but computed via explode → top-level md5
+    projection → ``bit_or`` aggregation — whole-stage-codegen'd
+    end-to-end, where the HOF form interprets ~100 md5 lambdas per row
+    (guide §1.2: fix the per-task work).  Rows whose identifier columns
+    are all NULL/empty-gram encode to all-zero words with ``n`` = 0,
+    exactly like the ``[]`` position set.  One shuffle (the groupBy);
+    the gram explosion is bounded by total identifier length.
+    """
+    _check(n_bits, n_hashes)
+    n_words = n_bits // _WORD
+    gram_arrays = []
+    for c in cols:
+        col = F.col(c)
+        s = F.lower(F.trim(col))
+        padded = F.concat(F.lit("_"), s, F.lit("_"))
+        gram_arrays.append(
+            F.when(col.isNull(), F.array().cast("array<string>")).otherwise(
+                ngrams(padded, 2)
+            )
+        )
+    grams = F.array_distinct(F.flatten(F.array(*gram_arrays)))
+    base = df.select(*keys, F.explode_outer(grams).alias("__g"))
+    pos_rows = base.select(
+        *keys,
+        F.explode(
+            F.array(
+                *[
+                    F.conv(
+                        F.substring(
+                            F.md5(F.concat(F.col("__g"), F.lit(f":{seed}:{i}"))),
+                            1,
+                            8,
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
+                    % n_bits
+                    for i in range(n_hashes)
+                ]
+            )
+        ).alias("__p"),
+    )
+    word = (F.col("__p") / _WORD).cast("int")
+    bit = F.call_function(
+        "shiftleft", F.lit(1).cast("long"), (F.col("__p") % _WORD).cast("int")
+    )
+    agg = pos_rows.groupBy(*keys).agg(
+        *[
+            F.coalesce(
+                F.bit_or(F.when(word == i, bit)), F.lit(0).cast("long")
+            ).alias(f"{out_prefix}{i}")
+            for i in range(n_words)
+        ]
+    )
+    n_expr = None
+    for i in range(n_words):
+        t = F.bit_count(F.col(f"{out_prefix}{i}"))
+        n_expr = t if n_expr is None else n_expr + t
+    return agg.withColumn(n_col, n_expr.cast("int"))
+
+
 def dice_positions(a: Column, b: Column) -> Column:
     """Dice coefficient of two position-set encodings:
     ``2|A∩B| / (|A|+|B|)``; 0.0 when both are empty."""

@@ -240,15 +240,31 @@ def one_to_one_links(
     one_round = _round_dedupe if dedupe else _round_bipartite
     matched: DataFrame | None = None
 
-    for rnd in range(max_rounds):
-        flagged = _chk(one_round(rem, order), checkpoint_dir, f"one_to_one_round_{rnd}")
-        counts = flagged.groupBy(_DOM).count().collect()
-        n_rem = sum(r["count"] for r in counts if r[_DOM] == 0)
-        round_matched = flagged.filter(F.col(_DOM) == 1).drop(_DOM)
-        matched = round_matched if matched is None else matched.unionByName(round_matched)
-        if n_rem == 0:
-            return matched
-        rem = flagged.filter(F.col(_DOM) == 0).drop(_DOM)
+    from mismo_spark._util import RoundPartitions
+
+    # per-round window exchanges over a geometrically shrinking edge
+    # relation: clamp shuffle width to the live row count (never above
+    # the ambient setting — no-op at cluster scale)
+    rp = RoundPartitions(links.sparkSession)
+    try:
+        for rnd in range(max_rounds):
+            flagged = _chk(
+                one_round(rem, order), checkpoint_dir, f"one_to_one_round_{rnd}"
+            )
+            counts = flagged.groupBy(_DOM).count().collect()
+            n_rem = sum(r["count"] for r in counts if r[_DOM] == 0)
+            round_matched = flagged.filter(F.col(_DOM) == 1).drop(_DOM)
+            matched = (
+                round_matched
+                if matched is None
+                else matched.unionByName(round_matched)
+            )
+            if n_rem == 0:
+                return matched
+            rem = flagged.filter(F.col(_DOM) == 0).drop(_DOM)
+            rp.adapt(n_rem)
+    finally:
+        rp.restore()
 
     raise RuntimeError(
         f"one_to_one_links did not converge in {max_rounds} rounds; "

@@ -114,3 +114,34 @@ def test_bad_params_raise(spark):
         clk_positions(F.lit("x"), n_bits=100)
     with pytest.raises(ValueError, match="n_hashes"):
         clk_positions(F.lit("x"), n_hashes=0)
+
+
+def test_clk_packed_words_matches_hof_encoder(spark):
+    """The relational (explode + bit_or) encoder must produce exactly
+    clk_pack(clk_positions(...)) word-for-word, with n = |position set|
+    — including NULL identifiers and empty strings."""
+    from mismo_spark.lib.pprl import clk_packed_words
+
+    rows = [
+        (1, "john smith", "BUILDING"),
+        (2, "jon smith", "AUTOMOBILE"),
+        (3, None, "MACHINERY"),
+        (4, "", ""),
+        (5, None, None),
+        (6, "Ünïcode Näme", "household"),
+        (7, "a", "b"),
+    ]
+    df = spark.createDataFrame(rows, "id long, name string, seg string")
+    ref = df.select(
+        "id",
+        clk_pack(clk_positions(F.col("name"), F.col("seg"))).alias("bits"),
+        F.size(clk_positions(F.col("name"), F.col("seg"))).alias("n"),
+    ).collect()
+    got = clk_packed_words(df, ["id"], ["name", "seg"]).collect()
+    ref_by_id = {r.id: r for r in ref}
+    assert len(got) == len(rows)
+    for g in got:
+        r = ref_by_id[g.id]
+        words = [g[f"w{i}"] for i in range(16)]
+        assert words == list(r.bits), g.id
+        assert g.n == r.n, g.id

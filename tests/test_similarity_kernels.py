@@ -84,3 +84,46 @@ def test_rapidfuzz_parity_osa():
 
     for a, b in CASES + rand_cases(500):
         assert OSA.distance(a, b) == _damerau_levenshtein(a, b), (a, b)
+
+
+def full_ascii_cases(n: int, seed: int = 29):
+    """Adversarial ASCII pairs over the whole 1..127 range (incl.
+    whitespace/punctuation/control chars) with near-duplicate bias."""
+    rng = random.Random(seed)
+    chars = [chr(i) for i in range(1, 128)]
+    out = []
+    for _ in range(n):
+        a = "".join(rng.choice(chars) for _ in range(rng.randrange(0, 40)))
+        if rng.random() < 0.5 and a:
+            b = list(a)
+            for _ in range(rng.randrange(0, 4)):
+                b[rng.randrange(len(b))] = rng.choice(chars)
+            b = "".join(b)
+        else:
+            b = "".join(rng.choice(chars) for _ in range(rng.randrange(0, 40)))
+        out.append((a, b))
+    return out
+
+
+def test_duckdb_batch_parity_bit_exact():
+    """The DuckDB fast path inside _jaro_batch/_jw_batch must be
+    BIT-IDENTICAL (==, not approx) to the vendored kernels: these
+    scores are quantized to micro-ints that drive greedy scan orders,
+    so even 1-ulp drift could flip a rounding boundary."""
+    import numpy as np
+
+    from mismo_spark.text.similarity import HAVE_DUCKDB, _jaro_batch, _jw_batch
+
+    if not HAVE_DUCKDB:
+        pytest.skip("duckdb not installed")
+    cases = CASES + rand_cases(500) + full_ascii_cases(2000)
+    # non-ASCII rows must route to the vendored kernel (code points,
+    # not UTF-8 bytes) and empty-vs-empty must stay 1.0
+    cases += [("müller", "mueller"), ("日本語", "日本語x"), ("", ""), ("café", "cafe")]
+    a = np.array([c[0] for c in cases], dtype=object)
+    b = np.array([c[1] for c in cases], dtype=object)
+    got_j = _jaro_batch(a, b)
+    got_jw = _jw_batch(a, b)
+    for i, (x, y) in enumerate(cases):
+        assert got_j[i] == _jaro(x, y), (x, y, got_j[i], _jaro(x, y))
+        assert got_jw[i] == _jaro_winkler(x, y), (x, y, got_jw[i], _jaro_winkler(x, y))
