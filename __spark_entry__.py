@@ -2329,6 +2329,46 @@ def q_one_to_one_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return one_to_one_links(scored, "jw_micro", dedupe=True)
 
 
+def _docs_factorized_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → (record_id, source, tokens: array<long>) where
+    tokens are the DISTINCT lowercase word tokens factorized to dense
+    integer codes via a one-shot dictionary join.
+
+    r6 perf helper for the canopy/pivot queries: the O(pairs)
+    token-Jaccard over array<string> spends its time hashing strings
+    into per-pair hash sets (guide §1.2: fix the per-task work);
+    factorizing once per RECORD makes the per-PAIR set ops primitive
+    (measured 7.6 s → 2.8 s over the 622k source-blocked pairs at
+    sf0.1).  The dictionary is ``monotonically_increasing_id`` over
+    the distinct tokens — injective by construction and pinned with a
+    localCheckpoint, and any injective relabeling preserves every
+    |A∩B| / |A∪B|, so downstream similarities (and the oracle results)
+    are identical.  Cost: one explode + one join + one groupBy over
+    the (record, token) relation — linear in corpus token count."""
+    from mismo_spark.text.features import tokenize
+
+    docs = _docs(spark, sf_dir)
+    tok_rows = docs.select(
+        "record_id",
+        "source",
+        F.explode_outer(
+            F.array_distinct(tokenize(F.lower(F.col("text"))))
+        ).alias("__tok"),
+    )
+    dic = (
+        tok_rows.select("__tok")
+        .filter(F.col("__tok").isNotNull())
+        .distinct()
+        .withColumn("__tid", F.monotonically_increasing_id())
+        .localCheckpoint()
+    )
+    return (
+        tok_rows.join(dic, "__tok", "left")
+        .groupBy("record_id", "source")
+        .agg(F.collect_list("__tid").alias("tokens"))
+    )
+
+
 def q_canopy_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canopy clustering (McCallum/Nigam/Ungar 2000; linker/canopy.py)
     over token-Jaccard edges from source-blocked pairs: centers are the
@@ -2340,14 +2380,11 @@ def q_canopy_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mismo_spark.linker.canopy import canopy_assign
     from mismo_spark.linker.key import KeyLinker
     from mismo_spark.sets.compare import jaccard
-    from mismo_spark.text.features import tokenize
     from mismo_spark.types.linkage import Linkage
 
-    docs = _docs(spark, sf_dir).select(
-        "record_id",
-        "source",
-        F.array_distinct(tokenize(F.lower(F.col("text")))).alias("tokens"),
-    )
+    # tokens factorized to dense ints (see _docs_factorized_tokens —
+    # jaccard-preserving, makes the per-pair set ops primitive)
+    docs = _docs_factorized_tokens(spark, sf_dir)
     lk = KeyLinker(["source"], task="dedupe")(docs)
     pairs = Linkage(docs, docs, lk.links).links_with_both()
     edges = pairs.select(
@@ -2380,14 +2417,11 @@ def q_pivot_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mismo_spark.cluster.pivot import pivot_clustering
     from mismo_spark.linker.key import KeyLinker
     from mismo_spark.sets.compare import jaccard
-    from mismo_spark.text.features import tokenize
     from mismo_spark.types.linkage import Linkage
 
-    docs = _docs(spark, sf_dir).select(
-        "record_id",
-        "source",
-        F.array_distinct(tokenize(F.lower(F.col("text")))).alias("tokens"),
-    )
+    # tokens factorized to dense ints (see _docs_factorized_tokens —
+    # jaccard-preserving, makes the per-pair set ops primitive)
+    docs = _docs_factorized_tokens(spark, sf_dir)
     lk = KeyLinker(["source"], task="dedupe")(docs)
     pairs = Linkage(docs, docs, lk.links).links_with_both()
     edges = pairs.select(

@@ -358,44 +358,56 @@ def pagerank(
         .join(e_deg.select("src").distinct(), tvec["node"] == F.col("src"), "left_anti")
         .persist()
     )
+    from mismo_spark._util import RoundPartitions
+
+    # per-round exchanges are keyed by node over fixed-size relations:
+    # clamp shuffle width to the edge count (the e_deg count also
+    # materializes the cache the first round would otherwise build;
+    # never above ambient — no-op at cluster scale)
+    rp = RoundPartitions(edges.sparkSession)
+    rp.adapt(e_deg.count())
     ranks = tvec.select("node", F.col("t").alias("rank"))
-    for i in range(n_iter):
-        contrib = (
-            ranks.join(e_deg, ranks["node"] == e_deg["src"])
-            .select(
-                F.col("dst").alias("node"),
-                (F.col("rank") * F.col("w") / F.col("out_degree")).alias("c"),
+    try:
+        for i in range(n_iter):
+            contrib = (
+                ranks.join(e_deg, ranks["node"] == e_deg["src"])
+                .select(
+                    F.col("dst").alias("node"),
+                    (F.col("rank") * F.col("w") / F.col("out_degree")).alias("c"),
+                )
+                .groupBy("node")
+                .agg(F.sum("c").alias("contrib"))
             )
-            .groupBy("node")
-            .agg(F.sum("c").alias("contrib"))
-        )
-        # single-row aggregate, hash-broadcast into every partition:
-        # the in-plan replacement for a driver-side scalar collect
-        dm = F.broadcast(
-            dangling.join(ranks, "node")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dangling_mass"))
-        )
-        ranks = _graph_chk(
-            tvec.join(contrib, "node", "left")
-            .crossJoin(dm)
-            .select(
-                "node",
-                (
-                    F.lit(1.0 - damping) * F.col("t")
-                    + F.lit(damping)
-                    * (
-                        F.coalesce(F.col("contrib"), F.lit(0.0))
-                        + F.col("dangling_mass") * F.col("t")
-                    )
-                ).alias("rank"),
-            ),
-            checkpoint_dir,
-            f"pagerank_round_{i}",
-        )
-    # materialize the final round's checkpoint, then release the cached
-    # relations — a long-lived session (the oracle harness runs 100+
-    # queries in one SparkSession) must not accumulate cached relations
-    ranks.count()
+            # single-row aggregate, hash-broadcast into every partition:
+            # the in-plan replacement for a driver-side scalar collect
+            dm = F.broadcast(
+                dangling.join(ranks, "node")
+                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dangling_mass"))
+            )
+            ranks = _graph_chk(
+                tvec.join(contrib, "node", "left")
+                .crossJoin(dm)
+                .select(
+                    "node",
+                    (
+                        F.lit(1.0 - damping) * F.col("t")
+                        + F.lit(damping)
+                        * (
+                            F.coalesce(F.col("contrib"), F.lit(0.0))
+                            + F.col("dangling_mass") * F.col("t")
+                        )
+                    ).alias("rank"),
+                ),
+                checkpoint_dir,
+                f"pagerank_round_{i}",
+            )
+        # materialize the final round's checkpoint, then release the
+        # cached relations — a long-lived session (the oracle harness
+        # runs 100+ queries in one SparkSession) must not accumulate
+        # cached relations
+        ranks.count()
+    finally:
+        rp.restore()
     for cached in (e_deg, tvec, dangling):
         cached.unpersist()
     return ranks

@@ -236,11 +236,24 @@ def edit_distance_pairs(
     ).where(F.col("__s").isNotNull())
 
     # ---- long path: rarity-ordered q-gram prefix join -------------------
+    # Grams are carried as xxhash64 codes from the explode on: the df
+    # rank, the per-record (df, gram) sort and the prefix equi-join all
+    # run on longs instead of q-char strings (the rank+prefix pipeline
+    # is the stage's main shuffle/sort cost).  Sound because the prefix
+    # lemma holds under ANY global total order over gram types —
+    # (df, hash) is one — and a hash collision only MERGES two gram
+    # types, which can only ADD candidate pairs; the bounded-levenshtein
+    # verification removes them, so the result is identical.  (The
+    # 2^-64 corner where two grams of the SAME record collide shrinks
+    # that record's effective type count by one — the same exposure the
+    # repo's minhash family already accepts for xxhash64.)
     longs = recs.where(F.size("__grams") >= prefix_len)
     # explode_computed: __grams is a computed projection; a plain
     # explode's inferred size-filter would push below it and re-evaluate
     # the gram construction per row (see _util.explode_computed)
-    toks = explode_computed(longs, ["__id", "__len"], F.col("__grams"), "gram")
+    toks = explode_computed(longs, ["__id", "__len"], F.col("__grams"), "gram").select(
+        "__id", "__len", F.xxhash64("gram").alias("gram")
+    )
     freq = toks.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
     ranked = (
         toks.join(freq, "gram")
@@ -394,10 +407,12 @@ def edit_distance_link(
     # shared global order: document frequency over BOTH sides' grams —
     # materialized once (gram-type-sized), since each side's prefix
     # ranking joins it and would otherwise re-run the two-sided
-    # explode + groupBy shuffle
+    # explode + groupBy shuffle.  Grams ride as xxhash64 codes (same
+    # soundness argument as edit_distance_pairs: any global order
+    # works, collisions only add verified-away candidates).
     all_toks = explode_computed(lrec, [], F.col("__grams"), "gram").unionByName(
         explode_computed(rrec, [], F.col("__grams"), "gram")
-    )
+    ).select(F.xxhash64("gram").alias("gram"))
     freq = (
         all_toks.groupBy("gram")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -405,7 +420,9 @@ def edit_distance_link(
     )
 
     def _prefix(recs):
-        toks = explode_computed(recs, ["__id", "__len"], F.col("__grams"), "gram")
+        toks = explode_computed(
+            recs, ["__id", "__len"], F.col("__grams"), "gram"
+        ).select("__id", "__len", F.xxhash64("gram").alias("gram"))
         ranked = (
             toks.join(freq, "gram")
             .groupBy("__id", "__len")
