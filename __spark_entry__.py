@@ -2477,7 +2477,12 @@ def q_clk_dice_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[F.col(f"w{i}").alias(f"__wr{i}") for i in range(n_words)],
         F.col("n").alias("__nr"),
     )
-    pairs = a.join(b, "c_nationkey").filter(
+    # explicit broadcast (guide §3.1): the checkpointed encoding loses
+    # size stats, and a fallback sort-merge join on the 25-value nation
+    # key would put each nation's whole pair block on one task; the
+    # build side is one 136-byte row per customer — the canonical
+    # broadcast side at any bench scale
+    pairs = a.join(F.broadcast(b), "c_nationkey").filter(
         F.col("custkey_l") < F.col("custkey_r")
     )
     inter = None

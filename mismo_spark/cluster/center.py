@@ -130,10 +130,16 @@ def center_clustering(
 
     # per-round exchanges over the geometrically shrinking undecided
     # relation: clamp shuffle width to the live row count (never above
-    # the ambient setting — no-op at cluster scale)
+    # the ambient setting — no-op at cluster scale).  The node-view
+    # relation is materialized BEFORE round 0 so the clamp covers the
+    # first round's four window exchanges too (the upstream scoring
+    # executes exactly once either way — this just moves the
+    # materialization point ahead of the loop).
     rp = RoundPartitions(links.sparkSession)
     assigned: DataFrame | None = None
     try:
+        rows = _chk(rows, checkpoint_dir, "center_rows_init")
+        rp.adapt(rows.count())
         assigned = _center_rounds(
             rows, w_rank, w_edge, w_node, max_rounds, checkpoint_dir, rp
         )

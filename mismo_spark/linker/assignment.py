@@ -244,9 +244,14 @@ def one_to_one_links(
 
     # per-round window exchanges over a geometrically shrinking edge
     # relation: clamp shuffle width to the live row count (never above
-    # the ambient setting — no-op at cluster scale)
+    # the ambient setting — no-op at cluster scale).  The input edges
+    # are materialized BEFORE round 0 so the clamp covers the first
+    # round's exchanges too (the upstream scoring executes exactly once
+    # either way).
     rp = RoundPartitions(links.sparkSession)
     try:
+        rem = _chk(rem, checkpoint_dir, "one_to_one_input")
+        rp.adapt(rem.count())
         for rnd in range(max_rounds):
             flagged = _chk(
                 one_round(rem, order), checkpoint_dir, f"one_to_one_round_{rnd}"
