@@ -134,6 +134,9 @@ def mutual_best_links(
     """
     order = _order(score_col)
     if dedupe is None:
+        # materialize BEFORE the probe — see one_to_one_links (the
+        # semi-join would otherwise execute the upstream scoring twice)
+        links = _chk(links, None, "mutual_best_probe_input")
         dedupe = _shares_id_space(links)
     if dedupe:
         w_node = Window.partitionBy(_NODE).orderBy(*order)
@@ -234,6 +237,11 @@ def one_to_one_links(
     order = _order(score_col)
     rem = links.filter(F.col(score_col).isNotNull())
     if dedupe is None:
+        # materialize BEFORE the probe: the semi-join references the
+        # links plan on both sides, and without a lineage cut the whole
+        # upstream scoring pipeline would execute twice just for the
+        # regime detection (r5 ADVICE)
+        rem = _chk(rem, checkpoint_dir, "one_to_one_probe_input")
         dedupe = _shares_id_space(rem)
     if dedupe:
         rem = _canonical_pairs(rem, order)

@@ -142,6 +142,15 @@ def choose_q(strings: DataFrame, *, max_distance: int, pad_char: str = PAD_CHAR)
             )
             if est <= budget:
                 return q
+        import warnings
+
+        warnings.warn(
+            f"choose_q: no q <= {q_cap} kept the measured prefix-bucket "
+            f"pair volume within the ~{_AUTO_Q_PAIR_BUDGET_PER_ROW}x-linear "
+            f"budget ({budget:.0f} pairs); falling back to q={q_cap} whose "
+            "candidate join may be quadratic on this field (r5 ADVICE)",
+            stacklevel=2,
+        )
         return q_cap
     finally:
         sample.unpersist()

@@ -149,7 +149,9 @@ class TermFrequencyModel:
 
     @property
     def column_stats(self) -> dict[str, ColumnStats]:
-        return self._column_stats
+        # fresh dict: a caller mutating the returned mapping must not
+        # corrupt the memoized state unpersist() walks (r5 ADVICE)
+        return dict(self._column_stats)
 
     def add_term_frequencies(
         self, table: DataFrame, *, default: float | str = "1/N"

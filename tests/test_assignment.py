@@ -206,3 +206,23 @@ def test_mutual_best_dedupe(spark):
 def test_bipartite_explicit_flag_matches_default(spark):
     rows = [(1, 10, 5.0), (1, 11, 4.0), (2, 11, 3.0), (2, 12, 2.0), (3, 12, 1.0)]
     assert run(spark, rows, dedupe=False) == run(spark, rows) == greedy_py(rows)
+
+
+def test_round_partitions_clamps_and_restores(spark):
+    """RoundPartitions must only ever clamp DOWN from the ambient
+    setting, track the live row count, and restore exactly."""
+    from mismo_spark._util import RoundPartitions
+
+    ambient = spark.conf.get("spark.sql.shuffle.partitions")
+    rp = RoundPartitions(spark, rows_per_partition=1000)
+    try:
+        assert rp.adapt(1) == 1
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "1"
+        # ceil(2500/1000) = 3, capped at the ambient setting
+        assert rp.adapt(2500) == min(3, int(ambient))
+        # never above ambient, however large the relation
+        assert rp.adapt(10**12) == int(ambient)
+        assert spark.conf.get("spark.sql.shuffle.partitions") == ambient
+    finally:
+        rp.restore()
+    assert spark.conf.get("spark.sql.shuffle.partitions") == ambient
