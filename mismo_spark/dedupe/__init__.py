@@ -433,20 +433,20 @@ def ngram_jaccard_pairs(
         return prefix_filter_pairs(
             recs, "grams", threshold=min_jaccard, id_col="record_id"
         ).select(ID_L, ID_R, F.col("jaccard").alias("jaccard_sim"))
+    # blocking_key is not None from here on: the None path returned
+    # above via the exact prefix-filter ssjoin
     recs = df.select(
         F.col(id_column).alias("record_id"),
         F.array_distinct(ngrams(F.lower(F.col(text_column)), n)).alias("grams"),
-        *([bind_one(df, blocking_key).alias("__bk")] if blocking_key is not None else []),
+        bind_one(df, blocking_key).alias("__bk"),
     )
     l = recs.select(
-        F.col("record_id").alias(ID_L), F.col("grams").alias("grams_l"),
-        *([F.col("__bk")] if blocking_key is not None else []),
+        F.col("record_id").alias(ID_L), F.col("grams").alias("grams_l"), F.col("__bk")
     )
     r = recs.select(
-        F.col("record_id").alias(ID_R), F.col("grams").alias("grams_r"),
-        *([F.col("__bk")] if blocking_key is not None else []),
+        F.col("record_id").alias(ID_R), F.col("grams").alias("grams_r"), F.col("__bk")
     )
-    joined = l.join(r, "__bk") if blocking_key is not None else l.crossJoin(r)
+    joined = l.join(r, "__bk")
     return (
         joined.filter(F.col(ID_L) < F.col(ID_R))
         .select(
