@@ -218,3 +218,49 @@ def test_paragraph_signals(spark):
     # line-level sees 3 distinct non-blank lines -> no dup lines?
     # no: the two identical "para one here" lines ARE dups at line level
     assert r["dup_line_frac"] == pytest.approx(1 / 3)
+
+
+def test_ngram_signals_rowlocal_matches_bruteforce(spark):
+    """The r6 shuffle-free (sorted-run-length) implementation must
+    reproduce the per-(doc, gram)-count definition exactly: tie-break
+    (count DESC, gram ASC), dup fraction capped at 1.0, <n tokens and
+    NULL text give 0.0."""
+    from collections import Counter
+
+    from mismo_spark.text.features import tokenize as _tok
+    from mismo_spark.textqa.repetition import ngram_repetition_signals
+
+    rows = [
+        (1, "a b a b a b"),                  # dominant repeated bigram
+        (2, "x y z x y w x y"),              # ties between 'x y' runs
+        (3, "single"),                       # < n tokens -> 0.0
+        (4, ""),                             # empty -> 0.0
+        (5, None),                           # NULL -> 0.0
+        (6, "b a b a a b"),                  # tie on count: lexicographic
+        (7, "q q q q"),                      # all-identical tokens
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {
+        r.id: (r.top_ngram_char_frac, r.dup_ngram_char_frac)
+        for r in ngram_repetition_signals(
+            df, n=2, id_col="id", text_col="text"
+        ).collect()
+    }
+    toks = {
+        r.id: r.t for r in df.select("id", _tok(df.text).alias("t")).collect()
+    }
+    assert len(got) == len(rows)
+    for rid, text in rows:
+        tk = toks[rid] or []
+        grams = [" ".join(tk[i : i + 2]) for i in range(len(tk) - 1)]
+        tl = len(" ".join(tk))
+        if not grams or tl == 0:
+            assert got[rid] == (0.0, 0.0), rid
+            continue
+        c = Counter(grams)
+        top_g = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        exp_top = round(top_g[1] * len(top_g[0]) / tl, 9)
+        exp_dup = round(
+            min(sum(v * len(g) for g, v in c.items() if v >= 2) / tl, 1.0), 9
+        )
+        assert got[rid] == (exp_top, exp_dup), (rid, got[rid], exp_top, exp_dup)
