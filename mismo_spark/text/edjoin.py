@@ -264,6 +264,12 @@ def edit_distance_pairs(
         "__id", "__len", F.xxhash64("gram").alias("gram")
     )
     freq = toks.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    # gram-type-sized: materialize once, and broadcast under the byte
+    # gate so the token relation is not shuffled by gram just to attach
+    # df ranks (the rank join was this stage's largest exchange)
+    freq = freq.localCheckpoint(eager=True)
+    if should_broadcast(freq, max_bytes=broadcast_records_max_bytes):
+        freq = F.broadcast(freq)
     ranked = (
         toks.join(freq, "gram")
         .groupBy("__id", "__len")
@@ -427,6 +433,8 @@ def edit_distance_link(
         .agg(F.count(F.lit(1)).alias("df"))
         .localCheckpoint(eager=True)
     )
+    if should_broadcast(freq, max_bytes=broadcast_records_max_bytes):
+        freq = F.broadcast(freq)
 
     def _prefix(recs):
         toks = explode_computed(
