@@ -129,6 +129,15 @@ def choose_q(strings: DataFrame, *, max_distance: int, pad_char: str = PAD_CHAR)
     # persist: the sample is scanned once per verified q, and its
     # upstream may be an expensive live plan — evaluate it exactly once
     sample = strings.where(col.isNotNull()).sample(frac, seed=7).persist()
+    # the verification passes are ~6 tiny shuffle stages each over a
+    # ≤ _AUTO_Q_SAMPLE_ROWS-row sample: clamp their shuffle width to
+    # the sample size (never above ambient) so they stop scheduling
+    # dozens of near-empty tasks per stage — measured roughly half of
+    # choose_q's wall at 64 ambient partitions
+    from mismo_spark._util import RoundPartitions
+
+    rp = RoundPartitions(strings.sparkSession)
+    rp.adapt(min(n, _AUTO_Q_SAMPLE_ROWS))
     try:
         for q in range(2, q_cap + 1):
             # 0.95: discount the estimate so HLL error errs toward
@@ -153,6 +162,7 @@ def choose_q(strings: DataFrame, *, max_distance: int, pad_char: str = PAD_CHAR)
         )
         return q_cap
     finally:
+        rp.restore()
         sample.unpersist()
 
 
