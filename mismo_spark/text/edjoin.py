@@ -103,25 +103,29 @@ def choose_q(strings: DataFrame, *, max_distance: int, pad_char: str = PAD_CHAR)
     ``strings``: one nullable string column (any name)."""
     d = int(max_distance)
     col = strings[strings.columns[0]]
-    stats = strings.select(
-        F.count(col).alias("n"), F.avg(F.length(col)).alias("avg_len")
+    # ONE full pass for all three data statistics (row count, average
+    # length, 2-gram type count): the padded 2-gram relation has
+    # exactly len+1 rows per non-null string, so posexplode recovers
+    # the record count (pos == 0 rows) and Σlen (total − n) alongside
+    # the HLL — the separate count/avg scan was a second full read of
+    # the corpus for numbers this relation already carries.
+    # rsd=0.01 on the HLL: the default 5% error is the same order as
+    # the decision margin; an overestimate would keep the quadratic
+    # small-q plan this heuristic exists to prevent
+    g2 = strings.where(col.isNotNull()).select(
+        F.posexplode_outer(_padded_grams(col, q=2, pad_char=pad_char)).alias(
+            "__pos", "g"
+        )
+    ).where(F.col("g").isNotNull())
+    stats = g2.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.sum((F.col("__pos") == 0).cast("long")).alias("n"),
+        F.approx_count_distinct("g", 0.01).alias("t"),
     ).first()
-    n, avg_len = stats["n"] or 0, stats["avg_len"] or 0.0
+    n, types2 = stats["n"] or 0, stats["t"]
     if n == 0:
         return 2
-    types2 = (
-        explode_computed(
-            strings.where(col.isNotNull()),
-            [],
-            _padded_grams(col, q=2, pad_char=pad_char),
-            "g",
-        )
-        # rsd=0.01: the default 5% HLL error is the same order as the
-        # decision margin; an overestimate would keep the quadratic
-        # small-q plan this heuristic exists to prevent
-        .agg(F.approx_count_distinct("g", 0.01).alias("t"))
-        .first()["t"]
-    )
+    avg_len = (stats["total"] - n) / n
     alphabet = max(2.0, float(types2) ** 0.5)
     q_cap = max(2, min(_AUTO_Q_MAX, int(-(-avg_len // 2))))
     budget = n * (1 + d) * _AUTO_Q_PAIR_BUDGET_PER_ROW
@@ -129,28 +133,43 @@ def choose_q(strings: DataFrame, *, max_distance: int, pad_char: str = PAD_CHAR)
     # persist: the sample is scanned once per verified q, and its
     # upstream may be an expensive live plan — evaluate it exactly once
     sample = strings.where(col.isNotNull()).sample(frac, seed=7).persist()
-    # the verification passes are ~6 tiny shuffle stages each over a
-    # ≤ _AUTO_Q_SAMPLE_ROWS-row sample: clamp their shuffle width to
-    # the sample size (never above ambient) so they stop scheduling
-    # dozens of near-empty tasks per stage — measured roughly half of
-    # choose_q's wall at 64 ambient partitions
+    # the verification passes are a handful of small shuffle stages:
+    # clamp their shuffle width to the GRAM-row volume they actually
+    # exchange — sample rows × (avg_len + q − 1) grams each, summed
+    # over the qs measured — never above ambient, so they neither
+    # schedule dozens of near-empty tasks (64 ambient partitions) nor
+    # collapse a ~10⁶-gram-row batched job onto one task (the failure
+    # mode of clamping on the 20k sample-row count)
     from mismo_spark._util import RoundPartitions
 
     rp = RoundPartitions(strings.sparkSession)
-    rp.adapt(min(n, _AUTO_Q_SAMPLE_ROWS))
+    est_gram_rows = int(
+        min(n, _AUTO_Q_SAMPLE_ROWS) * (avg_len + _AUTO_Q_MAX) * (q_cap - 1)
+    )
+    rp.adapt(max(min(n, _AUTO_Q_SAMPLE_ROWS), est_gram_rows))
     try:
-        for q in range(2, q_cap + 1):
-            # 0.95: discount the estimate so HLL error errs toward
-            # LARGER q (one diversity step too many is cheap; one too
-            # few is quadratic candidates)
-            types_q = 0.95 * (float(types2) if q == 2 else alphabet**q)
-            if types_q < n * (q * d + 1) ** 2 / _AUTO_Q_PAIR_BUDGET_PER_ROW:
-                continue  # uniform model already rejects — skip the sample
-            est = _sampled_prefix_pairs(sample, q=q, d=d, pad_char=pad_char) / (
-                frac * frac
+        # 0.95: discount the estimate so HLL error errs toward LARGER q
+        # (one diversity step too many is cheap; one too few is
+        # quadratic candidates).  Uniform-model-rejected qs skip the
+        # sample; the survivors are all measured in ONE batched job
+        # (each per-q pass is a ~6-stage shuffle chain over a ≤20k-row
+        # sample whose wall is scheduling, not data — running them
+        # sequentially doubled choose_q's cost on the bench field).
+        # The decision rule is unchanged: smallest q whose measured
+        # prefix-bucket pair volume fits the budget.
+        candidates = [
+            q
+            for q in range(2, q_cap + 1)
+            if 0.95 * (float(types2) if q == 2 else alphabet**q)
+            >= n * (q * d + 1) ** 2 / _AUTO_Q_PAIR_BUDGET_PER_ROW
+        ]
+        if candidates:
+            est_by_q = _sampled_prefix_pairs_multi(
+                sample, qs=candidates, d=d, pad_char=pad_char
             )
-            if est <= budget:
-                return q
+            for q in candidates:
+                if est_by_q.get(q, 0.0) / (frac * frac) <= budget:
+                    return q
         import warnings
 
         warnings.warn(
@@ -166,34 +185,67 @@ def choose_q(strings: DataFrame, *, max_distance: int, pad_char: str = PAD_CHAR)
         sample.unpersist()
 
 
-def _sampled_prefix_pairs(sample: DataFrame, *, q: int, d: int, pad_char: str) -> float:
-    """Measured prefix-bucket pair volume of ``sample`` at gram size
-    ``q``: replay the operator's own df-ranked prefix selection on the
-    sample, then Σ over buckets of (b choose 2) via one groupBy — the
-    exact candidate count the long-path join would emit for the
-    sample (before the length filter), with no join executed."""
-    col = sample[sample.columns[0]]
-    prefix_len = q * d + 1
-    recs = sample.select(_padded_grams(col, q=q, pad_char=pad_char).alias("__grams"))
-    recs = recs.where(F.size("__grams") >= prefix_len).withColumn(
-        "__rid", F.monotonically_increasing_id()
+def _sampled_prefix_pairs_multi(
+    sample: DataFrame, *, qs: list[int], d: int, pad_char: str
+) -> dict[int, float]:
+    """Measured prefix-bucket pair volume of ``sample`` at each gram
+    size in ``qs``: replay the operator's own df-ranked prefix
+    selection on the sample, then Σ over buckets of (b choose 2) via
+    one groupBy — the exact candidate count the long-path join would
+    emit for the sample (before the length filter), with no join
+    executed.  All qs ride one unioned relation keyed by a literal
+    ``__q`` column, so the whole verification is a single job
+    regardless of how many qs the uniform model let through."""
+    col_name = sample.columns[0]
+    parts = []
+    for q in qs:
+        col = sample[col_name]
+        prefix_len = q * d + 1
+        recs = sample.select(
+            _padded_grams(col, q=q, pad_char=pad_char).alias("__grams")
+        )
+        # __rid values may collide ACROSS the per-q branches
+        # (monotonically_increasing_id restarts per branch); every
+        # grouping below is keyed by (__q, __rid), so that is fine
+        recs = recs.where(F.size("__grams") >= prefix_len).withColumn(
+            "__rid", F.monotonically_increasing_id()
+        )
+        parts.append(
+            explode_computed(recs, ["__rid"], F.col("__grams"), "gram").select(
+                F.lit(q).alias("__q"), "__rid", "gram"
+            )
+        )
+    toks = parts[0]
+    for p in parts[1:]:
+        toks = toks.unionByName(p)
+    # broadcast the per-q document frequencies: the relation is bounded
+    # by the sample's gram-type count (≤ sample rows × grams/row, i.e.
+    # a few hundred k rows at the 20k-row cap) regardless of data
+    # scale, and broadcasting it removes the full shuffle of the gram
+    # relation the equi-join would otherwise pay
+    freq = F.broadcast(
+        toks.groupBy("__q", "gram").agg(F.count(F.lit(1)).alias("df"))
     )
-    toks = explode_computed(recs, ["__rid"], F.col("__grams"), "gram")
-    freq = toks.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
     pref = (
-        toks.join(freq, "gram")
-        .groupBy("__rid")
+        toks.join(freq, ["__q", "gram"])
+        .groupBy("__q", "__rid")
         .agg(F.array_sort(F.collect_list(F.struct("df", "gram"))).alias("gs"))
-        .select(F.explode(F.slice("gs", 1, prefix_len)).alias("g"))
-        .select(F.col("g.gram").alias("gram"))
+        .select(
+            "__q",
+            F.explode(
+                F.slice("gs", F.lit(1), F.col("__q") * F.lit(d) + F.lit(1))
+            ).alias("g"),
+        )
+        .select("__q", F.col("g.gram").alias("gram"))
     )
-    row = (
-        pref.groupBy("gram")
+    rows = (
+        pref.groupBy("__q", "gram")
         .agg(F.count(F.lit(1)).alias("b"))
+        .groupBy("__q")
         .agg(F.sum(F.col("b") * (F.col("b") - 1) / 2).alias("pairs"))
-        .first()
+        .collect()
     )
-    return float(row["pairs"] or 0.0)
+    return {r["__q"]: float(r["pairs"] or 0.0) for r in rows}
 
 
 def edit_distance_pairs(
@@ -247,32 +299,45 @@ def edit_distance_pairs(
         )
     prefix_len = q * d + 1
 
-    recs = df.select(
-        F.col(id_col).alias("__id"),
-        s.alias("__s"),
-        F.length(s).alias("__len"),
-        _padded_grams(s, q=q, pad_char=pad_char).alias("__grams"),
-    ).where(F.col("__s").isNotNull())
+    # ---- one materialized base relation, surrogate long ids -------------
+    # The original record id can be any type (the bench field is a
+    # ~50-byte URL string); every downstream exchange — the per-record
+    # rank groupBy, the prefix self-join, the candidate stream — would
+    # carry it on every row.  Factorize to a dense long surrogate ONCE
+    # and run the whole pipeline on (sid, len, gram-hash) longs (guide
+    # §2.3: narrower types, project before the exchange); originals are
+    # re-attached to the ~|result|-sized verified stream at the end.
+    # Grams are hashed to xxhash64 codes HERE, at materialization, so
+    # the per-record gram build + hash runs exactly once (the previous
+    # shape re-evaluated the recs subtree in up to four consumers).
+    # Soundness of hashed grams: the prefix lemma holds under ANY
+    # global total order over gram types — (df, hash) is one — and a
+    # hash collision only MERGES two gram types, which can only ADD
+    # candidate pairs; the bounded-levenshtein verification removes
+    # them, so the result is identical.  (The 2^-64 corner where two
+    # grams of the SAME record collide shrinks that record's effective
+    # type count by one — the same exposure the repo's minhash family
+    # already accepts for xxhash64.)  The surrogate is pinned by the
+    # eager localCheckpoint (monotonically_increasing_id is otherwise
+    # not stable across re-executions).
+    recs = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            s.alias("__s"),
+            F.length(s).alias("__len"),
+            F.transform(
+                _padded_grams(s, q=q, pad_char=pad_char),
+                lambda g: F.xxhash64(g),
+            ).alias("__ghs"),
+        )
+        .where(F.col("__s").isNotNull())
+        .withColumn("__sid", F.monotonically_increasing_id())
+        .localCheckpoint(eager=True)
+    )
 
     # ---- long path: rarity-ordered q-gram prefix join -------------------
-    # Grams are carried as xxhash64 codes from the explode on: the df
-    # rank, the per-record (df, gram) sort and the prefix equi-join all
-    # run on longs instead of q-char strings (the rank+prefix pipeline
-    # is the stage's main shuffle/sort cost).  Sound because the prefix
-    # lemma holds under ANY global total order over gram types —
-    # (df, hash) is one — and a hash collision only MERGES two gram
-    # types, which can only ADD candidate pairs; the bounded-levenshtein
-    # verification removes them, so the result is identical.  (The
-    # 2^-64 corner where two grams of the SAME record collide shrinks
-    # that record's effective type count by one — the same exposure the
-    # repo's minhash family already accepts for xxhash64.)
-    longs = recs.where(F.size("__grams") >= prefix_len)
-    # explode_computed: __grams is a computed projection; a plain
-    # explode's inferred size-filter would push below it and re-evaluate
-    # the gram construction per row (see _util.explode_computed)
-    toks = explode_computed(longs, ["__id", "__len"], F.col("__grams"), "gram").select(
-        "__id", "__len", F.xxhash64("gram").alias("gram")
-    )
+    longs = recs.where(F.size("__ghs") >= prefix_len)
+    toks = explode_computed(longs, ["__sid", "__len"], F.col("__ghs"), "gram")
     freq = toks.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
     # gram-type-sized: materialize once, and broadcast under the byte
     # gate so the token relation is not shuffled by gram just to attach
@@ -282,31 +347,34 @@ def edit_distance_pairs(
         freq = F.broadcast(freq)
     ranked = (
         toks.join(freq, "gram")
-        .groupBy("__id", "__len")
+        .groupBy("__sid", "__len")
         .agg(F.array_sort(F.collect_list(F.struct("df", "gram"))).alias("gs"))
     )
     pref = ranked.select(
-        "__id",
+        "__sid",
         "__len",
         F.explode(F.slice("gs", 1, prefix_len)).alias("g"),
-    ).select("__id", "__len", F.col("g.gram").alias("gram"))
+    ).select("__sid", "__len", F.col("g.gram").alias("gram"))
     # materialize once: the prefix self-join references pref on BOTH
     # sides and Spark re-executes the aliased subtree — without this
     # the gram explode → global-df rank pipeline runs twice
     pref = pref.localCheckpoint(eager=True)
     l, r = pref.alias("l"), pref.alias("r")
+    # surrogate order is just as good as id order for emitting each
+    # unordered pair once; the canonical l < r orientation on ORIGINAL
+    # ids is restored after verification
     cand_long = (
         l.join(
             r,
             on=[
                 F.col("l.gram") == F.col("r.gram"),
-                F.col("l.__id") < F.col("r.__id"),
+                F.col("l.__sid") < F.col("r.__sid"),
                 F.abs(F.col("l.__len") - F.col("r.__len")) <= F.lit(d),
             ],
         )
         .select(
-            F.col("l.__id").alias("record_id_l"),
-            F.col("r.__id").alias("record_id_r"),
+            F.col("l.__sid").alias("__sid_l"),
+            F.col("r.__sid").alias("__sid_r"),
         )
     )
 
@@ -316,12 +384,12 @@ def edit_distance_pairs(
     # length cap: "aaaaaaaa" is length 8 with only 3 distinct bigrams,
     # and its distance-2 partner "aaaaaa" is length 6 — a cap derived
     # from the gram count would wrongly exclude it)
-    shorts = recs.where(F.size("__grams") < prefix_len).select("__id", "__len")
+    shorts = recs.where(F.size("__ghs") < prefix_len).select("__sid", "__len")
     partners = recs.select(
-        F.col("__id").alias("__pid"), F.col("__len").alias("__plen")
+        F.col("__sid").alias("__pid"), F.col("__len").alias("__plen")
     )
     probe = shorts.select(
-        "__id",
+        "__sid",
         F.explode(
             F.sequence(
                 F.greatest(F.col("__len") - d, F.lit(0)), F.col("__len") + d
@@ -330,17 +398,18 @@ def edit_distance_pairs(
     )
     cand_short = (
         probe.join(partners, "__plen")
-        .where(F.col("__id") != F.col("__pid"))
+        .where(F.col("__sid") != F.col("__pid"))
         .select(
-            F.least("__id", "__pid").alias("record_id_l"),
-            F.greatest("__id", "__pid").alias("record_id_r"),
+            F.least("__sid", "__pid").alias("__sid_l"),
+            F.greatest("__sid", "__pid").alias("__sid_r"),
         )
     )
 
     cands = cand_long.unionByName(cand_short)
 
-    # ---- verify: JVM bounded levenshtein on the narrow (id, string) -----
-    narrow = recs.select(F.col("__id").alias("__vid"), "__s")
+    # ---- verify: JVM bounded levenshtein on the narrow (sid, string) ----
+    narrow = recs.select(F.col("__sid").alias("__vid"), "__s")
+    idmap = recs.select("__sid", "__id")
     if should_broadcast(narrow, max_bytes=broadcast_records_max_bytes):
         # Broadcast regime: the candidate stream is NEVER exchanged —
         # raw (possibly gram-duplicated) pairs flow map-side through
@@ -352,28 +421,44 @@ def edit_distance_pairs(
         # big prefix buckets) that exchange costs far more than the
         # O(d·len) distance checks it saves.
         narrow = F.broadcast(narrow)
-        dedupe_late = True
+        idmap = F.broadcast(idmap)
     else:
         # Huge-table regime (narrow side beyond the byte gate): the
         # verify joins must shuffle anyway, so shrink the pair stream
         # before them.
-        cands = cands.dropDuplicates(["record_id_l", "record_id_r"])
-        dedupe_late = False
+        cands = cands.dropDuplicates(["__sid_l", "__sid_r"])
     verified = (
-        cands.join(narrow, cands["record_id_l"] == narrow["__vid"])
-        .select("record_id_l", "record_id_r", F.col("__s").alias("__sl"))
-        .join(narrow, F.col("record_id_r") == narrow["__vid"])
+        cands.join(narrow, cands["__sid_l"] == narrow["__vid"])
+        .select("__sid_l", "__sid_r", F.col("__s").alias("__sl"))
+        .join(narrow, F.col("__sid_r") == narrow["__vid"])
         .select(
-            "record_id_l",
-            "record_id_r",
+            "__sid_l",
+            "__sid_r",
             # 3-arg form: bounded O(d·len) DP, -1 when distance > d
             F.levenshtein(F.col("__sl"), F.col("__s"), d).alias("distance"),
         )
         .where(F.col("distance") >= 0)
     )
-    if dedupe_late:
-        verified = verified.dropDuplicates(["record_id_l", "record_id_r"])
-    return verified
+    # re-attach original ids to the verified (result-sized) stream and
+    # restore the canonical record_id_l < record_id_r orientation; the
+    # original-id != filter preserves the historical "a record cannot
+    # pair with an id-equal record" behaviour on degenerate inputs
+    out = (
+        verified.join(idmap, verified["__sid_l"] == idmap["__sid"])
+        .select("__sid_r", "distance", F.col("__id").alias("__oid_l"))
+        .join(idmap, F.col("__sid_r") == idmap["__sid"])
+        .select(
+            F.least("__oid_l", "__id").alias("record_id_l"),
+            F.greatest("__oid_l", "__id").alias("record_id_r"),
+            "distance",
+        )
+        .where(F.col("record_id_l") != F.col("record_id_r"))
+    )
+    # result-sized dedupe in BOTH regimes: in the broadcast regime this
+    # is where gram-duplicated candidates collapse; in the huge-table
+    # regime the sid-level dedupe above already shrank the stream and
+    # this pass only guards degenerate duplicate-id inputs
+    return out.dropDuplicates(["record_id_l", "record_id_r"])
 
 
 def edit_distance_link(
