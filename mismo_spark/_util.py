@@ -368,22 +368,42 @@ class RoundPartitions:
     count the loop already measures each round; ALWAYS pair with
     :meth:`restore` in a ``finally``.
 
+    ``disable_aqe=True`` additionally turns adaptive execution off for
+    the duration of the loop (restored with the partition setting):
+    for JOIN-free window rounds the clamp already right-sizes every
+    exchange, so AQE's only remaining contribution is a driver barrier
+    per exchange — measured ~1.3-1.5× on the CENTER / dominant-edge
+    loops at bench scale.  Loops whose rounds contain joins (star CC,
+    MIS rounds) keep AQE: runtime coalescing/skew handling still pays
+    there.
+
     Caveat: ``spark.sql.shuffle.partitions`` is session-global — a
     concurrent query planned while an operator loop is running sees
     the clamped value.  These loops are sub-minute and driver-bound;
     the trade is documented rather than worked around.
     """
 
-    def __init__(self, spark, *, rows_per_partition: int = 32_000) -> None:
+    def __init__(
+        self,
+        spark,
+        *,
+        rows_per_partition: int = 32_000,
+        disable_aqe: bool = False,
+    ) -> None:
         self.spark = spark
         self.rows_per_partition = rows_per_partition
         self.ambient = spark.conf.get("spark.sql.shuffle.partitions", "200")
+        self.disable_aqe = disable_aqe
+        self.ambient_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
         self._active = False
 
     def adapt(self, n_rows: int) -> int:
+        if self.disable_aqe and not self._active:
+            self.spark.conf.set("spark.sql.adaptive.enabled", "false")
         try:
             ambient_n = int(self.ambient)
         except (TypeError, ValueError):  # e.g. "auto" on some platforms
+            self._active = self._active or self.disable_aqe
             return -1
         parts = max(1, min(ambient_n, -(-int(n_rows) // self.rows_per_partition)))
         self.spark.conf.set("spark.sql.shuffle.partitions", str(parts))
@@ -393,4 +413,8 @@ class RoundPartitions:
     def restore(self) -> None:
         if self._active:
             self.spark.conf.set("spark.sql.shuffle.partitions", self.ambient)
+            if self.disable_aqe:
+                self.spark.conf.set(
+                    "spark.sql.adaptive.enabled", self.ambient_aqe
+                )
             self._active = False

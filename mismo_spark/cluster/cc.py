@@ -95,7 +95,13 @@ def connected_components(
         # relabel machinery below (~6 extra shuffles, two of them O(V)
         # joins) is pure overhead and skipped.  This is the hot path:
         # the pipeline's record_id is int64.
-        labels = _run(edges.filter(F.col(_U) != F.col(_V)).distinct())
+        # No up-front .distinct(): both algorithms are duplicate-
+        # insensitive (min-label and groupBy-min aggregation; the first
+        # small-star round's closing distinct canonicalizes the edge
+        # set anyway), and typical callers feed already-unique link
+        # tables — the dedup exchange over the full edge relation was
+        # pure overhead on the hot path.
+        labels = _run(edges.filter(F.col(_U) != F.col(_V)))
         out = labels.withColumnRenamed("id", "record_id")
         base = (
             records.select("record_id")

@@ -135,7 +135,10 @@ def center_clustering(
     # first round's four window exchanges too (the upstream scoring
     # executes exactly once either way — this just moves the
     # materialization point ahead of the loop).
-    rp = RoundPartitions(links.sparkSession)
+    # join-free window rounds: AQE's per-exchange barriers are pure
+    # overhead once the clamp right-sizes the exchanges (see
+    # RoundPartitions) — measured ~1.4× on this loop at bench scale
+    rp = RoundPartitions(links.sparkSession, disable_aqe=True)
     assigned: DataFrame | None = None
     try:
         rows = _chk(rows, checkpoint_dir, "center_rows_init")

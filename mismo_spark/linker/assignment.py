@@ -255,8 +255,10 @@ def one_to_one_links(
     # the ambient setting — no-op at cluster scale).  The input edges
     # are materialized BEFORE round 0 so the clamp covers the first
     # round's exchanges too (the upstream scoring executes exactly once
-    # either way).
-    rp = RoundPartitions(links.sparkSession)
+    # either way).  Join-free window rounds → AQE off for the loop
+    # (per-exchange barriers are pure overhead once the clamp
+    # right-sizes the exchanges; see RoundPartitions).
+    rp = RoundPartitions(links.sparkSession, disable_aqe=True)
     try:
         rem = _chk(rem, checkpoint_dir, "one_to_one_input")
         rp.adapt(rem.count())
