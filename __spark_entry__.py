@@ -2453,49 +2453,67 @@ def q_clk_dice_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialized ONCE (localCheckpoint) so the md5 position hashing
     # and packing run per record, not per pair side.
     n_words = 16  # 1024 bits / 64
-    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
-    # repartition before the checkpoint: AQE coalesces the encoder's
-    # groupBy output to ~1 partition at this size, and the O(pairs)
-    # broadcast-join probe below inherits the checkpointed partitioning
-    # — without this the whole pair scan runs on one task
-    enc = (
-        clk_packed_words(
-            cust, ["c_custkey", "c_nationkey"], ["c_name", "c_mktsegment"]
+    # Catalyst's constraint propagation goes EXPONENTIAL on the 16-term
+    # popcount predicate below: with it on, every action over this plan
+    # spends ~7 s of single-threaded DRIVER time deriving constraints
+    # from the dice filter (measured: count() 7.7 s → 0.6 s with the
+    # rule off, while the probe stage itself is 32 parallel ~0.04 s
+    # tasks — this, not execution, was the stage's cost AND its
+    # "bimodal" run-to-run variance).  The rule is scoped off for this
+    # query only and restored in the finally; the RESULT (pairs >=
+    # 0.85, output-sized) is materialized eagerly inside the scope so
+    # no later replanning of the big expression can hit the rule again.
+    # Optimizer-only setting: rows are identical either way.
+    ambient_cp = spark.conf.get("spark.sql.constraintPropagation.enabled", "true")
+    spark.conf.set("spark.sql.constraintPropagation.enabled", "false")
+    try:
+        cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+        # repartition before the checkpoint: AQE coalesces the encoder's
+        # groupBy output to ~1 partition at this size, and the O(pairs)
+        # broadcast-join probe below inherits the checkpointed
+        # partitioning — without this the whole pair scan runs on one
+        # task
+        enc = (
+            clk_packed_words(
+                cust, ["c_custkey", "c_nationkey"], ["c_name", "c_mktsegment"]
+            )
+            .repartition(spark.sparkContext.defaultParallelism)
+            .localCheckpoint()
         )
-        .repartition(spark.sparkContext.defaultParallelism)
-        .localCheckpoint()
-    )
-    a = enc.select(
-        F.col("c_custkey").alias("custkey_l"),
-        "c_nationkey",
-        *[F.col(f"w{i}").alias(f"__wl{i}") for i in range(n_words)],
-        F.col("n").alias("__nl"),
-    )
-    b = enc.select(
-        F.col("c_custkey").alias("custkey_r"),
-        "c_nationkey",
-        *[F.col(f"w{i}").alias(f"__wr{i}") for i in range(n_words)],
-        F.col("n").alias("__nr"),
-    )
-    # explicit broadcast (guide §3.1): the checkpointed encoding loses
-    # size stats, and a fallback sort-merge join on the 25-value nation
-    # key would put each nation's whole pair block on one task; the
-    # build side is one 136-byte row per customer — the canonical
-    # broadcast side at any bench scale
-    pairs = a.join(F.broadcast(b), "c_nationkey").filter(
-        F.col("custkey_l") < F.col("custkey_r")
-    )
-    inter = None
-    for i in range(n_words):
-        term = F.bit_count(F.col(f"__wl{i}").bitwiseAND(F.col(f"__wr{i}")))
-        inter = term if inter is None else inter + term
-    denom = F.col("__nl") + F.col("__nr")
-    dice = F.when(denom == 0, F.lit(0.0)).otherwise(
-        2.0 * inter.cast("long") / denom
-    )
-    return pairs.filter(dice >= 0.85).select(
-        "custkey_l", "custkey_r", _micro(dice, "dice_micro")
-    )
+        a = enc.select(
+            F.col("c_custkey").alias("custkey_l"),
+            "c_nationkey",
+            *[F.col(f"w{i}").alias(f"__wl{i}") for i in range(n_words)],
+            F.col("n").alias("__nl"),
+        )
+        b = enc.select(
+            F.col("c_custkey").alias("custkey_r"),
+            "c_nationkey",
+            *[F.col(f"w{i}").alias(f"__wr{i}") for i in range(n_words)],
+            F.col("n").alias("__nr"),
+        )
+        # explicit broadcast (guide §3.1): the checkpointed encoding
+        # loses size stats, and a fallback sort-merge join on the
+        # 25-value nation key would put each nation's whole pair block
+        # on one task; the build side is one 136-byte row per customer
+        # — the canonical broadcast side at any bench scale
+        pairs = a.join(F.broadcast(b), "c_nationkey").filter(
+            F.col("custkey_l") < F.col("custkey_r")
+        )
+        inter = None
+        for i in range(n_words):
+            term = F.bit_count(F.col(f"__wl{i}").bitwiseAND(F.col(f"__wr{i}")))
+            inter = term if inter is None else inter + term
+        denom = F.col("__nl") + F.col("__nr")
+        dice = F.when(denom == 0, F.lit(0.0)).otherwise(
+            2.0 * inter.cast("long") / denom
+        )
+        out = pairs.filter(dice >= 0.85).select(
+            "custkey_l", "custkey_r", _micro(dice, "dice_micro")
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.constraintPropagation.enabled", ambient_cp)
 
 
 def q_center_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
