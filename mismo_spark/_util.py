@@ -42,6 +42,26 @@ def explode_computed(
     )
 
 
+def optimizer_barrier(c: Column) -> Column:
+    """Value-identity wrapper tagged NON-DETERMINISTIC (a one-element
+    ``shuffle`` — the shuffled singleton is always the value itself), so
+    the optimizer neither pushes predicates through the projection that
+    computes ``c`` (``PushPredicateThroughNonJoin`` requires every
+    project field deterministic) nor collapses it into consumers
+    (``CollapseProject`` likewise).
+
+    Use it on expensive higher-order-function columns that downstream
+    code may FILTER on: without the barrier, predicate pushdown
+    substitutes the column's full expression tree into the predicate,
+    and any HOF lambda that referenced the column as an attribute now
+    re-evaluates the whole inlined subtree PER ARRAY ELEMENT —
+    nested chains of such columns make that re-evaluation effectively
+    exponential per row (observed as a pipeline that never finishes on
+    500 rows, textqa/repetition.py).  The wrapped value, and therefore
+    every result, is bit-identical."""
+    return F.get(F.shuffle(F.array(c)), 0)
+
+
 def cases(branches: Sequence[tuple[Column, Column]], else_: Column) -> Column:
     """First-match-wins CASE WHEN chain (mismo/_util.py:95-112)."""
     out = None

@@ -157,7 +157,19 @@ def ngram_repetition_signals(
     with fewer than ``n`` tokens (or NULL text) get 0.0 for both
     signals, as before.  One output row per input row — callers supply
     one row per document (both in-repo callers key by a unique id).
+
+    Every intermediate column is wrapped in
+    :func:`mismo_spark._util.optimizer_barrier`: the run-length chain
+    references each previous level as an ATTRIBUTE inside HOF lambdas,
+    and a caller filtering on the output (e.g. the curation job's
+    ``dup_ngram_char_frac > t`` screen) would otherwise have predicate
+    pushdown substitute the full expression tree into those lambdas —
+    re-evaluated per array element, nested across four levels, the
+    filter never finishes even on 500 rows.  The barrier pins each
+    level to one evaluation per row; values are bit-identical.
     """
+    from mismo_spark._util import optimizer_barrier as _ob
+
     base = df.select(
         F.col(id_col).alias("__id"),
         F.coalesce(
@@ -166,7 +178,7 @@ def ngram_repetition_signals(
     ).select(
         "__id",
         F.length(F.array_join(F.col("__toks"), " ")).alias("__text_len"),
-        F.array_sort(_word_grams(F.col("__toks"), n)).alias("__sg"),
+        _ob(F.array_sort(_word_grams(F.col("__toks"), n))).alias("__sg"),
     )
     sg = F.col("__sg")
     sz = F.size(sg)
@@ -178,7 +190,7 @@ def ngram_repetition_signals(
     )
     base = base.withColumn(
         "__starts",
-        F.when(sz > 0, starts).otherwise(F.array().cast("array<int>")),
+        _ob(F.when(sz > 0, starts).otherwise(F.array().cast("array<int>"))),
     )
     st = F.col("__starts")
     nst = F.size(st)
@@ -191,14 +203,21 @@ def ngram_repetition_signals(
     )
     base = base.withColumn(
         "__runs",
-        F.when(nst > 0, runs).otherwise(
-            F.array().cast("array<struct<c:int,g:string>>")
+        _ob(
+            F.when(nst > 0, runs).otherwise(
+                F.array().cast("array<struct<c:int,g:string>>")
+            )
         ),
     )
     rn = F.col("__runs")
-    maxc = F.array_max(F.transform(rn, lambda r: r.getField("c")))
+    base = base.withColumn(
+        "__maxc", _ob(F.array_max(F.transform(rn, lambda r: r.getField("c"))))
+    )
+    maxc = F.col("__maxc")
     top = F.get(F.filter(rn, lambda r: r.getField("c") == maxc), 0)
-    top_chars = top.getField("c") * F.length(top.getField("g"))
+    base = base.withColumn(
+        "__top_chars", _ob(top.getField("c") * F.length(top.getField("g")))
+    )
     dup_chars = F.aggregate(
         rn,
         F.lit(0),
@@ -207,15 +226,19 @@ def ngram_repetition_signals(
             r.getField("c") >= 2, r.getField("c") * F.length(r.getField("g"))
         ).otherwise(0),
     )
+    base = base.withColumn("__dup_chars", _ob(dup_chars))
     tl = F.col("__text_len")
     return base.select(
         F.col("__id").alias(id_col),
         F.when((sz == 0) | (tl == 0), F.lit(0.0))
-        .otherwise(F.round(top_chars / tl.cast("double"), 9))
+        .otherwise(F.round(F.col("__top_chars") / tl.cast("double"), 9))
         .alias("top_ngram_char_frac"),
         F.when((sz == 0) | (tl == 0), F.lit(0.0))
         .otherwise(
-            F.round(F.least(dup_chars / tl.cast("double"), F.lit(1.0)), 9)
+            F.round(
+                F.least(F.col("__dup_chars") / tl.cast("double"), F.lit(1.0)),
+                9,
+            )
         )
         .alias("dup_ngram_char_frac"),
     )
